@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers a query here;
+  * where the semantics are ANSI-SQL-expressible the matching DuckDB oracle
+  * is in [[oracleSql]] (column names aliased identically on both sides —
+  * the driver compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The cell-1 + cell-3 reference pipeline shape: grouped multi-aggregate
+    * then windowed argmax-per-group top-k. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.topKByBestDay(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 aggregations (A1-A6)
+    "q_events_daily_agg" -> (Relational.eventsDailyAgg _),
+    "q_events_daily_agg_hll" -> (Relational.eventsDailyAggApprox _),
+    "q_distinct_types" -> (Relational.distinctEventTypes _),
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    // §2.5 + §2.6 window / top-k / sort (W1, P4, O1, O2)
+    "q_topk_best_day" -> (Relational.topKByBestDay _),
+    "q_sorted_agg" -> (Relational.sortedAggDump _),
+    "q_argmax_per_customer" -> (Relational.latestBestOrderPerCustomer _),
+    // §2.3 projections / filters (P1-P5)
+    "q_filter_isin" -> (Relational.filterIsin _),
+    "q_filter_eq_project" -> (Relational.filterEqProject _),
+    "q_with_literal" -> (Relational.withLiteralColumn _),
+    // §2.7 joins (geo-join capability + semi-join form of P2)
+    "q_semijoin_active_users" -> (Relational.semiJoinActiveUsers _),
+    "q_revenue_by_region" -> (Relational.revenueByRegion _),
+    "q_revenue_by_priority" -> (Relational.revenueByPriority _)
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same column aliases). Queries
+    * absent here (HLL estimates, stochastic ops) get rows-only checks. */
+  def oracleSql: Map[String, String] = Map(
+    "q_events_daily_agg" -> Relational.eventsDailyAggSql,
+    "q_distinct_types" -> Relational.distinctEventTypesSql,
+    "q1_pricing_summary" -> Relational.q1PricingSummarySql,
+    "q_topk_best_day" -> Relational.topKByBestDaySql,
+    "q_sorted_agg" -> Relational.sortedAggDumpSql,
+    "q_argmax_per_customer" -> Relational.latestBestOrderPerCustomerSql,
+    "q_filter_isin" -> Relational.filterIsinSql,
+    "q_filter_eq_project" -> Relational.filterEqProjectSql,
+    "q_with_literal" -> Relational.withLiteralColumnSql,
+    "q_semijoin_active_users" -> Relational.semiJoinActiveUsersSql,
+    "q_revenue_by_region" -> Relational.revenueByRegionSql,
+    "q_revenue_by_priority" -> Relational.revenueByPrioritySql
+  )
 }

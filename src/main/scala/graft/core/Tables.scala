@@ -1,0 +1,202 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Explicit schemas for every table the engine touches.
+  *
+  * The reference infers schemas from parquet footers for batch and re-uses
+  * the inferred schema for its stream (`notebooks/stream.ipynb:113 (cell 1)`
+  * in Mamba369x/M13_SparkStreaming_PYTHON_AZURE). At 100 TB, schema
+  * inference means listing + footer-reading thousands of files on the
+  * driver before the job starts — so here every schema is declared
+  * statically and handed to the reader. Inference remains available via
+  * [[Tables.load]] when the schema is genuinely unknown.
+  */
+object Schemas {
+
+  /** Reference hotel-weather file schema (11 columns, see FIXTURES.md §1).
+    * Note the documented address/name swap is preserved as-is: `address`
+    * holds the hotel name, `name` the street address. */
+  val hotelWeather: StructType = StructType(Seq(
+    StructField("address", StringType),
+    StructField("avg_tmpr_c", DoubleType),
+    StructField("avg_tmpr_f", DoubleType),
+    StructField("city", StringType),
+    StructField("country", StringType),
+    StructField("geoHash", StringType),
+    StructField("id", StringType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("name", StringType),
+    StructField("wthr_date", StringType)
+  ))
+
+  /** Ingested variant: producer adds processed_date; Hive partition dirs
+    * add year/month/day (reference `upload.py:67` + partition discovery). */
+  val hotelWeatherIngested: StructType = StructType(
+    hotelWeather.fields ++ Seq(
+      StructField("processed_date", TimestampType),
+      StructField("year", IntegerType),
+      StructField("month", IntegerType),
+      StructField("day", IntegerType)
+    ))
+
+  // ----- driver-provisioned synthetic testdata (TESTDATA.md) -----
+
+  val region: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)
+  ))
+
+  val nation: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)
+  ))
+
+  val customer: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)
+  ))
+
+  val supplier: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)
+  ))
+
+  val part: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)
+  ))
+
+  val orders: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)
+  ))
+
+  val lineitem: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)
+  ))
+
+  /** On-disk schema: `ts` is INT64 TIMESTAMP(NANOS) — Spark's
+    * TimestampType is microseconds, so the file column is read as raw
+    * nanos (LongType, via spark.sql.legacy.parquet.nanosAsLong) and
+    * [[Tables.events]] derives a micros `ts` column from it. */
+  val eventsOnDisk: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Logical events schema after load: ts_ns keeps full precision,
+    * ts is the truncated-to-micros TimestampType for time arithmetic. */
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_ns", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)
+  ))
+
+  val byName: Map[String, StructType] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events,
+    "documents" -> documents, "embeddings" -> embeddings
+  )
+}
+
+/** Table loaders over the driver-provisioned parquet testdata.
+  *
+  * Every load passes the declared schema so the scan skips footer-based
+  * inference (a driver-side scalability hazard on wide datasets) and so a
+  * schema drift in the data fails loudly at analysis time instead of
+  * silently changing downstream types.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Load one table with its declared schema (inferred if undeclared). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else Schemas.byName.get(name) match {
+      case Some(s) => spark.read.schema(s).parquet(path(dir, name))
+      case None    => spark.read.parquet(path(dir, name))
+    }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  /** Events with `ts` as a usable TimestampType (micros) plus the
+    * full-precision raw nanos as `ts_ns`. The parquet column is INT64
+    * TIMESTAMP(NANOS), which Spark only reads as a long — the conf flip
+    * is runtime-settable and done here so it works in ANY session the
+    * caller provides. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(Schemas.eventsOnDisk).parquet(path(dir, "events"))
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .select("event_id", "ts_ns", "ts", "user_id", "event_type", "value", "props")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register all tables as temp views so `spark.sql` mirrors the
+    * reference's memory-sink-as-SQL-table pattern
+    * (`notebooks/stream.ipynb:178 (cell 3)`). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
