@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.Relational
+import graft.streaming.StreamAggregator
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +37,11 @@ object SparkEntry {
     // §2.7 joins (geo-join capability + semi-join form of P2)
     "q_semijoin_active_users" -> (Relational.semiJoinActiveUsers _),
     "q_revenue_by_region" -> (Relational.revenueByRegion _),
-    "q_revenue_by_priority" -> (Relational.revenueByPriority _)
+    "q_revenue_by_priority" -> (Relational.revenueByPriority _),
+    // §2.1 + §2.2 + §2.9 streaming: file stream → stateful agg →
+    // complete-mode memory sink (S2, A1-A5, K1); oracle = batch SQL,
+    // proving stream == batch.
+    "q_stream_agg" -> (StreamAggregator.streamAggQuery _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). Queries
@@ -53,6 +58,7 @@ object SparkEntry {
     "q_with_literal" -> Relational.withLiteralColumnSql,
     "q_semijoin_active_users" -> Relational.semiJoinActiveUsersSql,
     "q_revenue_by_region" -> Relational.revenueByRegionSql,
-    "q_revenue_by_priority" -> Relational.revenueByPrioritySql
+    "q_revenue_by_priority" -> Relational.revenueByPrioritySql,
+    "q_stream_agg" -> StreamAggregator.streamAggSql
   )
 }

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Schemas
+
+/** The reference's streaming core, Spark-first.
+  *
+  * Reference (Mamba369x/M13_SparkStreaming_PYTHON_AZURE,
+  * `notebooks/stream.ipynb:111-148 (cells 1-2)`): Auto Loader file stream →
+  * `groupBy(city, wthr_date).agg(approx_count_distinct(id), avg, max, min)`
+  * → complete-mode memory sink named `result_df_query`, then batch SQL over
+  * the sink table. Databricks `cloudFiles` is proprietary; the OSS
+  * equivalent is Spark's built-in `FileStreamSource` with an explicit
+  * schema, which has the same new-file discovery semantics
+  * (SURVEY.md §1.3). The reference never sets a checkpoint location; here
+  * it is always explicit — required for exactly-once file tracking on a
+  * real cluster.
+  *
+  * Scale notes (100 TB design):
+  *  - State is keyed by (event_type, day): cardinality = #types × #days,
+  *    independent of row count, so unbounded-state complete mode is safe
+  *    for this key shape (the reference's 4,324 keys; ours similar). For
+  *    high-cardinality keys use [[windowedAggStream]] with a watermark so
+  *    state is evicted.
+  *  - The memory sink is a driver-bound convenience mirror of the
+  *    reference; [[runToParquet]] is the production path (foreachBatch →
+  *    partitioned parquet), which scales to any result size.
+  *  - `maxFilesPerTrigger` paces micro-batches exactly like the
+  *    reference's 1-day-per-second producer drip.
+  */
+object StreamAggregator {
+
+  /** Streaming-legal deterministic sum (see Relational.exactSum). */
+  private def exactSum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  /** Read the events table as a file stream with the declared schema —
+    * S2 in SURVEY §2.1. `ts` arrives as INT64 nanos; a micros timestamp
+    * column is derived exactly as in the batch loader so stream and batch
+    * plans are column-compatible. */
+  def eventsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream
+      .format("parquet")
+      .schema(Schemas.eventsOnDisk)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(path)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Stream over an [[IncrementalProducer]] replay directory: files
+    * there already carry a proper micros `ts` plus `ts_ns` and
+    * `processed_date`, so no conversion is needed — only the explicit
+    * schema (streams never infer). */
+  def replayStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Schemas.events.fields :+
+        org.apache.spark.sql.types.StructField("processed_date",
+          org.apache.spark.sql.types.TimestampType))
+    val reader = spark.readStream.format("parquet").schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(path)
+  }
+
+  /** A1-A5 on a stream, faithful form: HLL++ distinct (rsd 0.05, the
+    * reference default visible at `notebooks/stream.ipynb:105`) + avg,
+    * max, min per (event_type, day). `count_distinct` is not streamable;
+    * `approx_count_distinct` is — which is exactly why the reference
+    * uses it. */
+  def dailyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("distinct_users"),
+        avg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+
+  /** Oracle-exact streaming aggregate: everything here is exact and
+    * order/arrival-independent, so the streamed result hash-matches the
+    * batch SQL oracle — the reference's core invariant (stream over any
+    * file arrival order == batch over the union, SURVEY §5.4). */
+  def dailyAggExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        exactSum(col("value"), 2).as("sum_value"),
+        (exactSum(col("value"), 2) / count(col("value"))).as("avg_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("n_events"))
+
+  /** K1: complete-mode memory sink named like the reference's
+    * `result_df_query` (`notebooks/stream.ipynb:145-148 (cell 2)`), run
+    * to completion with Trigger.AvailableNow for determinism, returning
+    * the result table. Checkpoint is explicit (the reference omits it —
+    * SURVEY §2.9 flags that as a rebuild fix). */
+  def runToMemoryTable(spark: SparkSession, agg: DataFrame,
+      queryName: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory(s"graft-ckpt-$queryName")
+      .toString
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Production-path sink: foreachBatch → overwrite parquet. The memory
+    * sink caps at driver RAM; this scales to any aggregate size and is
+    * the documented 100 TB alternative (SURVEY §7 hard-point c). */
+  def runToParquet(spark: SparkSession, agg: DataFrame, outPath: String,
+      checkpointDir: String): Unit = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time windowed aggregate with watermark — the
+    * production-hardening extension the reference lacks (SURVEY §2.9:
+    * no watermark ⇒ unbounded state). One-hour tumbling windows, state
+    * evicted once the watermark passes; append mode emits each window
+    * exactly once. */
+  def windowedAggStream(events: DataFrame, watermark: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("distinct_users"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("distinct_users"),
+        col("max_value"))
+
+  /** End-to-end oracle query: stream sfDir's events through the exact
+    * aggregate into a memory sink, return the final table. Registered in
+    * SparkEntry as `q_stream_agg`; its oracle is plain batch SQL — the
+    * hash-match proves streaming == batch. */
+  def streamAggQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_agg_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    // FileStreamSource requires a directory or glob, not a bare file —
+    // the {…} glob keeps the base path at sfDir while matching only the
+    // events table.
+    val events = eventsStream(spark, s"$sfDir/{events.parquet}")
+    runToMemoryTable(spark, dailyAggExact(events), name)
+  }
+
+  val streamAggSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+      |       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+      |       MAX(value) AS max_value, MIN(value) AS min_value,
+      |       COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+}
