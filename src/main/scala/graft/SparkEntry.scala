@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.Relational
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.streaming.StreamAggregator
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,7 +42,32 @@ object SparkEntry {
     // §2.1 + §2.2 + §2.9 streaming: file stream → stateful agg →
     // complete-mode memory sink (S2, A1-A5, K1); oracle = batch SQL,
     // proving stream == batch.
-    "q_stream_agg" -> (StreamAggregator.streamAggQuery _)
+    "q_stream_agg" -> (StreamAggregator.streamAggQuery _),
+    // ----- training-data extensions (SURVEY §7 step 7) -----
+    // text analysis
+    "q_token_counts" -> (TextStats.tokenCounts _),
+    "q_quality_scores" -> (TextStats.qualityScores _),
+    "q_fingerprints" -> (TextStats.fingerprints _),
+    "q_lang_id" -> (TextStats.langId _),
+    // dedup
+    "q_dedup_groups" -> (Dedup.exactDupGroups _),
+    "q_dedup_exact" -> (Dedup.dedupExact _),
+    "q_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramJaccardPairs(s, d)),
+    "q_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLshPairs(s, d)),
+    "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashPairs(s, d)),
+    // similarity search
+    "q_ann_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.bruteForceTopK(s, d)),
+    "q_embed_near_dup" -> ((s: SparkSession, d: String) =>
+      Similarity.nearDupPairsExact(s, d)),
+    "q_embed_near_dup_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.lshNearDupPairs(s, d)),
+    // multimodal plumbing
+    "q_media_features" -> (Multimodal.featureSummary _),
+    "q_media_frames" -> (Multimodal.frameSampleSummary _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). Queries
@@ -59,6 +85,15 @@ object SparkEntry {
     "q_semijoin_active_users" -> Relational.semiJoinActiveUsersSql,
     "q_revenue_by_region" -> Relational.revenueByRegionSql,
     "q_revenue_by_priority" -> Relational.revenueByPrioritySql,
-    "q_stream_agg" -> StreamAggregator.streamAggSql
+    "q_stream_agg" -> StreamAggregator.streamAggSql,
+    "q_token_counts" -> TextStats.tokenCountsSql,
+    "q_quality_scores" -> TextStats.qualityScoresSql,
+    "q_fingerprints" -> TextStats.fingerprintsSql,
+    "q_dedup_groups" -> Dedup.exactDupGroupsSql,
+    "q_dedup_exact" -> Dedup.dedupExactSql,
+    "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
+    "q_ann_topk" -> Similarity.bruteForceTopKSql,
+    "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
+    "q_media_frames" -> Multimodal.frameSampleSummarySql
   )
 }

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * n-gram-Jaccard (exact set similarity), MinHash+LSH (the 100 TB scale
+  * path), and SimHash. Extension beyond the reference surface
+  * (SURVEY §7 step 7).
+  *
+  * Scale design:
+  *  - Exact dedup is one hash-shuffle on a 16-byte fingerprint —
+  *    optimal; at 100 TB the shuffle carries only (fp, doc_id).
+  *  - Exact Jaccard via shingle self-join is quadratic in per-shingle
+  *    document frequency; it is the *oracle* for the approximate paths,
+  *    not the scale path. At scale, hot shingles (stop-shingles) make
+  *    the join explode — which is exactly why MinHash+LSH exists: cost
+  *    becomes #docs × #bands with bucket-bounded joins, independent of
+  *    pairwise overlap structure.
+  *  - MinHash signatures are computed per-row with array expressions —
+  *    no explode, no shuffle until the (band, bucket) join; band hashes
+  *    are the only shuffled payload.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5 of normalized text → group size + the
+    * survivor (min doc_id). The classic first pass of every dedup
+    * pipeline. */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  val exactDupGroupsSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Surviving rows after exact dedup (keep min doc_id per fingerprint).
+    * Window-free formulation: semi-join against the survivor set — at
+    * scale this is one shuffle on fp instead of a global window sort. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val survivors = docs
+      .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(survivors, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val dedupExactSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id IN (
+      |  SELECT MIN(doc_id) FROM documents
+      |  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))""".stripMargin
+
+  /** Distinct word n-gram shingles per document, as (doc_id, shingle)
+    * pairs. Documents shorter than n tokens produce none. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .where(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ tau)
+    * via shingle equi-join: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+    * Integer counts + one IEEE division ⇒ engine-deterministic. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+      tau: Double = 0.5): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir), n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  val ngramJaccardPairsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+      |       FROM t, UNNEST(range(1, len(toks)-1)) AS u(i)
+      |       WHERE len(toks) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common,
+      |       CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+      |FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5""".stripMargin
+
+  // ----- MinHash + LSH (scale path) -----
+
+  /** Per-document MinHash signature: numHashes independent permutations
+    * simulated by seeded xxhash64; each component is the min hash over
+    * the document's shingle set. Computed entirely with per-row array
+    * expressions — zero shuffle, zero explode. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    val toks = split(col("text"), " ")
+    val shingleArr = array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    docs
+      .where(size(toks) >= n)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          seed => array_min(transform(shingleArr,
+            s => xxhash64(seed, s)))).as("minhash"))
+  }
+
+  /** LSH banding: signature split into `bands` rows of `rowsPerBand`
+    * components; docs agreeing on any full band land in the same
+    * bucket. Returns candidate pairs with their estimated Jaccard
+    * (fraction of agreeing signature components) ≥ tau.
+    *
+    * The only shuffles are the (band, bandHash) exchange and the
+    * bucket join — both sized by #docs × #bands, never by pairwise
+    * structure. This is the dedup path that survives 100 TB. */
+  def minhashLshPairs(spark: SparkSession, dir: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(Tables.documents(spark, dir), n, numHashes)
+    val banded = sigs.select(col("doc_id"), col("minhash"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("minhash"), b * rowsPerBand + 1,
+          lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.minhash").as("mh_a"), col("b.minhash").as("mh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes)
+      .where(col("est_jaccard") >= tau)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // ----- SimHash -----
+
+  /** 64-bit SimHash per document: each token hashes to 64 bits; bit b of
+    * the signature is the majority vote of token-hash bit b. Hamming
+    * distance between signatures tracks token-multiset similarity.
+    * Per-row array expressions only — no shuffle. */
+  def simhashDocs(docs: DataFrame): DataFrame = {
+    val hashes = transform(split(col("text"), " "), t => xxhash64(t))
+    val nTok = size(split(col("text"), " "))
+    val bits: Seq[Column] = (0 until 64).map { b =>
+      val ones = size(filter(hashes,
+        h => shiftright(h, b).bitwiseAND(1L) === 1L))
+      when(ones * 2 > nTok, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    docs.select(col("doc_id"),
+      bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
+    * via 4-band pigeonhole bucketing (any pair within Hamming 3 must
+    * agree on at least one 16-bit quarter). bit_count(xor) verifies
+    * exactly. */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashDocs(Tables.documents(spark, dir))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "quarter")
+      .withColumnRenamed("col", "quarter_bits")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.quarter") === col("b.quarter") &&
+          col("a.quarter_bits") === col("b.quarter_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * payloads as opaque `binary` columns with typed metadata, and
+  * batch-shaped feature extraction via `mapPartitions`.
+  *
+  * The container has no image/audio codecs, so `FakeCodec` is a
+  * clearly-marked deterministic stand-in for the decode step — the
+  * Spark-side contract (schema, partitioning, per-partition batch
+  * processing, output shape) is real and tested. In production the body
+  * of `FakeCodec.decode` is replaced by a JNI/libvips/ffmpeg call; on
+  * the PySpark side the same slot is an Arrow-batched `mapInPandas`
+  * UDF. Nothing else changes.
+  *
+  * Scale notes: feature extraction is embarrassingly parallel
+  * per-partition work; the iterator-to-iterator `mapPartitions` keeps
+  * it streaming (no materialization of a partition in memory), and the
+  * payload column is pruned away before any downstream shuffle.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata, the schema contract
+    * for multimodal columns. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  /** Extracted features: fixed-dim embedding + basic stats. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      checksum: Long, features: Array[Float])
+
+  /** STUB — deterministic fake decoder. Real systems decode
+    * JPEG/PNG/WAV here; this container has no codecs, so features are
+    * a seeded fold of the payload bytes (stable across runs, engines,
+    * partitionings). The *interface* is the real thing. */
+  object FakeCodec {
+    val featureDim = 16
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % featureDim) += (payload(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      out
+    }
+    def checksum(payload: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      h
+    }
+  }
+
+  /** Synthesize a media table from `documents` (text bytes stand in for
+    * media payloads): binary column + metadata, the shape a real
+    * image/audio table would have. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio")
+          .as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        lit(16000).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** Feature extraction: iterator-to-iterator mapPartitions over the
+    * typed Dataset — the Scala analog of an Arrow-batched mapInPandas
+    * UDF. Partition count is preserved; payloads never cross the wire
+    * after this projection. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length,
+          FakeCodec.checksum(r.payload), FakeCodec.decode(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for video-like payloads: split the payload into
+    * fixed-size "frames" and keep every `stride`-th — pure plumbing
+    * (offsets, slicing, batch shape), codec-free. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+      stride: Int = 4): DataFrame = {
+    media.toDF()
+      .select(col("media_id"),
+        posexplode(split_part_bytes(col("payload"), frameBytes)))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .where(col("frame_idx") % stride === 0)
+  }
+
+  /** Byte-window slicer as an expression: payload → array of
+    * fixed-length binary frames. */
+  private def split_part_bytes(payload: org.apache.spark.sql.Column,
+      frameBytes: Int): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0L), floor((length(payload) - 1) / frameBytes).cast("long")),
+      i => payload.substr((i * frameBytes + 1).cast("int"), lit(frameBytes)))
+
+  /** Per-kind feature summary — the query registered in SparkEntry
+    * (rows-only check: the fake codec is not SQL-expressible). */
+  def featureSummary(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        count_distinct(col("checksum")).as("distinct_payloads"))
+
+  /** Frame-sampling summary per media row: how many 64-byte frames the
+    * stride-4 sampler kept. Oracle-able: frame i is kept when i % 4 == 0
+    * for i in 0..⌊(len-1)/64⌋, i.e. ⌊⌊(len-1)/64⌋/4⌋ + 1 frames. */
+  def frameSampleSummary(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir), frameBytes = 64, stride = 4)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        max(length(col("frame"))).as("max_frame_bytes"))
+
+  val frameSampleSummarySql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(((octet_length(encode(text)) - 1) // 64) // 4 + 1 AS BIGINT) AS n_frames,
+      |       CAST(LEAST(64, octet_length(encode(text))) AS INT) AS max_frame_bytes
+      |FROM documents""".stripMargin
+}

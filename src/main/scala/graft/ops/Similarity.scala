@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`). Extension beyond the reference
+  * surface (SURVEY §7 step 7).
+  *
+  * Two paths, as a real pipeline would ship them:
+  *  - Brute-force cosine — the exactness baseline. All vector math runs
+  *    through the codegen'd [[graft.functions.DotProduct]] expression on
+  *    pre-normalized unit vectors (cosine ≡ dot), with the small query
+  *    side broadcast: the corpus streams through whole-stage codegen
+  *    once, no shuffle of the big side.
+  *  - Sign-LSH bucketed — the 100 TB path. Random-hyperplane sign bits
+  *    bucket the corpus; candidates only form inside buckets, then
+  *    exact cosine verifies. Cost scales with bucket occupancy, not
+  *    corpus².
+  */
+object Similarity {
+
+  /** Embeddings with unit-normalized double vectors. */
+  def normalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      normalize(toDoubleVec(col("embedding"))).as("vec"))
+
+  /** Exact top-k neighbors (cosine, descending; vec_id tie-break) for
+    * each of the first `numQueries` vectors, self-match excluded.
+    * Output carries ranks, not scores: ranks are integers and
+    * hash-stable across engines, while raw cosines differ in the last
+    * ulp. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+      numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val corpus = normalized(spark, dir)
+    val queries = corpus.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("vec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  val bruteForceTopKSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |             list_cosine_similarity(q.v, e.v) AS sim
+      |      FROM c q JOIN c e ON e.vec_id != q.vec_id
+      |      WHERE q.vec_id < 10)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM s)
+      |WHERE rank <= 10""".stripMargin
+
+  /** Exact near-duplicate pairs: cosine ≥ tau over all pairs (a < b).
+    * The oracle baseline for [[lshNearDupPairs]]; quadratic by design. */
+  def nearDupPairsExact(spark: SparkSession, dir: String,
+      tau: Double = 0.4): DataFrame = {
+    val c = normalized(spark, dir)
+    c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dot(col("a.vec"), col("b.vec")).as("sim"))
+      .where(col("sim") >= tau)
+      .select("vec_a", "vec_b")
+  }
+
+  val nearDupPairsExactSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM c a JOIN c b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin
+
+  /** Deterministic pseudo-random unit hyperplanes (seeded, so plans are
+    * reproducible across runs and engines). */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id per vector: one bit per hyperplane (sign of the
+    * projection), per table. Multiple independent tables trade memory
+    * for recall: a pair is a candidate if it collides in ANY table. */
+  def lshBuckets(vectors: DataFrame, numTables: Int = 16,
+      bitsPerTable: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tableCols = (0 until numTables).map { t =>
+      val ps = planes(bitsPerTable, dim, seed + t)
+      val bits = (0 until bitsPerTable).map { b =>
+        val plane = array(ps(b).map(lit): _*)
+        when(dot(col("vec"), plane) >= 0.0,
+          shiftleft(lit(1), b)).otherwise(lit(0))
+      }
+      bits.reduce((x, y) => x.bitwiseOR(y))
+    }
+    vectors.select(col("vec_id"), col("vec"),
+      posexplode(array(tableCols: _*)))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** Scale-path near-dup: sign-LSH candidate generation + exact cosine
+    * verification. Returns only verified pairs (precision 1.0 vs the
+    * exact variant; recall measured in SimilaritySpec). */
+  def lshNearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.4,
+      numTables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+    val buckets = lshBuckets(normalized(spark, dir), numTables, bitsPerTable)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .where(dot(col("va"), col("vb")) >= tau)
+      .select("vec_a", "vec_b")
+  }
+}

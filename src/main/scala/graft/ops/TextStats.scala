@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, fingerprinting, language ID — all over the
+  * `documents` table. Extension beyond the reference surface (SURVEY §7
+  * step 7).
+  *
+  * Everything here is per-row narrow work built from codegen'd
+  * `functions._` expressions: no shuffle, no UDFs, no state — it scales
+  * linearly with input and pipelines inside whole-stage codegen directly
+  * after the parquet scan. At 100 TB these run at scan speed.
+  */
+object TextStats {
+
+  /** Whitespace tokens — split on single space, matching the corpus
+    * format (and the DuckDB oracle's string_split). */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish lexer tokens: letter runs, digit runs, or single
+    * punctuation — the pre-tokenization regex families used by GPT-style
+    * byte-pair encoders. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeTokenPattern), lit(0))
+
+  /** Canonical text normalization for fingerprinting: lowercase,
+    * non-alphanumeric runs collapsed to single spaces, trimmed. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Stable 128-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Token counting per document (whitespace + BPE-ish). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("n_ws_tokens"),
+      size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_computed"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens,
+      |       length(text) AS n_chars_computed
+      |FROM documents""".stripMargin
+
+  /** English stopwords used by the quality score (public, standard). */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Quality scoring: the classic cheap pre-training filters — length,
+    * punctuation density, digit density, stopword ratio, mean token
+    * length. All ratios are exact-int / exact-int, so the doubles are
+    * bit-deterministic across engines and partitionings. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nToks = size(toks)
+    val stopHits = size(filter(toks,
+      t => t.isin(enStopwords.map(x => x: Any): _*)))
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[!-/:-@\\[-`{-~]", ""))
+    val nDigits = length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_q"),
+      nToks.as("n_tokens"),
+      nPunct.as("n_punct"),
+      nDigits.as("n_digits"),
+      stopHits.as("n_stopwords"),
+      (stopHits.cast("double") / nToks).as("stopword_ratio"),
+      (nPunct.cast("double") / length(col("text"))).as("punct_ratio"),
+      ((length(col("text")) - nToks + 1).cast("double") / nToks)
+        .as("mean_token_len"))
+  }
+
+  val qualityScoresSql: String = {
+    val stop = enStopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |       length(text) AS n_chars_q,
+       |       len(string_split(text, ' ')) AS n_tokens,
+       |       length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+       |       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+       |       len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS n_stopwords,
+       |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS stopword_ratio,
+       |       CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+       |         / length(text) AS punct_ratio,
+       |       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS mean_token_len
+       |FROM documents""".stripMargin
+  }
+
+  /** Content fingerprints (md5 of normalized text) + duplicate-group
+    * count per fingerprint. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  // ----- language ID -----
+
+  /** Per-language marker stopword profiles (public, standard closed-class
+    * words — highest-frequency function words per language). */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it",
+      "for", "with", "was", "this", "a"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un",
+      "une", "que", "dans", "pour", "il"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un",
+      "una", "que", "en", "por", "del"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine",
+      "nicht", "mit", "fur", "von", "zu", "den"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per",
+      "non", "sono", "con", "del", "gli"),
+    "pt" -> Seq("o", "a", "os", "as", "de", "e", "que", "um", "uma",
+      "para", "nao", "com", "do"))
+
+  /** Heuristic language ID: CJK/Cyrillic/Arabic script detection by
+    * char range first, else argmax of marker-stopword hit counts across
+    * [[langProfiles]], `und` when nothing matches. Pure expression tree
+    * (filter/size/greatest) — codegen'd, shuffle-free. */
+  def langIdCol(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+          .as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(col("text").rlike("[\\u4e00-\\u9fff\\u3040-\\u30ff]"), lit("zh-ja"))
+      .when(col("text").rlike("[\\u0400-\\u04ff]"), lit("ru"))
+      .when(col("text").rlike("[\\u0600-\\u06ff]"), lit("ar"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Language-ID over documents. No SQL oracle (heuristic, not
+    * SQL-expressible compactly) — correctness asserted in LangIdSpec on
+    * crafted multilingual fixtures; the corpus `lang` column is a random
+    * label over uniformly English-vocab synthetic text, so agreement
+    * with it is not a meaningful target. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), langIdCol(col("text")).as("lang_pred"))
+}

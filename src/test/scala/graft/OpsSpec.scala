@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+class OpsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  // ----- custom DotProduct expression -----
+
+  test("DotProduct computes correctly and handles nulls") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0))
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.dot(col("a"), col("b")))
+      .as[Double].collect()
+    assert(got.toSeq === Seq(32.0, 0.0))
+    val withNull = df.select(VectorFunctions.dot(
+      when(lit(false), col("a")), col("b"))).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+
+  test("DotProduct stays inside whole-stage codegen") {
+    // LocalTableScan alone skips codegen; use a range-backed plan
+    val df = spark.range(4).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    val plan = df.select(VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [dotproduct"), plan)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq(Tuple1(Array(3.0, 4.0))).toDF("v")
+    val c = df.select(VectorFunctions.cosine(col("v"), col("v")))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  // ----- dedup -----
+
+  test("minhash LSH finds all exact-Jaccard pairs on this corpus (recall)") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf, tau = 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf, tau = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall; exact=$exact lsh=$lsh")
+  }
+
+  test("simhash of identical texts is identical; hamming 0") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "x y z w q r")).toDF("doc_id", "text")
+    val sigs = Dedup.simhashDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("exact dedup keeps one survivor per duplicated text") {
+    val docs = Seq((10L, "same text here", "en", "s1", 14L),
+      (11L, "same text here", "en", "s2", 14L),
+      (12L, "other text", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("tmp_docs")
+    val fp = TextStats.fingerprint(col("text"))
+    val groups = docs.groupBy(fp.as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .collect()
+    assert(groups.length === 2)
+    assert(groups.find(_.getLong(2) === 2L).get.getLong(1) === 10L)
+  }
+
+  // ----- similarity -----
+
+  test("LSH near-dup pairs are a subset of exact pairs (precision 1.0)") {
+    val exact = Similarity.nearDupPairsExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-near-dup pairs: ${lsh.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0
+      else exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val topk = Similarity.bruteForceTopK(spark, sf, numQueries = 3, k = 5)
+    val rows = topk.collect()
+    assert(rows.length === 15)
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to 5))
+    }
+  }
+
+  // ----- text stats -----
+
+  test("token counts and quality stats on a crafted doc") {
+    val docs = Seq((1L, "Hello world, 42 times!", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = docs.select(
+      size(TextStats.wsTokens(col("text"))).as("ws"),
+      size(TextStats.bpeTokens(col("text"))).as("bpe")).head()
+    assert(t.getInt(0) === 4) // Hello / world, / 42 / times!
+    // Hello, world, ",", 42, times, "!"
+    assert(t.getInt(1) === 6)
+  }
+
+  test("langId classifies real multilingual samples") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy with this"),
+      (2L, "le chat est dans la maison et il mange pour vivre"),
+      (3L, "el perro esta en la casa y es un buen amigo del hombre"),
+      (4L, "der hund ist ein gutes tier und die katze ist nicht da"),
+      (5L, "这是一个中文句子"),
+      (6L, "это русское предложение для теста"))
+      .toDF("doc_id", "text")
+    val preds = samples.select(col("doc_id"),
+      TextStats.langIdCol(col("text")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) === "en")
+    assert(preds(2L) === "fr")
+    assert(preds(3L) === "es")
+    assert(preds(4L) === "de")
+    assert(preds(5L) === "zh-ja")
+    assert(preds(6L) === "ru")
+  }
+
+  // ----- multimodal -----
+
+  test("feature extraction preserves partitioning and batch shape") {
+    val media = Multimodal.mediaTable(spark, sf).repartition(5)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.rdd.getNumPartitions === 5)
+    val f = feats.head()
+    assert(f.features.length === Multimodal.FakeCodec.featureDim)
+    // determinism: same payload → same checksum/features across runs
+    val twice = Multimodal.extractFeatures(media)
+    assert(feats.select("media_id", "checksum").exceptAll(
+      twice.select("media_id", "checksum")).count() === 0)
+  }
+
+  test("frame sampling keeps every stride-th fixed-size frame") {
+    val media = Multimodal.mediaTable(spark, sf).limit(3)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+    val idx = frames.select("frame_idx").as[Int].collect()
+    assert(idx.nonEmpty)
+    assert(idx.forall(_ % 4 === 0))
+  }
+}
