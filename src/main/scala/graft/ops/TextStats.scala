@@ -129,14 +129,16 @@ object TextStats {
       "para", "nao", "com", "do"))
 
   /** Heuristic language ID: CJK/Cyrillic/Arabic script detection by
-    * char range first, else argmax of marker-stopword hit counts across
-    * [[langProfiles]], `und` when nothing matches. Pure expression tree
-    * (filter/size/greatest) — codegen'd, shuffle-free. */
+    * char range first, else argmax of *distinct* marker-stopword hits
+    * across [[langProfiles]], `und` when nothing matches.
+    * `array_intersect` (codegen'd native set intersection) beats a
+    * `filter(_.isin(...))` lambda (interpreted, per-token linear scan)
+    * by an order of magnitude — this runs at scan speed. */
   def langIdCol(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
-        size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+        size(array_intersect(toks, array(words.map(lit): _*)))
           .as("score"),
         lit(lang).as("lang"))
     }
