@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.Relational
+import graft.engine.{Relational, Windows}
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.streaming.StreamAggregator
 
@@ -31,6 +31,11 @@ object SparkEntry {
     "q_topk_best_day" -> (Relational.topKByBestDay _),
     "q_sorted_agg" -> (Relational.sortedAggDump _),
     "q_argmax_per_customer" -> (Relational.latestBestOrderPerCustomer _),
+    "q_order_ranks" -> (Windows.orderRanks _),
+    "q_order_timeline" -> (Windows.orderTimeline _),
+    "q_pricing_rollup" -> (Windows.pricingRollup _),
+    "q_hourly_windows" -> (Windows.hourlyEventWindows _),
+    "q_set_ops" -> (Windows.setOpsCustomers _),
     // §2.3 projections / filters (P1-P5)
     "q_filter_isin" -> (Relational.filterIsin _),
     "q_filter_eq_project" -> (Relational.filterEqProject _),
@@ -79,6 +84,11 @@ object SparkEntry {
     "q_topk_best_day" -> Relational.topKByBestDaySql,
     "q_sorted_agg" -> Relational.sortedAggDumpSql,
     "q_argmax_per_customer" -> Relational.latestBestOrderPerCustomerSql,
+    "q_order_ranks" -> Windows.orderRanksSql,
+    "q_order_timeline" -> Windows.orderTimelineSql,
+    "q_pricing_rollup" -> Windows.pricingRollupSql,
+    "q_hourly_windows" -> Windows.hourlyEventWindowsSql,
+    "q_set_ops" -> Windows.setOpsCustomersSql,
     "q_filter_isin" -> Relational.filterIsinSql,
     "q_filter_eq_project" -> Relational.filterEqProjectSql,
     "q_with_literal" -> Relational.withLiteralColumnSql,
