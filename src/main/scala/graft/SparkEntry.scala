@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.{Relational, Windows}
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
-import graft.streaming.StreamAggregator
+import graft.streaming.{Sessionize, StreamAggregator}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,10 @@ object SparkEntry {
     // complete-mode memory sink (S2, A1-A5, K1); oracle = batch SQL,
     // proving stream == batch.
     "q_stream_agg" -> (StreamAggregator.streamAggQuery _),
+    // gap-based sessionization (batch oracle form; the streaming
+    // flatMapGroupsWithState variant is equivalence-tested in
+    // StatefulSpec)
+    "q_sessions" -> (Sessionize.sessionsQuery _),
     // ----- training-data extensions (SURVEY §7 step 7) -----
     // text analysis
     "q_token_counts" -> (TextStats.tokenCounts _),
@@ -96,6 +100,7 @@ object SparkEntry {
     "q_revenue_by_region" -> Relational.revenueByRegionSql,
     "q_revenue_by_priority" -> Relational.revenueByPrioritySql,
     "q_stream_agg" -> StreamAggregator.streamAggSql,
+    "q_sessions" -> Sessionize.sessionsSql,
     "q_token_counts" -> TextStats.tokenCountsSql,
     "q_quality_scores" -> TextStats.qualityScoresSql,
     "q_fingerprints" -> TextStats.fingerprintsSql,

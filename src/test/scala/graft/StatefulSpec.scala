@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops.Skew
+import graft.streaming.{Sessionize, StreamAggregator}
+
+class StatefulSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("streaming sessionization matches batch gap-session oracle") {
+    // stream the events table through flatMapGroupsWithState
+    val stream = StreamAggregator.eventsStream(spark, s"$sf/{events.parquet}")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Sessionize.Event]
+    val name = "sessions_test"
+    val q = Sessionize.sessions(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-sess").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // round sums for set-compare: the stream folds values in event-time
+    // order, batch sums in partition order — identical to 1e-10 but not
+    // bit-equal; 2-decimal inputs make round(2) exact on both sides
+    val streamed = spark.table(name)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+
+    val batch = Sessionize.sessionsBatch(spark, sf).toDF()
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+
+    // append mode withholds sessions the final watermark hasn't closed;
+    // everything emitted must be a correct batch session, and coverage
+    // must be substantial
+    val streamedRows = streamed.collect().toSet
+    val batchRows = batch.collect().toSet
+    assert(streamedRows.nonEmpty, "no sessions emitted")
+    val wrong = streamedRows.diff(batchRows)
+    assert(wrong.isEmpty, s"sessions not in batch oracle: ${wrong.take(3)}")
+    assert(streamedRows.size >= batchRows.size / 2,
+      s"only ${streamedRows.size}/${batchRows.size} sessions emitted")
+  }
+
+  test("foreachBatch parquet sink writes the complete aggregate") {
+    val out = Files.createTempDirectory("graft-fb-out").toString + "/agg"
+    val ckpt = Files.createTempDirectory("graft-fb-ckpt").toString
+    val agg = StreamAggregator.dailyAggExact(
+      StreamAggregator.eventsStream(spark, s"$sf/{events.parquet}"))
+    StreamAggregator.runToParquet(spark, agg, out, ckpt)
+    val written = spark.read.parquet(out)
+    val batch = StreamAggregator.dailyAggExact(Tables.events(spark, sf))
+    assert(written.count() === batch.count())
+    assert(written.exceptAll(batch).count() === 0)
+  }
+
+  test("file re-delivery: FileStreamSource processes new files only") {
+    val watched = Files.createTempDirectory("graft-redeliver").toString
+    val e = Tables.events(spark, sf).limit(100).cache()
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    e.write.mode("overwrite").parquet(s"$watched/chunk1")
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.core.Schemas.events.fields)
+    def runOnce(name: String): Long = {
+      val s = spark.readStream.format("parquet").schema(schema)
+        .load(s"$watched/chunk*")
+      val q = s.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-$name-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    val n1 = runOnce("redeliver_a")
+    // overwrite the same directory with identical content (new file
+    // names) plus one genuinely new chunk
+    e.write.mode("overwrite").parquet(s"$watched/chunk1")
+    e.limit(10).write.mode("overwrite").parquet(s"$watched/chunk2")
+    val n2 = runOnce("redeliver_b")
+    assert(n1 === 100L)
+    // a fresh query (fresh checkpoint) sees current listing: 100 + 10
+    assert(n2 === 110L)
+  }
+
+  test("salted join equals plain join; salted agg equals plain agg") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+    val liK = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    val plain = liK.join(o, Seq("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedJoin(liK, o, "o_orderkey", 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(plain.exceptAll(salted).count() === 0)
+    assert(salted.exceptAll(plain).count() === 0)
+
+    val plainAgg = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(30,2)")).cast("double")
+          .as("sum_value"))
+    val saltedAgg = Skew.saltedCountSum(li.withColumnRenamed("l_quantity", "v"),
+      "l_returnflag", "v", 8)
+    assert(plainAgg.exceptAll(saltedAgg).count() === 0)
+  }
+
+  test("late data beyond the watermark is dropped from windowed agg") {
+    val watched = Files.createTempDirectory("graft-late").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val base = Tables.events(spark, sf)
+      .select("event_id", "ts_ns", "ts", "user_id", "event_type", "value", "props")
+    // chunk1: the bulk of the data (advances the watermark to max-1h)
+    base.where(col("event_id") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$watched/chunk1")
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.core.Schemas.events.fields)
+    val stream = spark.readStream.format("parquet").schema(schema)
+      .load(s"$watched/chunk*")
+    val windowed = StreamAggregator.windowedAggStream(stream,
+      watermark = "1 hour", windowLen = "1 hour")
+    // one continuously-running query (memory sink cannot resume from a
+    // checkpoint): drop files, drain, drop late files, drain, compare
+    val q = windowed.writeStream.outputMode("append").format("memory")
+      .queryName("late_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-late-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    val cutoff = {
+      val minTs = base.agg(min(col("ts"))).head.getTimestamp(0)
+      new java.sql.Timestamp(minTs.getTime + 3600L * 1000)
+    }
+    val earlyBefore = spark.table("late_test")
+      .where(col("window_start") < cutoff).count()
+    assert(spark.table("late_test").count() > 0)
+    // chunk2: only events in the first hour — far behind the watermark
+    base.where(col("event_id") % 10 === 0)
+      .where(col("ts") < cutoff)
+      .write.mode("overwrite").parquet(s"$watched/chunk2")
+    q.processAllAvailable()
+    q.stop()
+    val earlyAfter = spark.table("late_test")
+      .where(col("window_start") < cutoff).count()
+    // late rows fall in windows the watermark already closed; append
+    // mode must not re-emit or re-open them
+    assert(earlyAfter === earlyBefore,
+      "late data re-opened closed windows")
+  }
+}
