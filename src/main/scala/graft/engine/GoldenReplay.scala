@@ -31,6 +31,11 @@ object GoldenReplay {
         println(f"[golden] $mark got=$gc%-12s $gn%4d  expected=$ec%-12s $en%4d")
       }
     println(f"[golden] end-to-end ${sec}%.2f s; match=${got == HotelWeather.goldenTop10}")
+    // cells 5-6: per-city time-series export hook
+    val agg = HotelWeather.cityDayAgg(HotelWeather.read(spark, path))
+    val series = HotelWeather.citySeries(agg, HotelWeather.top10(spark, agg))
+    println(s"[golden] per-city series rows: ${series.count()} over " +
+      s"${series.select("city").distinct().count()} cities")
     spark.stop()
     if (got != HotelWeather.goldenTop10) sys.exit(1)
   }

@@ -60,6 +60,20 @@ object HotelWeather {
   def goldenPipeline(spark: SparkSession, path: String): DataFrame =
     top10(spark, cityDayAgg(read(spark, path)))
 
+  /** Cells 5-6: per-city time-series extraction. The reference
+    * collects the top-10 city list to the driver and re-filters with
+    * isin, then slices per city for plotting
+    * (`notebooks/stream.ipynb:255-258, 514-518`). Here the list stays
+    * in-plan (broadcast semi-join) and the result is the data-export
+    * hook replacing matplotlib (SURVEY non-goals): one ordered series
+    * of (city, date, hotels, avg/max/min temperature) rows per city. */
+  def citySeries(agg: DataFrame, top: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    agg.join(broadcast(top.select("city").distinct()), Seq("city"),
+        "left_semi")
+      .orderBy(col("city"), col("wthr_date"))
+  }
+
   /** The embedded cell-3 golden output (BASELINE.md): (city,
     * distinct_hotels) in rank order. */
   val goldenTop10: Seq[(String, Long)] = Seq(

@@ -134,6 +134,17 @@ object Dedup {
           .as("minhash"))
   }
 
+  /** [[minhashSignatures]] via the custom
+    * [[graft.functions.MinHashSketchAgg]] TypedImperativeAggregate: one
+    * sketch buffer per document instead of 64 aggregate slots.
+    * Bit-identical output (OpsSpec asserts). */
+  def minhashSignaturesSketch(docs: DataFrame, n: Int = 3,
+      numHashes: Int = 64): DataFrame =
+    shingles(docs, n)
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch
+        .minhash_sketch(col("shingle"), numHashes).as("minhash"))
+
   /** LSH banding: signature split into `bands` rows of `rowsPerBand`
     * components; docs agreeing on any full band land in the same
     * bucket. Returns candidate pairs with their estimated Jaccard

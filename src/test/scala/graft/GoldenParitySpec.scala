@@ -42,6 +42,20 @@ class GoldenParitySpec extends AnyFunSuite with SharedSpark {
     assert(bad === 0)
   }
 
+  test("per-city series covers exactly the top-10 cities, date-ordered") {
+    assume(refPresent, "reference dataset not available")
+    val agg = HotelWeather.cityDayAgg(HotelWeather.read(spark, refData))
+    val top = HotelWeather.top10(spark, agg)
+    val series = HotelWeather.citySeries(agg, top).cache()
+    val cities = series.select("city").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(cities === HotelWeather.goldenTop10.map(_._1).toSet)
+    // ordered within city: wthr_date strings sort chronologically
+    val paris = series.where(col("city") === "Paris")
+      .select("wthr_date").collect().map(_.getString(0))
+    assert(paris.sameElements(paris.sorted))
+  }
+
   test("geohash-prefix join reconstructs hotel-weather shape") {
     // synthetic hotels + weather with overlapping 4-char geohash cells
     import spark.implicits._

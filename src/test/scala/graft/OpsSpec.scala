@@ -56,6 +56,20 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.9, s"LSH recall $recall; exact=$exact lsh=$lsh")
   }
 
+  test("minhash_sketch aggregate is bit-identical to 64 min-agg columns") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val viaColumns = Dedup.minhashSignatures(docs)
+    val viaSketch = Dedup.minhashSignaturesSketch(docs)
+    assert(viaColumns.count() === viaSketch.count())
+    assert(viaColumns.exceptAll(viaSketch).count() === 0)
+    // SQL registration path
+    graft.functions.MinHashSketch.register(spark)
+    Dedup.shingles(docs, 3).createOrReplaceTempView("sh_test")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sketch(shingle) AS minhash FROM sh_test GROUP BY doc_id")
+    assert(viaSql.exceptAll(viaSketch).count() === 0)
+  }
+
   test("simhash of identical texts is identical; hamming 0") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "x y z w q r")).toDF("doc_id", "text")
