@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+
+/** Scale-mechanics checks: the plan shapes that decide whether an
+  * operator survives 100 TB — partition pruning (SURVEY §4 lists it as
+  * supported-but-unexercised in the reference), bucketed co-located
+  * joins, and AQE presence. */
+class ScaleSpec extends AnyFunSuite with SharedSpark {
+
+  test("Hive partition pruning reaches the scan (year/month/day layout)") {
+    // build a small partitioned copy: events by day
+    val root = Files.createTempDirectory("graft-part").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .write.partitionBy("day").mode("overwrite").parquet(root)
+    // partition discovery may infer day= values as DateType
+    val days = spark.read.parquet(root)
+      .select(col("day").cast("string")).distinct().orderBy("day")
+      .collect().map(_.getString(0))
+    val oneDay = days(days.length / 2)
+    val pruned = spark.read.parquet(root).where(col("day") === oneDay)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      plan.contains(s"isnotnull(day"),
+      s"no partition filter in plan:\n$plan")
+    // the scan must touch exactly one partition
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned === Some(1), s"expected 1 partition scanned, got $scanned")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    // warehouse dir is a static conf — set in SharedSpark's builder
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    // disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b").join(spark.table("o_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("AQE is available and coalesces shuffle partitions") {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val df = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(count(lit(1)))
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan"), plan)
+  }
+}
