@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.{Relational, Windows}
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.plans.AsOfJoin
 import graft.streaming.{Sessionize, StreamAggregator}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,6 +45,7 @@ object SparkEntry {
     "q_semijoin_active_users" -> (Relational.semiJoinActiveUsers _),
     "q_revenue_by_region" -> (Relational.revenueByRegion _),
     "q_revenue_by_priority" -> (Relational.revenueByPriority _),
+    "q_asof_join" -> (AsOfJoin.eventsWithLatestOrder _),
     // §2.1 + §2.2 + §2.9 streaming: file stream → stateful agg →
     // complete-mode memory sink (S2, A1-A5, K1); oracle = batch SQL,
     // proving stream == batch.
@@ -99,6 +101,7 @@ object SparkEntry {
     "q_semijoin_active_users" -> Relational.semiJoinActiveUsersSql,
     "q_revenue_by_region" -> Relational.revenueByRegionSql,
     "q_revenue_by_priority" -> Relational.revenueByPrioritySql,
+    "q_asof_join" -> AsOfJoin.eventsWithLatestOrderSql,
     "q_stream_agg" -> StreamAggregator.streamAggSql,
     "q_sessions" -> Sessionize.sessionsSql,
     "q_token_counts" -> TextStats.tokenCountsSql,
