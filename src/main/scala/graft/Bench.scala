@@ -45,18 +45,56 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    // streaming throughput: rows/s through the streaming aggregate
+    // streaming throughput + per-micro-batch latency: pace the file
+    // stream into multiple batches and read batch durations from the
+    // query's progress events (BASELINE.md bench obligations)
     val nEvents = graft.core.Tables.events(spark, sfDir).count()
+    // split into multiple files so maxFilesPerTrigger yields real
+    // micro-batches (the source table is a single parquet file)
+    val chunkDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-stream").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    graft.core.Tables.events(spark, sfDir)
+      .repartition(8)
+      .write.mode("overwrite").parquet(chunkDir)
     val t0 = System.nanoTime()
-    val streamed = graft.streaming.StreamAggregator.streamAggQuery(spark, sfDir)
-    streamed.write.mode("overwrite").format("noop").save()
+    val name = "bench_stream"
+    val agg = graft.streaming.StreamAggregator.dailyAggExact(
+      graft.streaming.StreamAggregator.replayStream(spark,
+        chunkDir, maxFilesPerTrigger = Some(2)))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-bench-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     val streamSec = (System.nanoTime() - t0) / 1e9
     val rowsPerSec = nEvents / streamSec
+    val batchDurations = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(_.batchDuration.toDouble / 1000.0)
+    val avgBatchSec =
+      if (batchDurations.nonEmpty) batchDurations.sum / batchDurations.size
+      else streamSec
+
+    // golden parity replay wall-clock (only when the reference data is
+    // mounted): full hotel-weather pipeline, match asserted
+    val refPath = "/root/reference/m13sparkstreaming/hotel-weather"
+    val (goldenSec, goldenMatch) =
+      if (new java.io.File(refPath).isDirectory) {
+        val g0 = System.nanoTime()
+        val got = graft.engine.HotelWeather.goldenPipeline(spark, refPath)
+          .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+        ((System.nanoTime() - g0) / 1e9,
+          got == graft.engine.HotelWeather.goldenTop10)
+      } else (-1.0, false)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"stream_avg_batch_sec":$avgBatchSec,"stream_batches":${batchDurations.size},"golden_replay_sec":$goldenSec,"golden_match":$goldenMatch,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
