@@ -154,6 +154,17 @@ object StreamAggregator {
         col("event_type"), col("n_events"), col("distinct_users"),
         col("max_value"))
 
+  /** Streaming exactly-once event dedup: drops re-delivered event_ids
+    * while only keeping state for ids within the watermark horizon —
+    * the bounded-state form of `dropDuplicates` (which would grow state
+    * forever). The producer's overwrite-redelivery semantics
+    * (`upload.py:74`, re-uploaded partitions) make this the missing
+    * correctness guard for at-least-once file sources. */
+  def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** End-to-end oracle query: stream sfDir's events through the exact
     * aggregate into a memory sink, return the final table. Registered in
     * SparkEntry as `q_stream_agg`; its oracle is plain batch SQL — the

@@ -92,6 +92,37 @@ class StatefulSpec extends AnyFunSuite with SharedSpark {
     assert(n2 === 110L)
   }
 
+  test("streaming dedup drops re-delivered event ids, bounded state") {
+    val watched = Files.createTempDirectory("graft-dedup-stream").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val e = Tables.events(spark, sf).limit(200).cache()
+    e.write.mode("overwrite").parquet(s"$watched/chunk1")
+    // duplicate delivery: the same 200 events again under new file names
+    e.write.mode("overwrite").parquet(s"$watched/chunk2")
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.core.Schemas.events.fields)
+    val stream = spark.readStream.format("parquet").schema(schema)
+      .load(s"$watched/chunk*")
+    val deduped = StreamAggregator.dedupedStream(stream, watermark = "30 days")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream_test")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dedup-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dedup_stream_test")
+    assert(out.count() === 200L, "duplicates survived or rows lost")
+    assert(out.select("event_id").distinct().count() === 200L)
+  }
+
+  test("dot_product registers for SQL") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     val li = Tables.lineitem(spark, sf)
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
