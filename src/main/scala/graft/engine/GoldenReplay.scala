@@ -36,7 +36,17 @@ object GoldenReplay {
     val series = HotelWeather.citySeries(agg, HotelWeather.top10(spark, agg))
     println(s"[golden] per-city series rows: ${series.count()} over " +
       s"${series.select("city").distinct().count()} cities")
+    // the reference's actual shape: streaming replay (cells 1-3)
+    val s0 = System.nanoTime()
+    val streamedTop = HotelWeather.goldenPipelineStreaming(spark, path,
+      maxFilesPerTrigger = Some(300))
+      .select("city", "distinct_hotels").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val streamSec = (System.nanoTime() - s0) / 1e9
+    println(f"[golden] streaming replay ${streamSec}%.2f s; " +
+      s"match=${streamedTop == HotelWeather.goldenTop10}")
     spark.stop()
-    if (got != HotelWeather.goldenTop10) sys.exit(1)
+    if (got != HotelWeather.goldenTop10 ||
+      streamedTop != HotelWeather.goldenTop10) sys.exit(1)
   }
 }

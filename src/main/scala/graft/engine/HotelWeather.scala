@@ -60,6 +60,39 @@ object HotelWeather {
   def goldenPipeline(spark: SparkSession, path: String): DataFrame =
     top10(spark, cityDayAgg(read(spark, path)))
 
+  /** The same pipeline through the STREAMING path — the reference's
+    * actual shape (cells 1-3): FileStreamSource over the partitioned
+    * dataset (S2) → stateful cityDayAgg (A1-A5) → complete-mode memory
+    * sink (K1) → cell-3 SQL over the sink table (S4). Partition-dir
+    * columns (year/month/day) are appended to the schema exactly as
+    * Auto Loader sees them. */
+  def goldenPipelineStreaming(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "LEGACY")
+    val schema = org.apache.spark.sql.types.StructType(
+      Schemas.hotelWeather.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("year",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("month",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.IntegerType)))
+    val reader = spark.readStream.format("parquet").schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.load(path)
+    val q = cityDayAgg(stream).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName("result_df_query")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-golden-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    top10(spark, spark.table("result_df_query"))
+  }
+
   /** Cells 5-6: per-city time-series extraction. The reference
     * collects the top-10 city list to the driver and re-filters with
     * isin, then slices per city for plotting

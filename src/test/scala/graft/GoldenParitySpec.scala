@@ -22,6 +22,15 @@ class GoldenParitySpec extends AnyFunSuite with SharedSpark {
     assert(got === HotelWeather.goldenTop10)
   }
 
+  test("golden replay through the STREAMING path (cells 1-3 faithful)") {
+    assume(refPresent, "reference dataset not available")
+    val got = HotelWeather.goldenPipelineStreaming(spark, refData,
+      maxFilesPerTrigger = Some(300))
+      .select("city", "distinct_hotels").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === HotelWeather.goldenTop10)
+  }
+
   test("golden replay: 4,324 (city, wthr_date) groups, 767 cities") {
     assume(refPresent, "reference dataset not available")
     val agg = HotelWeather.cityDayAgg(HotelWeather.read(spark, refData))
