@@ -72,6 +72,11 @@ object SparkEntry {
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
+    "q_ann_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopK(s, d)),
+    "q_winnow_fp" -> ((s: SparkSession, d: String) =>
+      graft.ops.TextStats.winnowing(s, d)
+        .select("doc_id", "n_fingerprints")),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) =>
       Similarity.nearDupPairsExact(s, d)),
     "q_embed_near_dup_lsh" -> ((s: SparkSession, d: String) =>

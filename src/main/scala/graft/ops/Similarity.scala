@@ -81,6 +81,75 @@ object Similarity {
       |FROM c a JOIN c b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin
 
+  // ----- IVF (inverted-file) ANN: the second scale family -----
+
+  /** Coarse centroids for IVF: k seeded sample vectors refined by one
+    * Lloyd step (mean of assigned vectors, re-normalized). Fully
+    * DataFrame-computed; the tiny centroid table collects to the
+    * driver only for broadcasting as literals (k × dim doubles). */
+  def ivfCentroids(corpus: DataFrame, k: Int): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    // seeds: the k lowest vec_ids (deterministic)
+    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    val seedCols = seeds.map { case (i, v) =>
+      struct(lit(i).as("cid"), dot(col("vec"), array(v.map(lit): _*))
+        .as("sim"))
+    }
+    // one Lloyd step: assign to best seed, average, renormalize
+    val assigned = corpus.withColumn("best",
+      array_max(array(seedCols: _*)))
+      .select(col("vec_id"), col("vec"), col("best.cid").as("cid"))
+    val refined = assigned
+      .select(col("cid"), posexplode(col("vec")))
+      .groupBy("cid", "pos").agg(avg("col").as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pairs"))
+      .select(col("cid"), transform(col("pairs"), p => p.getField("m"))
+        .as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    refined.map { case (cid, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (cid, if (n == 0) c else c.map(_ / n))
+    }
+  }
+
+  /** IVF top-k: corpus partitioned into k centroid cells; each query
+    * probes its `nprobe` nearest cells and scans only those. At 100 TB
+    * the cell assignment is a materialized column (cluster-by on
+    * write), so a query touches nprobe/k of the corpus. Recall vs
+    * brute force is measured in OpsSpec. */
+  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 10, cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpus = normalized(spark, dir).cache()
+    val cents = ivfCentroids(corpus, cells)
+    def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
+      val scored = array(cents.map { case (cid, c) =>
+        struct(dot(v, array(c.map(lit): _*)).as("sim"), lit(cid).as("cid"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, n)
+    }
+    val assigned = corpus.withColumn("cell",
+      bestCells(col("vec"), 1).getItem(0).getField("cid"))
+    val queries = corpus.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        explode(transform(bestCells(col("vec"), nprobe),
+          s => s.getField("cid"))).as("cell"))
+    val scored = assigned.join(broadcast(queries), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("vec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (seeded, so plans are
     * reproducible across runs and engines). */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -110,6 +110,33 @@ object TextStats {
       |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    * hash every char k-gram, then keep the minimum of each sliding
+    * window of w hashes — guarantees any shared substring of length
+    * ≥ k+w−1 yields a shared fingerprint. The classic copy-detection /
+    * near-dup signature. xxhash64 of the k-gram replaces the paper's
+    * polynomial rolling hash (any uniform hash works; this one is
+    * engine-native and seedable). */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val n = length(text)
+    val hashes = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(k))))
+    val minima = transform(
+      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+      j => array_min(slice(hashes, j + 1, lit(w))))
+    array_sort(array_distinct(minima))
+  }
+
+  /** Fingerprint summary per document (rows-only check: hash values
+    * aren't portable to the oracle engine; set semantics are
+    * unit-tested instead). */
+  def winnowing(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      winnowFingerprints(col("text")).as("fingerprints"))
+      .select(col("doc_id"), size(col("fingerprints")).as("n_fingerprints"),
+        col("fingerprints"))
+
   // ----- language ID -----
 
   /** Per-language marker stopword profiles (public, standard closed-class

@@ -117,6 +117,32 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("IVF ANN recall vs brute force is high at nprobe=4/16") {
+    val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("winnowing: identical docs share all fingerprints, near-dups many") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and AGAIN!"),
+      (4L, "completely unrelated content with different phrasing entirely"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      graft.ops.TextStats.winnowFingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) === fps(2L))
+    val nearOverlap = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    val farOverlap = fps(1L).intersect(fps(4L)).size.toDouble / fps(1L).size
+    assert(nearOverlap > 0.5, s"near-dup overlap $nearOverlap")
+    assert(farOverlap < 0.2, s"unrelated overlap $farOverlap")
+  }
+
   // ----- text stats -----
 
   test("token counts and quality stats on a crafted doc") {
