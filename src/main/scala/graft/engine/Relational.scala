@@ -225,6 +225,29 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Percentile profile of event values per type — exact interpolated
+    * percentiles (Spark `percentile`, not the t-digest approximation).
+    * Inputs are 2-decimal and quantile fractions are 1e-2 multiples,
+    * so true quantiles are exact 1e-4 multiples: round(4) on both
+    * engines removes last-ulp interpolation-order drift without any
+    * boundary risk. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("q25"),
+        round(percentile(col("value"), lit(0.5)), 4).as("q50"),
+        round(percentile(col("value"), lit(0.75)), 4).as("q75"),
+        round(percentile(col("value"), lit(0.99)), 4).as("q99"))
+
+  val valuePercentilesSql: String =
+    """SELECT event_type,
+      |       ROUND(quantile_cont(value, 0.25), 4) AS q25,
+      |       ROUND(quantile_cont(value, 0.5), 4) AS q50,
+      |       ROUND(quantile_cont(value, 0.75), 4) AS q75,
+      |       ROUND(quantile_cont(value, 0.99), 4) AS q99
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** The geo-join capability (SURVEY §7.5): the reference dataset is the
     * output of an upstream equi-join ("joined by 4-characters geohash",
     * `DataDescription.md:1`); orders⋈customer⋈nation⋈region stands in.

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+
+/** The SQL entry point: Spark's own SQL engine must run the
+  * ANSI-compatible subset of the registered oracle statements over the
+  * registered temp views and reproduce the DataFrame-API results —
+  * the reference's `spark.sql(...)` surface (S4) generalized to the
+  * whole query set. DuckDB-dialect statements (string_split,
+  * list_filter, epoch_ms, UNION ALL BY NAME, ::casts) are excluded. */
+class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
+
+  val ansiQueries = Seq(
+    "q1_pricing_summary", "q_events_daily_agg", "q_topk_best_day",
+    "q_sorted_agg", "q_distinct_types", "q_filter_isin",
+    "q_filter_eq_project", "q_with_literal", "q_revenue_by_region",
+    "q_revenue_by_priority", "q_argmax_per_customer",
+    "q_semijoin_active_users", "q_order_ranks", "q_pricing_rollup",
+    "q_set_ops")
+
+  test("spark.sql runs the ANSI oracle statements to identical results") {
+    Tables.registerAll(spark, sf)
+    ansiQueries.foreach { name =>
+      val viaSql = spark.sql(SparkEntry.oracleSql(name))
+      val viaApi = SparkEntry.queries(name)(spark, sf)
+      val sqlCols = viaSql.columns.sorted.toSeq
+      val apiCols = viaApi.columns.sorted.toSeq
+      assert(sqlCols === apiCols, s"$name column mismatch")
+      val a = viaSql.select(sqlCols.head, sqlCols.tail: _*)
+      val b = viaApi.select(sqlCols.head, sqlCols.tail: _*)
+      assert(a.exceptAll(b).count() === 0, s"$name: sql rows not in api")
+      assert(b.exceptAll(a).count() === 0, s"$name: api rows not in sql")
+    }
+  }
+}
