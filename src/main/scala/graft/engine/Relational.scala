@@ -248,6 +248,30 @@ object Relational {
       |       ROUND(quantile_cont(value, 0.99), 4) AS q99
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** JSON property extraction from the events `props` column
+    * (`{"k": <int>}`) + grouped aggregation over the extracted field —
+    * semi-structured processing at scan speed (get_json_object is
+    * codegen'd; no UDF). Integer payloads keep every aggregate exact. */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count_distinct(col("k")).as("distinct_k"))
+
+  val propsExtractSql: String =
+    """SELECT event_type,
+      |       COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+      |       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      |       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |       MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+      |       COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS distinct_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** The geo-join capability (SURVEY §7.5): the reference dataset is the
     * output of an upstream equi-join ("joined by 4-characters geohash",
     * `DataDescription.md:1`); orders⋈customer⋈nation⋈region stands in.
