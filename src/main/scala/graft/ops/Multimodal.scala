@@ -87,6 +87,28 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: the Spark-side plumbing of an image resize — new
+    * metadata dims plus a deterministic payload transform standing in
+    * for the pixel resample (this container has no codecs). Interface
+    * and batch shape are the real thing: in production the body calls
+    * libvips/Pillow via the same iterator. */
+  def resize(media: Dataset[MediaRow], targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // stub: crop/pad the byte payload proportionally to the area
+        // change, preserving determinism (real impl: pixel resample)
+        val ratio = (targetW.toLong * targetH).toDouble /
+          math.max(1L, r.width.toLong * math.max(1, r.height))
+        val newLen = math.max(1, math.min(r.payload.length,
+          (r.payload.length * math.min(ratio, 1.0)).toInt))
+        r.copy(width = targetW, height = targetH,
+          payload = java.util.Arrays.copyOf(r.payload, newLen))
+      }
+    }
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th — pure plumbing
     * (offsets, slicing, batch shape), codec-free. */

@@ -190,6 +190,17 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       twice.select("media_id", "checksum")).count() === 0)
   }
 
+  test("resize updates metadata dims and keeps payload deterministic") {
+    val media = Multimodal.mediaTable(spark, sf).limit(20)
+    val resized = Multimodal.resize(media, 320, 240)
+    val rows = resized.collect()
+    assert(rows.forall(r => r.width === 320 && r.height === 240))
+    assert(rows.forall(_.payload.nonEmpty))
+    // deterministic across runs
+    val again = Multimodal.resize(media, 320, 240).collect()
+    assert(rows.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
+  }
+
   test("frame sampling keeps every stride-th fixed-size frame") {
     val media = Multimodal.mediaTable(spark, sf).limit(3)
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)

@@ -177,6 +177,11 @@ class StatefulSpec extends AnyFunSuite with SharedSpark {
       .where(col("ts") < cutoff)
       .write.mode("overwrite").parquet(s"$watched/chunk2")
     q.processAllAvailable()
+    // SURVEY §5.5: an empty micro-batch (no new files) must be a no-op
+    val beforeEmptyDrain = spark.table("late_test").count()
+    q.processAllAvailable()
+    assert(spark.table("late_test").count() === beforeEmptyDrain,
+      "empty micro-batch changed the result table")
     q.stop()
     val earlyAfter = spark.table("late_test")
       .where(col("window_start") < cutoff).count()
