@@ -112,28 +112,43 @@ object TextStats {
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     * hash every char k-gram, then keep the minimum of each sliding
-    * window of w hashes — guarantees any shared substring of length
-    * ≥ k+w−1 yields a shared fingerprint. The classic copy-detection /
-    * near-dup signature. xxhash64 of the k-gram replaces the paper's
-    * polynomial rolling hash (any uniform hash works; this one is
-    * engine-native and seedable). */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val n = length(text)
-    val hashes = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => xxhash64(text.substr(i, lit(k))))
-    val minima = transform(
-      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
-      j => array_min(slice(hashes, j + 1, lit(w))))
-    array_sort(array_distinct(minima))
+    * window of w consecutive hashes — guarantees any shared substring
+    * of length ≥ k+w−1 yields a shared fingerprint. The classic
+    * copy-detection / near-dup signature. xxhash64 of the k-gram
+    * replaces the paper's polynomial rolling hash (any uniform hash
+    * works; this one is engine-native).
+    *
+    * Shape (same lesson as MinHash, measured the hard way): a per-row
+    * `transform(windows, j -> array_min(slice(hashes, …)))` re-evaluates
+    * the whole hash array per window position, interpreted — O(len²)
+    * per document and ~100 s on the 5k-doc bench. This explode + sliding
+    * `min().over(rowsBetween(0, w-1))` form keeps hashing and minima in
+    * codegen'd operators; the only shuffle carries (doc_id, pos, hash).
+    */
+  def winnowingFor(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val positions = docs
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")) - (k - 1))))
+      .select(col("doc_id"), col("col").as("pos"),
+        xxhash64(col("text").substr(col("col"), lit(k))).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val maxPos = Window.partitionBy(col("doc_id"))
+    positions
+      .withColumn("win_min", min(col("h")).over(win))
+      .withColumn("max_pos", max(col("pos")).over(maxPos))
+      .where(col("pos") <= col("max_pos") - (w - 1)) // full windows only
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("win_min"))).as("fingerprints"))
   }
 
   /** Fingerprint summary per document (rows-only check: hash values
     * aren't portable to the oracle engine; set semantics are
     * unit-tested instead). */
   def winnowing(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      winnowFingerprints(col("text")).as("fingerprints"))
+    winnowingFor(Tables.documents(spark, dir))
       .select(col("doc_id"), size(col("fingerprints")).as("n_fingerprints"),
         col("fingerprints"))
 

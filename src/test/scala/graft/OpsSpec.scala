@@ -133,8 +133,7 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       (3L, "the quick brown fox jumps over the lazy dog again and AGAIN!"),
       (4L, "completely unrelated content with different phrasing entirely"))
       .toDF("doc_id", "text")
-    val fps = docs.select(col("doc_id"),
-      graft.ops.TextStats.winnowFingerprints(col("text")).as("fp"))
+    val fps = graft.ops.TextStats.winnowingFor(docs)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(fps(1L) === fps(2L))
     val nearOverlap = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
