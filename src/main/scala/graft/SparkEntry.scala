@@ -30,6 +30,7 @@ object SparkEntry {
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),
     "q_props_extract" -> (Relational.propsExtract _),
+    "q_profile_orders" -> (graft.ops.Profile.ordersProfile _),
     // §2.5 + §2.6 window / top-k / sort (W1, P4, O1, O2)
     "q_topk_best_day" -> (Relational.topKByBestDay _),
     "q_sorted_agg" -> (Relational.sortedAggDump _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q1_pricing_summary" -> Relational.q1PricingSummarySql,
     "q_value_percentiles" -> Relational.valuePercentilesSql,
     "q_props_extract" -> Relational.propsExtractSql,
+    "q_profile_orders" -> graft.ops.Profile.ordersProfileSql,
     "q_topk_best_day" -> Relational.topKByBestDaySql,
     "q_sorted_agg" -> Relational.sortedAggDumpSql,
     "q_argmax_per_customer" -> Relational.latestBestOrderPerCustomerSql,

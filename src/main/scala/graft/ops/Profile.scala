@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
+
+import graft.core.Tables
+
+/** One-pass table profiler — the dataset-health report every
+  * training-data pipeline runs before and after each transform:
+  * per-column null counts, distinct counts, numeric min/max/mean,
+  * string length stats.
+  *
+  * Single aggregate pass: all per-column statistics are aggregate
+  * expressions in ONE `agg(...)`, so the table is scanned once and the
+  * shuffle carries a single partial-aggregate row per task regardless
+  * of column count. The wide single row then unpivots into one row
+  * per column driver-side-free (stack expression). Exact distincts
+  * make the profile oracle-checkable; at 100 TB swap
+  * `count_distinct` → `approx_count_distinct` per column via the
+  * `exact` flag. */
+object Profile {
+
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.schema.fields
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      val distinct =
+        if (exact) count_distinct(c) else approx_count_distinct(c)
+      val (mn, mx, mean) = f.dataType match {
+        case _: NumericType =>
+          (min(c).cast(DoubleType), max(c).cast(DoubleType),
+            sum(c.cast("decimal(30,4)")).cast(DoubleType) / count(c))
+        case StringType =>
+          (min(length(c)).cast(DoubleType), max(length(c)).cast(DoubleType),
+            sum(length(c).cast("decimal(30,4)")).cast(DoubleType) / count(c))
+        case _ => (lit(null).cast(DoubleType), lit(null).cast(DoubleType),
+          lit(null).cast(DoubleType))
+      }
+      Seq(
+        count(c).as(s"${f.name}__n"),
+        distinct.as(s"${f.name}__distinct"),
+        mn.as(s"${f.name}__min"),
+        mx.as(s"${f.name}__max"),
+        mean.as(s"${f.name}__mean"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val total = df.count()
+    val stackExpr = cols.map { f =>
+      s"'${f.name}', ${f.name}__n, ${f.name}__distinct, " +
+        s"${f.name}__min, ${f.name}__max, ${f.name}__mean"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.length}, $stackExpr) AS " +
+        "(column_name, n_non_null, n_distinct, min_val, max_val, mean_val)"))
+      .withColumn("n_null", lit(total) - col("n_non_null"))
+  }
+
+  /** Profile of the orders table — the oracle query. Numeric mins are
+    * exact; means use the decimal-sum/IEEE-divide determinism pattern;
+    * string columns profile their lengths. */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.orders(spark, dir))
+
+  val ordersProfileSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT($c) AS n_non_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_val,
+         |  CAST(MAX($c) AS DOUBLE) AS max_val,
+         |  CAST(SUM(CAST($c AS DECIMAL(30,4))) AS DOUBLE) / COUNT($c) AS mean_val,
+         |  (SELECT COUNT(*) FROM orders) - COUNT($c) AS n_null
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT($c) AS n_non_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN(LENGTH($c)) AS DOUBLE) AS min_val,
+         |  CAST(MAX(LENGTH($c)) AS DOUBLE) AS max_val,
+         |  CAST(SUM(CAST(LENGTH($c) AS DECIMAL(30,4))) AS DOUBLE) / COUNT($c) AS mean_val,
+         |  (SELECT COUNT(*) FROM orders) - COUNT($c) AS n_null
+         |FROM orders""".stripMargin
+    def other(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT($c) AS n_non_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  NULL::DOUBLE AS min_val, NULL::DOUBLE AS max_val,
+         |  NULL::DOUBLE AS mean_val,
+         |  (SELECT COUNT(*) FROM orders) - COUNT($c) AS n_null
+         |FROM orders""".stripMargin
+    Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+      num("o_totalprice"), other("o_orderdate"), str("o_orderpriority"))
+      .mkString("\n", "\nUNION ALL\n", "")
+  }
+}

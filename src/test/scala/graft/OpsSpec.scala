@@ -175,6 +175,19 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(preds(6L) === "ru")
   }
 
+  test("profiler counts nulls and profiles numeric/string columns") {
+    val df = Seq((Some(1), Some("ab")), (None, Some("abcd")),
+      (Some(3), None)).toDF("num", "str")
+    val p = graft.ops.Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("num").getLong(1) === 2)       // n_non_null
+    assert(p("num").getLong(6) === 1)       // n_null
+    assert(p("num").getDouble(3) === 1.0)   // min
+    assert(p("num").getDouble(4) === 3.0)   // max
+    assert(p("str").getDouble(3) === 2.0)   // min length
+    assert(p("str").getDouble(4) === 4.0)   // max length
+  }
+
   // ----- multimodal -----
 
   test("feature extraction preserves partitioning and batch shape") {
