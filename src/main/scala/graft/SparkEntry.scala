@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{Relational, Windows}
+import graft.engine.{AnsiSurface, Relational, Windows}
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.plans.AsOfJoin
 import graft.streaming.{Sessionize, StreamAggregator}
@@ -31,6 +31,12 @@ object SparkEntry {
     "q_value_percentiles" -> (Relational.valuePercentiles _),
     "q_props_extract" -> (Relational.propsExtract _),
     "q_profile_orders" -> (graft.ops.Profile.ordersProfile _),
+    "q_anti_join" -> (AnsiSurface.customersWithoutEvents _),
+    "q_having" -> (AnsiSurface.richSegments _),
+    "q_histogram" -> (AnsiSurface.orderValueHistogram _),
+    "q_correlated_subquery" -> (AnsiSurface.aboveNationAverage _),
+    "q_string_funcs" -> (AnsiSurface.partNameStrings _),
+    "q_date_parts" -> (AnsiSurface.ordersByDateParts _),
     // §2.5 + §2.6 window / top-k / sort (W1, P4, O1, O2)
     "q_topk_best_day" -> (Relational.topKByBestDay _),
     "q_sorted_agg" -> (Relational.sortedAggDump _),
@@ -98,6 +104,12 @@ object SparkEntry {
     "q_value_percentiles" -> Relational.valuePercentilesSql,
     "q_props_extract" -> Relational.propsExtractSql,
     "q_profile_orders" -> graft.ops.Profile.ordersProfileSql,
+    "q_anti_join" -> AnsiSurface.customersWithoutEventsSql,
+    "q_having" -> AnsiSurface.richSegmentsSql,
+    "q_histogram" -> AnsiSurface.orderValueHistogramSql,
+    "q_correlated_subquery" -> AnsiSurface.aboveNationAverageSql,
+    "q_string_funcs" -> AnsiSurface.partNameStringsSql,
+    "q_date_parts" -> AnsiSurface.ordersByDatePartsSql,
     "q_topk_best_day" -> Relational.topKByBestDaySql,
     "q_sorted_agg" -> Relational.sortedAggDumpSql,
     "q_argmax_per_customer" -> Relational.latestBestOrderPerCustomerSql,

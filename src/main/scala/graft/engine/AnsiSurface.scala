@@ -1,0 +1,131 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Long-tail ANSI relational surface: the operator families a user of
+  * a complete analytics engine reaches for daily, each with a
+  * hash-exact DuckDB oracle. All are Catalyst built-ins; the value
+  * here is breadth of *verified* coverage, not novelty.
+  */
+object AnsiSurface {
+
+  /** Anti-join (NOT EXISTS): customers who never produced an event.
+    * `left_anti` is the guide's prescribed NOT EXISTS form — one
+    * shuffle, no driver round-trip. */
+  def customersWithoutEvents(spark: SparkSession, dir: String): DataFrame = {
+    val eventUsers = Tables.events(spark, dir)
+      .select(col("user_id").as("c_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .join(eventUsers, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  val customersWithoutEventsSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events WHERE user_id = c_custkey)""".stripMargin
+
+  /** HAVING: market segments whose total balance clears a floor. */
+  def richSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(col("c_acctbal").cast("decimal(30,2)")).cast("double")
+          .as("total_bal"),
+        count(lit(1)).as("n_customers"))
+      .where(col("total_bal") > 10000.0)
+
+  val richSegmentsSql: String =
+    """SELECT c_mktsegment,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal,
+      |       COUNT(*) AS n_customers
+      |FROM customer GROUP BY c_mktsegment
+      |HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) > 10000.0""".stripMargin
+
+  /** CASE WHEN bucketing: order-value histogram — the ubiquitous
+    * binning pattern. Bin edges are integers so assignment is exact. */
+  def orderValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "lt_50k")
+          .when(col("o_totalprice") < 150000, "50k_150k")
+          .when(col("o_totalprice") < 300000, "150k_300k")
+          .otherwise("ge_300k"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  val orderValueHistogramSql: String =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
+      |            WHEN o_totalprice < 150000 THEN '50k_150k'
+      |            WHEN o_totalprice < 300000 THEN '150k_300k'
+      |            ELSE 'ge_300k' END AS bucket,
+      |       COUNT(*) AS n_orders,
+      |       MIN(o_totalprice) AS min_price,
+      |       MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Correlated scalar subquery → customers above their own nation's
+    * average balance. Catalyst decorrelates this into a join against
+    * the per-nation aggregate; expressed here in the already-
+    * decorrelated DataFrame form, with the oracle keeping the
+    * correlated SQL shape (DuckDB decorrelates identically). */
+  def aboveNationAverage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val natAvg = c.groupBy("c_nationkey")
+      .agg((sum(col("c_acctbal").cast("decimal(30,2)")).cast("double") /
+        count(col("c_acctbal"))).as("nation_avg"))
+    c.join(natAvg, Seq("c_nationkey"))
+      .where(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+  }
+
+  val aboveNationAverageSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c1
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(c_acctbal)
+      |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)""".stripMargin
+
+  /** String-function battery over part names: upper/lower, substring,
+    * concat, replace, trim-family, length, position. */
+  def partNameStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      substring(col("p_name"), 1, 5).as("name_prefix"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      length(col("p_name")).as("name_len"),
+      instr(col("p_name"), "a").as("first_a"))
+
+  val partNameStringsSql: String =
+    """SELECT p_partkey,
+      |       UPPER(p_name) AS name_upper,
+      |       SUBSTRING(p_name, 1, 5) AS name_prefix,
+      |       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+      |       REPLACE(p_name, ' ', '_') AS name_snake,
+      |       LENGTH(p_name) AS name_len,
+      |       CAST(POSITION('a' IN p_name) AS INT) AS first_a
+      |FROM part""".stripMargin
+
+  /** Date-part extraction + grouping: orders per (year, quarter,
+    * day-of-week). */
+  def ordersByDateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val ordersByDatePartsSql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+      |       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+      |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+}
