@@ -37,6 +37,9 @@ object SparkEntry {
     "q_correlated_subquery" -> (AnsiSurface.aboveNationAverage _),
     "q_string_funcs" -> (AnsiSurface.partNameStrings _),
     "q_date_parts" -> (AnsiSurface.ordersByDateParts _),
+    "q_pivot" -> (AnsiSurface.ordersPivotByStatus _),
+    "q_array_agg" -> (AnsiSurface.customerOrderArrays _),
+    "q_cube" -> (AnsiSurface.pricingCube _),
     // §2.5 + §2.6 window / top-k / sort (W1, P4, O1, O2)
     "q_topk_best_day" -> (Relational.topKByBestDay _),
     "q_sorted_agg" -> (Relational.sortedAggDump _),
@@ -110,6 +113,9 @@ object SparkEntry {
     "q_correlated_subquery" -> AnsiSurface.aboveNationAverageSql,
     "q_string_funcs" -> AnsiSurface.partNameStringsSql,
     "q_date_parts" -> AnsiSurface.ordersByDatePartsSql,
+    "q_pivot" -> AnsiSurface.ordersPivotByStatusSql,
+    "q_array_agg" -> AnsiSurface.customerOrderArraysSql,
+    "q_cube" -> AnsiSurface.pricingCubeSql,
     "q_topk_best_day" -> Relational.topKByBestDaySql,
     "q_sorted_agg" -> Relational.sortedAggDumpSql,
     "q_argmax_per_customer" -> Relational.latestBestOrderPerCustomerSql,

@@ -112,6 +112,52 @@ object AnsiSurface {
       |       CAST(POSITION('a' IN p_name) AS INT) AS first_a
       |FROM part""".stripMargin
 
+  /** Pivot: order counts per priority, statuses as columns. Spark's
+    * `pivot()` plans conditional aggregation; the oracle states the
+    * same conditional-aggregation form explicitly (portable ANSI). */
+  def ordersPivotByStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+
+  val ordersPivotByStatusSql: String =
+    """SELECT o_orderpriority,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Array aggregation: each customer's orders as a sorted key array —
+    * collection types as first-class values. */
+  def customerOrderArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+
+  val customerOrderArraysSql: String =
+    """SELECT o_custkey,
+      |       array_agg(o_orderkey ORDER BY o_orderkey) AS order_keys,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus). */
+  def pricingCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"))
+
+  val pricingCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |       SUM(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** Date-part extraction + grouping: orders per (year, quarter,
     * day-of-week). */
   def ordersByDateParts(spark: SparkSession, dir: String): DataFrame =
