@@ -48,6 +48,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+        // drop any cache the query built (LSH/IVF corpus caches) so
+        // later queries aren't timed under accumulated memory pressure
+        spark.catalog.clearCache()
         name -> t
     }
 
@@ -84,6 +87,12 @@ object Bench {
     val avgBatchSec =
       if (batchDurations.nonEmpty) batchDurations.sum / batchDurations.size
       else streamSec
+    // setup (first batch carries stream/checkpoint/codegen init) vs
+    // steady state (what a long-running stream actually costs per batch)
+    val firstBatchSec = batchDurations.headOption.getOrElse(streamSec)
+    val steadyBatchSec =
+      if (batchDurations.size > 1) batchDurations.tail.sum / (batchDurations.size - 1)
+      else firstBatchSec
 
     // golden parity replay wall-clock (only when the reference data is
     // mounted): full hotel-weather pipeline, match asserted
@@ -100,7 +109,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"stream_avg_batch_sec":$avgBatchSec,"stream_batches":${batchDurations.size},"golden_replay_sec":$goldenSec,"golden_match":$goldenMatch,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"stream_avg_batch_sec":$avgBatchSec,"stream_first_batch_sec":$firstBatchSec,"stream_steady_batch_sec":$steadyBatchSec,"stream_batches":${batchDurations.size},"golden_replay_sec":$goldenSec,"golden_match":$goldenMatch,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

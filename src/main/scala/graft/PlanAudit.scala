@@ -10,7 +10,8 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_pricing_summary","q_revenue_by_region","q_revenue_by_priority",
-      "q_events_daily_agg","q_minhash_lsh_pairs","q_ann_topk")
+      "q_events_daily_agg","q_minhash_lsh_pairs","q_ann_topk",
+      "q_asof_join","q_topk_best_day")
     for (n <- names) {
       println(s"########## $n")
       val df = SparkEntry.queries(n)(spark, dir)

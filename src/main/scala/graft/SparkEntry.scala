@@ -29,6 +29,7 @@ object SparkEntry {
     "q_distinct_types" -> (Relational.distinctEventTypes _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),
+    "q_value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
     "q_props_extract" -> (Relational.propsExtract _),
     "q_profile_orders" -> (graft.ops.Profile.ordersProfile _),
     "q_anti_join" -> (AnsiSurface.customersWithoutEvents _),
@@ -38,7 +39,9 @@ object SparkEntry {
     "q_string_funcs" -> (AnsiSurface.partNameStrings _),
     "q_date_parts" -> (AnsiSurface.ordersByDateParts _),
     "q_pivot" -> (AnsiSurface.ordersPivotByStatus _),
-    "q_array_agg" -> (AnsiSurface.customerOrderArrays _),
+    // hash-oracled CSV rendering; raw-array form stays rows-checked
+    "q_array_agg" -> (AnsiSurface.customerOrderArraysCsv _),
+    "q_array_agg_raw" -> (AnsiSurface.customerOrderArrays _),
     "q_cube" -> (AnsiSurface.pricingCube _),
     // §2.5 + §2.6 window / top-k / sort (W1, P4, O1, O2)
     "q_topk_best_day" -> (Relational.topKByBestDay _),
@@ -114,7 +117,7 @@ object SparkEntry {
     "q_string_funcs" -> AnsiSurface.partNameStringsSql,
     "q_date_parts" -> AnsiSurface.ordersByDatePartsSql,
     "q_pivot" -> AnsiSurface.ordersPivotByStatusSql,
-    "q_array_agg" -> AnsiSurface.customerOrderArraysSql,
+    "q_array_agg" -> AnsiSurface.customerOrderArraysCsvSql,
     "q_cube" -> AnsiSurface.pricingCubeSql,
     "q_topk_best_day" -> Relational.topKByBestDaySql,
     "q_sorted_agg" -> Relational.sortedAggDumpSql,

@@ -146,6 +146,28 @@ object AnsiSurface {
       |       COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** Hash-oracle form of [[customerOrderArrays]]: the sorted key array
+    * rendered as a CSV string. The driver's oracle compare hashes values
+    * through pandas, which cannot hash list cells — so the oracled query
+    * emits a scalar rendering while the raw-array form above stays
+    * available (and rows-checked) for typed consumers. Numeric sort
+    * happens BEFORE the string cast (lexicographic order would differ). */
+  def customerOrderArraysCsv(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(col("o_orderkey"))),
+            k => k.cast("string")), ",").as("order_keys_csv"),
+        count(lit(1)).as("n_orders"))
+
+  val customerOrderArraysCsvSql: String =
+    """SELECT o_custkey,
+      |       array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',')
+      |         AS order_keys_csv,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   /** CUBE: all grouping-set combinations of (returnflag, linestatus). */
   def pricingCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

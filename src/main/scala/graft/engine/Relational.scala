@@ -240,6 +240,22 @@ object Relational {
         round(percentile(col("value"), lit(0.75)), 4).as("q75"),
         round(percentile(col("value"), lit(0.99)), 4).as("q99"))
 
+  /** Production percentiles for 100 TB: `approx_percentile`
+    * (Greenwald-Khanna / t-digest-style sketch, bounded state per group)
+    * instead of the exact `percentile`, whose ImperativeAggregate
+    * buffers every value of the group in executor memory — a hot group
+    * at scale OOMs. accuracy=10000 bounds rank error at 1e-4·n; the
+    * band |approx − exact| ≤ tolerance is asserted in RelationalSpec.
+    * No SQL oracle (sketch ≠ exact) — registered rows-only. */
+  def valuePercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.25), lit(10000)).as("q25"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("q50"),
+        percentile_approx(col("value"), lit(0.75), lit(10000)).as("q75"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("q99"))
+
   val valuePercentilesSql: String =
     """SELECT event_type,
       |       ROUND(quantile_cont(value, 0.25), 4) AS q25,
@@ -266,7 +282,7 @@ object Relational {
   val propsExtractSql: String =
     """SELECT event_type,
       |       COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
-      |       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
       |       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
       |       MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
       |       COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS distinct_k

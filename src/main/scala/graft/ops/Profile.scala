@@ -44,16 +44,19 @@ object Profile {
         mx.as(s"${f.name}__max"),
         mean.as(s"${f.name}__mean"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val total = df.count()
+    // total row count rides in the same single aggregate pass — a
+    // separate df.count() would scan the table twice
+    val allAggs = aggs :+ count(lit(1)).as("__total")
+    val wide = df.agg(allAggs.head, allAggs.tail: _*)
     val stackExpr = cols.map { f =>
       s"'${f.name}', ${f.name}__n, ${f.name}__distinct, " +
         s"${f.name}__min, ${f.name}__max, ${f.name}__mean"
     }.mkString(", ")
-    wide.select(expr(
+    wide.select(col("__total"), expr(
       s"stack(${cols.length}, $stackExpr) AS " +
         "(column_name, n_non_null, n_distinct, min_val, max_val, mean_val)"))
-      .withColumn("n_null", lit(total) - col("n_non_null"))
+      .withColumn("n_null", col("__total") - col("n_non_null"))
+      .drop("__total")
   }
 
   /** Profile of the orders table — the oracle query. Numeric mins are

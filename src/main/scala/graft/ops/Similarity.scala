@@ -204,11 +204,17 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    // Re-attach vectors with NO join-strategy hint: AQE picks broadcast
+    // when the corpus fits under the runtime broadcast threshold (test
+    // scale) and falls back to a shuffle join on vec_id when it does
+    // not (100 TB) — a hard-coded broadcast(corpus) would OOM the
+    // driver at scale. ScaleSpec asserts the shuffle-join shape with
+    // broadcast disabled.
     candidates
-      .join(broadcast(corpus.select(col("vec_id").as("vec_a"),
-        col("vec").as("va"))), "vec_a")
-      .join(broadcast(corpus.select(col("vec_id").as("vec_b"),
-        col("vec").as("vb"))), "vec_b")
+      .join(corpus.select(col("vec_id").as("vec_a"),
+        col("vec").as("va")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"),
+        col("vec").as("vb")), "vec_b")
       .where(dot(col("va"), col("vb")) >= tau)
       .select("vec_a", "vec_b")
   }

@@ -43,12 +43,15 @@ object IncrementalProducer {
     // written with it, upload.py:33); new writes use standard micros so
     // any reader — including our own file stream — gets INT64.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val slice = Tables.events(spark, sourceDir)
+    // Row count observed on the write itself (Observation rides the
+    // write job's metrics) — a separate count() would scan the day twice.
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(spark, sourceDir)
       .where(to_date(col("ts")) === lit(day))
       .withColumn("processed_date", lit(processedAt))
-    val n = slice.count()
-    slice.write.mode(SaveMode.Overwrite).parquet(s"$targetDir/day=$day")
-    n
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$targetDir/day=$day")
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Full chronological replay (the `upload.py` main loop), optionally

@@ -69,6 +69,39 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected top-k fusion, got:\n$plan")
+    // rank-limit pushdown: row_num = 1 must become a WindowGroupLimit
+    // BELOW the window exchange (per-partition top-1 before shuffle), so
+    // the window shuffle moves one row per (group, partition), not the
+    // whole aggregate — the shape that keeps this O(groups) at 100 TB
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown, got:\n$plan")
+  }
+
+  test("approx percentiles within rank-error band (scale variant)") {
+    // The sketch guarantee is on RANK, not value (exact `percentile`
+    // interpolates; approx returns a real element — values can differ
+    // arbitrarily across a sparse tail gap). Check: the fraction of
+    // values below/at the approx quantile brackets the target fraction
+    // within accuracy=1e-4 plus discreteness 1/n.
+    val approx = Relational.valuePercentilesApprox(spark, sf)
+    val events = Tables.events(spark, sf).select("event_type", "value")
+    val joined = events.join(broadcast(approx), Seq("event_type"))
+    val ranks = joined.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      (sum(when(col("value") < col("q50"), 1).otherwise(0)) /
+        count(lit(1))).as("below_q50"),
+      (sum(when(col("value") <= col("q50"), 1).otherwise(0)) /
+        count(lit(1))).as("at_q50"),
+      (sum(when(col("value") < col("q99"), 1).otherwise(0)) /
+        count(lit(1))).as("below_q99"),
+      (sum(when(col("value") <= col("q99"), 1).otherwise(0)) /
+        count(lit(1))).as("at_q99"))
+    val tol = lit(1e-4) + lit(2.0) / col("n")
+    val bad = ranks.where(
+      col("below_q50") > lit(0.5) + tol || col("at_q50") < lit(0.5) - tol ||
+        col("below_q99") > lit(0.99) + tol || col("at_q99") < lit(0.99) - tol)
+      .count()
+    assert(bad === 0, "approx_percentile rank outside accuracy band")
   }
 
   test("filter+projection reach the parquet scan (pushdown)") {

@@ -66,6 +66,32 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("LSH re-attach join degrades to shuffle join when corpus exceeds " +
+    "broadcast threshold (100 TB shape)") {
+    // With broadcast off this simulates a corpus too big to broadcast:
+    // the vector re-attach must become a shuffle join on vec_id — a
+    // hard-coded broadcast(corpus) here would OOM the driver at scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = graft.ops.Similarity.lshNearDupPairs(spark, sf)
+      val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"re-attach did not shuffle-join under big-corpus conditions:\n$plan")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      // strategy must not change results: broadcast path ≡ shuffle path
+      val viaBroadcast = graft.ops.Similarity.lshNearDupPairs(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === viaBroadcast)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("AQE is available and coalesces shuffle partitions") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val df = Tables.lineitem(spark, sf)

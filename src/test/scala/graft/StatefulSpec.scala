@@ -115,6 +115,52 @@ class StatefulSpec extends AnyFunSuite with SharedSpark {
     assert(out.select("event_id").distinct().count() === 200L)
   }
 
+  test("RocksDB state store drops in via config: identical results for " +
+    "windowed agg and sessionization") {
+    // SCALE.md's claim that state scales past executor heap via RocksDB
+    // must be proven, not asserted: run the two stateful shapes under
+    // RocksDBStateStoreProvider and require bit-identical output vs the
+    // default HDFS-backed provider.
+    def runWindowed(name: String): Set[org.apache.spark.sql.Row] = {
+      val stream = StreamAggregator.eventsStream(spark, s"$sf/{events.parquet}")
+      val q = StreamAggregator.windowedAggStream(stream).writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-$name-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect().toSet
+    }
+    def runSessions(name: String): Set[(Long, Long)] = {
+      val stream = StreamAggregator.eventsStream(spark, s"$sf/{events.parquet}")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[Sessionize.Event]
+      val q = Sessionize.sessions(stream).writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-$name-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val defWindowed = runWindowed("ss_default_win")
+    val defSessions = runSessions("ss_default_sess")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocksWindowed = runWindowed("ss_rocks_win")
+      val rocksSessions = runSessions("ss_rocks_sess")
+      assert(rocksWindowed === defWindowed,
+        "windowed agg differs under RocksDB state store")
+      assert(rocksSessions === defSessions,
+        "sessionization differs under RocksDB state store")
+      assert(rocksWindowed.nonEmpty && rocksSessions.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dot_product registers for SQL") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(

@@ -47,6 +47,56 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(back.columns.contains("processed_date"))
   }
 
+  test("always-on stream: ProcessingTime trigger, concurrent producer, " +
+    "live SQL over the running sink (reference cells 1-3 steady state)") {
+    // The reference stream runs unbounded with a default trigger and is
+    // queried WHILE running (stream.ipynb cells 2-3); every other test
+    // uses AvailableNow. Here: ProcessingTime trigger + a producer
+    // dropping days concurrently on this thread + cell-3-shaped SQL
+    // executed against the live memory table mid-stream.
+    val target = Files.createTempDirectory("graft-soak").toString
+    val t0 = new java.sql.Timestamp(0L)
+    val days = IncrementalProducer.eventDays(spark, sf)
+    IncrementalProducer.dropDay(spark, sf, target, days.head, t0)
+    val agg = StreamAggregator.dailyAggExact(
+      StreamAggregator.replayStream(spark, s"$target/day=*"))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName("soak_agg")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-soak-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val cell3 =
+        """SELECT event_type, day, n_events FROM (
+          |  SELECT *, ROW_NUMBER() OVER (
+          |    PARTITION BY event_type ORDER BY n_events DESC, day DESC) rn
+          |  FROM soak_agg) WHERE rn = 1
+          |ORDER BY n_events DESC LIMIT 10""".stripMargin
+      var liveReads = 0
+      days.tail.foreach { d =>
+        IncrementalProducer.dropDay(spark, sf, target, d, t0)
+        // live query against the complete-mode sink while the stream
+        // keeps triggering — must never error, may lag the producer
+        val topNow = spark.sql(cell3).collect()
+        if (topNow.nonEmpty) liveReads += 1
+      }
+      assert(liveReads > 0, "sink never readable mid-stream")
+      q.processAllAvailable()
+      // steady-state health: multiple real triggers fired, none stalled
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      assert(progress.size >= 3,
+        s"expected several non-empty micro-batches, got ${progress.size}")
+      val batch = StreamAggregator.dailyAggExact(Tables.events(spark, sf))
+        .withColumn("day", col("day").cast("string"))
+      val streamed = spark.table("soak_agg")
+        .withColumn("day", col("day").cast("string"))
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("windowed agg with watermark emits event-time windows") {
     val events = StreamAggregator.eventsStream(spark, s"$sf/{events.parquet}")
     val windowed = StreamAggregator.windowedAggStream(events)
