@@ -32,6 +32,7 @@ object SparkEntry {
     "q_value_percentiles_approx" -> (Relational.valuePercentilesApprox _),
     "q_props_extract" -> (Relational.propsExtract _),
     "q_profile_orders" -> (graft.ops.Profile.ordersProfile _),
+    "q_profile_orders_hll" -> (graft.ops.Profile.ordersProfileHll _),
     "q_anti_join" -> (AnsiSurface.customersWithoutEvents _),
     "q_having" -> (AnsiSurface.richSegments _),
     "q_histogram" -> (AnsiSurface.orderValueHistogram _),

@@ -65,6 +65,13 @@ object Profile {
   def ordersProfile(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.orders(spark, dir))
 
+  /** Scale default: HLL distincts avoid the Expand that exact
+    * multi-column count_distinct forces (×#distinct-aggs scan-row
+    * multiplication). Registered rows-only — estimates can't hash-match
+    * an exact oracle; the exact form above stays as the oracle. */
+  def ordersProfileHll(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.orders(spark, dir), exact = false)
+
   val ordersProfileSql: String = {
     def num(c: String) =
       s"""SELECT '$c' AS column_name, COUNT($c) AS n_non_null,
