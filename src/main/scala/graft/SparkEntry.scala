@@ -81,10 +81,27 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.dedupExact _),
     "q_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.ngramJaccardPairs(s, d)),
+    // near-dup clustering: pair graph → connected components → survivors
+    "q_near_dup_components" -> (graft.ops.Components.nearDupComponents _),
+    "q_dedup_survivors" -> (graft.ops.Components.dedupNearSurvivors _),
+    "q_dedup_clusters_lsh" -> (graft.ops.Components.lshDedupClusters _),
     "q_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashLshPairs(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d)),
+    // term statistics (TF-IDF family)
+    "q_term_stats" -> (graft.ops.Terms.termStats _),
+    "q_top_terms" -> ((s: SparkSession, d: String) =>
+      graft.ops.Terms.topTermsPerDoc(s, d)),
+    // data mixing: sampling / split / leakage
+    "q_sample_stratified" -> ((s: SparkSession, d: String) =>
+      graft.ops.Mix.stratifiedSample(s, d)),
+    "q_train_test_split" -> ((s: SparkSession, d: String) =>
+      graft.ops.Mix.trainTestSplit(s, d)),
+    "q_split_leakage" -> (graft.ops.Mix.crossSplitLeakage _),
+    // shard packing (distributed prefix sum)
+    "q_pack_shards" -> (graft.ops.Pack.packDocs _),
+    "q_shard_manifest" -> (graft.ops.Pack.shardManifest _),
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
@@ -143,6 +160,15 @@ object SparkEntry {
     "q_dedup_groups" -> Dedup.exactDupGroupsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
+    "q_near_dup_components" -> graft.ops.Components.nearDupComponentsSql,
+    "q_dedup_survivors" -> graft.ops.Components.dedupNearSurvivorsSql,
+    "q_term_stats" -> graft.ops.Terms.termStatsSql,
+    "q_top_terms" -> graft.ops.Terms.topTermsPerDocSql,
+    "q_sample_stratified" -> graft.ops.Mix.stratifiedSampleSql,
+    "q_train_test_split" -> graft.ops.Mix.trainTestSplitSql,
+    "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,
+    "q_pack_shards" -> graft.ops.Pack.packDocsSql,
+    "q_shard_manifest" -> graft.ops.Pack.shardManifestSql,
     "q_ann_topk" -> Similarity.bruteForceTopKSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
     "q_media_frames" -> Multimodal.frameSampleSummarySql

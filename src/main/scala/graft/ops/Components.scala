@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Connected components over near-duplicate pair graphs — the step that
+  * turns pairwise dedup output (LSH candidate pairs) into actual dedup
+  * GROUPS. A near-dup relation is not transitive; real pipelines
+  * cluster the pair graph and keep one survivor per component.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round every node adopts the minimum component id among itself
+  * and its neighbors (one shuffle join edges⋈labels + one min-agg),
+  * then labels compress by one pointer-jump (label := label(label),
+  * a self-join of the small label table). Propagation alone needs
+  * O(diameter) rounds; the pointer-jump gives the O(log n) behavior of
+  * the classic large-star/small-star contraction. Near-dup components
+  * are quasi-cliques (tiny diameter), so in practice this converges in
+  * 2-4 rounds.
+  *
+  * Scale design (100 TB):
+  *  - Every iteration shuffles only (node, component) longs — never
+  *    text or signatures. The edge list is the LSH output, already
+  *    candidate-pruned.
+  *  - `localCheckpoint` after each round truncates the growing lineage
+  *    (an unbounded iterative plan otherwise re-executes from the scan
+  *    each round and eventually overwhelms the optimizer); on a real
+  *    cluster this becomes `checkpoint` to reliable storage.
+  *  - Convergence is detected by counting changed labels — a driver
+  *    count per round, bounded by the O(log n) round count, not by
+  *    data size.
+  */
+object Components {
+
+  /** Connected components of an undirected graph. `nodes`: one column
+    * `node`; `edges`: columns `src`, `dst` (one direction is enough).
+    * Returns (node, component) where component = min node id reachable —
+    * deterministic, so results are engine- and partitioning-invariant.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    // materialize the symmetrized edge list ONCE — edges is typically
+    // the tail of an expensive pair pipeline (shingle join / LSH), and
+    // every iteration below consumes it; without this boundary the
+    // whole pair computation re-executes per round
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min component among neighbors (one shuffle on dst, one on src)
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"),
+          col("component").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("nbr_comp").as("nbr_comp"))
+      val adopted = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"),
+            coalesce(col("nbr_comp"), col("component"))).as("component"))
+      // pointer jump: component := component(component) — compresses
+      // label chains so convergence is logarithmic, not diameter-bound
+      val jumped = adopted
+        .join(adopted.select(col("node").as("component"),
+          col("component").as("parent")), Seq("component"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("parent"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.withColumnRenamed("component", "old"), "node")
+        .where(col("component") =!= col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup components over the EXACT n-gram Jaccard pairs — the
+    * oracle form (deterministic; DuckDB computes the same closure with
+    * a recursive CTE). Every document appears; singletons are their own
+    * component. */
+  def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"))
+    val edges = Dedup.ngramJaccardPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs, edges)
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
+  val nearDupComponentsSql: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+      |       FROM t, UNNEST(range(1, len(toks)-1)) AS u(i)
+      |       WHERE len(toks) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b FROM c
+      |      JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+      |      WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      |      UNION SELECT doc_b, doc_a FROM p),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+      |)
+      |SELECT src AS doc_id, MIN(dst) AS component
+      |FROM reach GROUP BY src""".stripMargin
+
+  /** The scale path: same clustering over the MinHash+LSH candidate
+    * pairs (rows-only — xxhash64 seeds aren't portable to the oracle;
+    * equivalence to the exact-pair clustering is asserted in OpsSpec). */
+  def lshDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"))
+    val edges = Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs, edges)
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
+  /** Survivors after near-dup clustering: one document (min doc_id) per
+    * component — the rows a training pipeline would keep. */
+  def dedupNearSurvivors(spark: SparkSession, dir: String): DataFrame =
+    nearDupComponents(spark, dir)
+      .groupBy("component")
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_members"))
+      .select("doc_id", "component", "n_members")
+
+  val dedupNearSurvivorsSql: String =
+    nearDupComponentsSql.replace(
+      """SELECT src AS doc_id, MIN(dst) AS component
+        |FROM reach GROUP BY src""".stripMargin,
+      """, comp AS (SELECT src AS doc_id, MIN(dst) AS component
+        |           FROM reach GROUP BY src)
+        |SELECT MIN(doc_id) AS doc_id, component, COUNT(*) AS n_members
+        |FROM comp GROUP BY component""".stripMargin)
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Data-mixing operators: deterministic sampling, content-hash
+  * train/test splits, and cross-split contamination checks — the
+  * governance layer of a training-data pipeline.
+  *
+  * Everything keys off a CONTENT hash (md5 of normalized text), not
+  * row ids or `rand()`:
+  *  - reproducible across runs, engines, and cluster sizes (no seed
+  *    state, no partition-order dependence — `rand()` changes with
+  *    partitioning);
+  *  - exact duplicates land on the same side of every split by
+  *    construction, closing the most common leakage hole;
+  *  - per-row codegen'd expressions: sampling and splitting run at
+  *    scan speed with zero shuffle.
+  * The hash bucket is the md5's low 8 hex digits as an integer
+  * (portable: Spark `conv(_,16,10)` ≡ DuckDB `CAST('0x'||_ AS
+  * BIGINT)`), modulo 100.
+  */
+object Mix {
+
+  /** 0-99 deterministic content bucket. */
+  def contentBucket(text: Column): Column =
+    conv(substring(TextStats.fingerprint(text), 25, 8), 16, 10)
+      .cast("long") % 100
+
+  private val bucketSqlExpr =
+    "CAST(concat('0x', substr(md5(trim(regexp_replace(lower(text), " +
+      "'[^a-z0-9]+', ' ', 'g'))), 25, 8)) AS BIGINT) % 100"
+
+  /** Stratified deterministic sample: per-language keep rates (pct of
+    * the 0-99 content bucket). Unlisted strata are dropped. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      ratesPct: Map[String, Int] = Map("en" -> 50, "de" -> 25, "fr" -> 10))
+      : DataFrame = {
+    val rate = ratesPct.foldLeft(lit(0)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .where(contentBucket(col("text")) < rate)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE $bucketSqlExpr <
+       |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25
+       |       WHEN lang = 'fr' THEN 10 ELSE 0 END""".stripMargin
+
+  /** Content-hash train/test split: bucket < trainPct → train. */
+  def trainTestSplit(spark: SparkSession, dir: String,
+      trainPct: Int = 90): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(contentBucket(col("text")) < trainPct, lit("train"))
+          .otherwise(lit("test")).as("split"))
+
+  val trainTestSplitSql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN $bucketSqlExpr < 90 THEN 'train' ELSE 'test' END
+       |         AS split
+       |FROM documents""".stripMargin
+
+  /** Cross-split contamination: near-duplicate pairs (exact n-gram
+    * Jaccard, the oracle-able pair source) that straddle the
+    * train/test boundary — each one is test-set leakage. At scale the
+    * pair source swaps to [[Dedup.minhashLshPairs]] unchanged. */
+  def crossSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = trainTestSplit(spark, dir)
+    Dedup.ngramJaccardPairs(spark, dir)
+      .select("doc_a", "doc_b")
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b")
+  }
+
+  val crossSplitLeakageSql: String = {
+    val pairs = Dedup.ngramJaccardPairsSql
+      .replace("SELECT doc_a, doc_b, n_common,",
+        "SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, n_common,")
+      .replace("WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5",
+        "WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5)")
+    s"""WITH s AS ($trainTestSplitSql),
+       |np AS ($pairs)
+       |SELECT np.doc_a, np.doc_b, sa.split AS split_a, sb.split AS split_b
+       |FROM np JOIN s sa ON np.doc_a = sa.doc_id
+       |        JOIN s sb ON np.doc_b = sb.doc_id
+       |WHERE sa.split <> sb.split""".stripMargin
+  }
+}

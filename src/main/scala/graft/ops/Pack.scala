@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Shard packing by cumulative token budget — the step that turns a
+  * cleaned corpus into fixed-budget training shards ("pack documents
+  * in doc_id order into shards of ≤ N tokens").
+  *
+  * The naive formulation is a running sum over a GLOBAL ORDER BY —
+  * `Window.orderBy(...)` with no partitioning — which Spark executes as
+  * a single task holding the whole corpus: correct at test scale,
+  * impossible at 100 TB. This is the classic distributed prefix-sum
+  * instead, two passes and fully parallel:
+  *
+  *  1. Range-partition by the order key and sort within partitions —
+  *     the global order becomes (partition asc, row-in-partition asc)
+  *     with no global sort task.
+  *  2. Aggregate one total per partition (bounded by partition count),
+  *     collect, and prefix-sum them on the driver into per-partition
+  *     offsets — O(#partitions), not O(rows).
+  *  3. Per-partition window cumsum (parallel: each partition windows
+  *     independently) + the broadcast offset = the exact global
+  *     running total.
+  *
+  * The output depends only on the global order and the weights — not
+  * on partition boundaries — so results are cluster-size-invariant and
+  * hash-match a single-threaded SQL oracle.
+  */
+object Pack {
+
+  /** Global running sum + shard assignment. `orderCol` must be a unique
+    * key (ties across a partition boundary would make the order — and
+    * any global cumsum — ill-defined). Shard id = exclusive prefix sum
+    * DIV budget: a document starts a new shard once the previous ones
+    * have consumed the budget. */
+  def packIntoShards(df: DataFrame, orderCol: String, weight: Column,
+      budget: Long, numParts: Int = 32): DataFrame = {
+    val weighted = df
+      .select(col(orderCol), weight.cast("long").as("w"))
+      .repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("pid", spark_partition_id())
+      // bounded cache: (key, weight, pid) — pins the partitioning so
+      // pass 2 and pass 3 see identical pids
+      .cache()
+    val totals = weighted.groupBy("pid").agg(sum("w").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offsets = (0 until numParts)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val offsetByPid = map((0 until numParts).flatMap(p =>
+      Seq(lit(p), lit(offsets(p)))): _*)
+    val w = Window.partitionBy("pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weighted
+      .withColumn("cum_tokens",
+        sum(col("w")).over(w) + element_at(offsetByPid, col("pid")))
+      .withColumn("shard_id", expr(s"(cum_tokens - w) DIV $budget"))
+      .drop("pid")
+  }
+
+  /** Pack the documents table into 4096-token shards in doc_id order —
+    * the oracle query (whitespace token weights match the oracle's
+    * string_split exactly). */
+  def packDocs(spark: SparkSession, dir: String): DataFrame =
+    packIntoShards(Tables.documents(spark, dir), "doc_id",
+      size(split(col("text"), " ")), budget = 4096L)
+
+  val packDocsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |         SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |           AS cum_tokens
+      |  FROM w)
+      |SELECT doc_id, w, cum_tokens,
+      |       (cum_tokens - w) // 4096 AS shard_id
+      |FROM c""".stripMargin
+
+  /** Per-shard manifest: member count + token total per shard — what a
+    * training loader reads. Every shard except possibly the last holds
+    * > budget - max_doc_tokens and ≤ budget + last-doc overhang. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    packDocs(spark, dir)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("shard_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+
+  val shardManifestSql: String =
+    packDocsSql.replace("SELECT doc_id, w, cum_tokens,",
+      "SELECT shard_id, COUNT(*) AS n_docs, SUM(w) AS shard_tokens, " +
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM (SELECT doc_id, w, cum_tokens,")
+      .replace("FROM c", "FROM c) GROUP BY shard_id")
+  }

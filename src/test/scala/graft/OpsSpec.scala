@@ -56,6 +56,53 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.9, s"LSH recall $recall; exact=$exact lsh=$lsh")
   }
 
+  test("connected components: chain, star, singleton, min-label result") {
+    // chain 1-2-3-4 (diameter 3 — exercises pointer jumping), star
+    // 10-{11,12,13}, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L).toDF("node")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (12L, 10L), (10L, 13L)).toDF("src", "dst")
+    val got = graft.ops.Components.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
+  }
+
+  test("LSH dedup clusters equal exact-pair clusters on this corpus") {
+    // LSH recall is 1.0 here (asserted above), so clustering the LSH
+    // pair graph must reproduce the exact components
+    val exact = graft.ops.Components.nearDupComponents(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.ops.Components.lshDedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === lsh)
+    // survivors: one per component, component = min member
+    val surv = graft.ops.Components.dedupNearSurvivors(spark, sf)
+    assert(surv.where(col("doc_id") =!= col("component")).count() === 0)
+    // one survivor per distinct component
+    assert(surv.count() === exact.map(_._2).size.toLong)
+  }
+
+  test("content-hash split: dup-consistent and partitioning-invariant") {
+    val split = graft.ops.Mix.trainTestSplit(spark, sf)
+    // exact duplicates must land on the same side (same content hash)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.ops.TextStats.fingerprint(col("text")).as("fp"))
+    val sidesPerFp = docs.join(split, "doc_id")
+      .groupBy("fp").agg(count_distinct(col("split")).as("n_sides"))
+    assert(sidesPerFp.where(col("n_sides") > 1).count() === 0,
+      "duplicate content split across train/test")
+    // partitioning must not change the assignment (no rand(), no ids)
+    val repartitioned = graft.ops.Mix
+      .trainTestSplit(spark, sf).repartition(7)
+    assert(split.exceptAll(repartitioned).count() === 0)
+    // both sides populated at a plausible 90/10
+    val n = split.count().toDouble
+    val train = split.where(col("split") === "train").count().toDouble
+    assert(train / n > 0.8 && train / n < 0.97, s"train frac ${train / n}")
+  }
+
   test("minhash_sketch aggregate is bit-identical to 64 min-agg columns") {
     val docs = graft.core.Tables.documents(spark, sf)
     val viaColumns = Dedup.minhashSignatures(docs)

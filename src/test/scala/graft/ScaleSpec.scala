@@ -92,6 +92,26 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("shard packing avoids the single-task global window") {
+    // the whole point of the two-pass prefix sum: no operator in the
+    // plan may funnel the corpus through one partition
+    val packed = graft.ops.Pack.packDocs(spark, sf)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global cumsum collapsed to a single partition:\n$plan")
+    // equivalence against the naive single-task global window
+    val naiveW = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .withColumn("cum_tokens", sum(col("w")).over(naiveW))
+      .withColumn("shard_id", expr("(cum_tokens - w) DIV 4096"))
+    assert(packed.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(packed).count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("AQE is available and coalesces shuffle partitions") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val df = Tables.lineitem(spark, sf)
