@@ -44,6 +44,10 @@ object Stress {
     t("lsh neardup 10k   ")(force(graft.ops.Similarity.lshNearDupPairs(spark, out)))
     t("asof 1Mx1.5M      ")(force(graft.plans.AsOfJoin.eventsWithLatestOrder(spark, out)))
     t("sessions 1M       ")(force(graft.streaming.Sessionize.sessionsQuery(spark, out)))
+    t("cc clusters 20k   ")(force(graft.ops.Components.lshDedupClusters(spark, out)))
+    t("pack shards 20k   ")(force(graft.ops.Pack.packDocs(spark, out)))
+    t("top terms 20k     ")(force(graft.ops.Terms.topTermsPerDoc(spark, out)))
+    t("split leakage 20k ")(force(graft.ops.Mix.crossSplitLeakage(spark, out)))
     t("profile exact 1.5M")(force(graft.ops.Profile.profile(
       graft.core.Tables.orders(spark, out))))
     t("profile hll 1.5M  ")(force(graft.ops.Profile.profile(
