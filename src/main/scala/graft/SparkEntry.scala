@@ -81,6 +81,8 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.dedupExact _),
     "q_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.ngramJaccardPairs(s, d)),
+    "q_dedup_incremental" -> (Dedup.dedupIncremental _),
+    "q_redact_docs" -> (graft.ops.Redact.redactDocs _),
     // near-dup clustering: pair graph → connected components → survivors
     "q_near_dup_components" -> (graft.ops.Components.nearDupComponents _),
     "q_dedup_survivors" -> (graft.ops.Components.dedupNearSurvivors _),
@@ -160,6 +162,8 @@ object SparkEntry {
     "q_dedup_groups" -> Dedup.exactDupGroupsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
+    "q_dedup_incremental" -> Dedup.dedupIncrementalSql,
+    "q_redact_docs" -> graft.ops.Redact.redactDocsSql,
     "q_near_dup_components" -> graft.ops.Components.nearDupComponentsSql,
     "q_dedup_survivors" -> graft.ops.Components.dedupNearSurvivorsSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,

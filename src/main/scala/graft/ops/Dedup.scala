@@ -57,6 +57,44 @@ object Dedup {
       |  SELECT MIN(doc_id) FROM documents
       |  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))""".stripMargin
 
+  /** Incremental dedup — the steady-state shape of a production
+    * pipeline: a NEW batch is deduped against the fingerprint store of
+    * everything already ingested, not against itself-plus-history.
+    * One anti-join on the 16-byte fingerprint: the history side is a
+    * (fp)-only table, so at 100 TB the shuffle carries fingerprints,
+    * never text; with the store bucketed by fp the join is
+    * shuffle-free. Self-dups within the new batch collapse to their
+    * min doc_id as usual. */
+  def dedupAgainstHistory(newDocs: DataFrame, historyFps: DataFrame): DataFrame = {
+    val fresh = newDocs
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .join(historyFps.select("fp"), Seq("fp"), "left_anti")
+    val survivors = fresh.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    fresh.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Oracle query: sources src0/src1 arrive as the new batch, the rest
+    * are history. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val history = docs.where(!col("source").isin("src0", "src1"))
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+    dedupAgainstHistory(docs.where(col("source").isin("src0", "src1")),
+      history)
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH f AS (
+      |  SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |fresh AS (
+      |  SELECT * FROM f
+      |  WHERE source IN ('src0', 'src1')
+      |    AND fp NOT IN (SELECT fp FROM f WHERE source NOT IN ('src0', 'src1')))
+      |SELECT doc_id, lang, source, n_chars FROM fresh
+      |WHERE doc_id IN (SELECT MIN(doc_id) FROM fresh GROUP BY fp)""".stripMargin
+
   /** Distinct word n-gram shingles per document, as (doc_id, shingle)
     * pairs. Documents shorter than n tokens produce none. */
   def shingles(docs: DataFrame, n: Int): DataFrame = {

@@ -83,6 +83,60 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(surv.count() === exact.map(_._2).size.toLong)
   }
 
+  test("PII redaction replaces emails/urls/ips/phones and counts match") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or visit https://ex.com/a?b=1 now"),
+      (2L, "server 10.0.255.3 called +1 415-555-0199 twice: +44 20 7946 0958"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val byId = df.select(col("doc_id"),
+      graft.ops.Redact.redact(col("text")).as("clean"),
+      regexp_count(col("text"), lit(graft.ops.Redact.emailRe))
+        .cast("long").as("n_emails"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(1L)._1 === "mail me at <EMAIL> or visit <URL> now")
+    assert(byId(2L)._1 === "server <IP> called <PHONE> twice: <PHONE>")
+    assert(byId(3L)._1 === "nothing sensitive here")
+    assert(byId(1L)._2 === 1L)
+  }
+
+  test("incremental dedup: new batch deduped against history store") {
+    val docs = Seq(
+      (1L, "alpha beta", "hist"), (2L, "gamma delta", "hist"),
+      (10L, "alpha beta", "new"),   // dup of history → dropped
+      (11L, "epsilon zeta", "new"), // fresh → kept
+      (12L, "epsilon zeta", "new"), // self-dup in batch → collapsed to 11
+      (13L, "eta theta", "new")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val history = docs.where(col("source") === "hist")
+      .select(graft.ops.TextStats.fingerprint(col("text")).as("fp"))
+    val kept = graft.ops.Dedup.dedupAgainstHistory(
+      docs.where(col("source") === "new"), history)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L))
+  }
+
+  test("compaction coalesces a many-file directory to the target count") {
+    val src = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    // 8 separate appends → at least 8 part files in one directory
+    (0 until 8).foreach { i =>
+      graft.core.Tables.orders(spark, sf).limit(500)
+        .withColumn("batch", lit(i))
+        .coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString + "/data"
+    val n = graft.ops.Compaction.compact(spark, src, out, targetBytes = 1L << 40)
+    assert(n === 1)
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files === 1, s"expected 1 part file, got $files")
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(src).count())
+  }
+
   test("content-hash split: dup-consistent and partitioning-invariant") {
     val split = graft.ops.Mix.trainTestSplit(spark, sf)
     // exact duplicates must land on the same side (same content hash)
