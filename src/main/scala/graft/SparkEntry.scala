@@ -66,6 +66,9 @@ object SparkEntry {
     // complete-mode memory sink (S2, A1-A5, K1); oracle = batch SQL,
     // proving stream == batch.
     "q_stream_agg" -> (StreamAggregator.streamAggQuery _),
+    // stream-stream range join (batch form here; streaming equivalence
+    // asserted in StreamingSpec)
+    "q_stream_join" -> (graft.streaming.StreamJoin.flaggedFollowupsQuery _),
     // gap-based sessionization (batch oracle form; the streaming
     // flatMapGroupsWithState variant is equivalence-tested in
     // StatefulSpec)
@@ -155,6 +158,7 @@ object SparkEntry {
     "q_revenue_by_priority" -> Relational.revenueByPrioritySql,
     "q_asof_join" -> AsOfJoin.eventsWithLatestOrderSql,
     "q_stream_agg" -> StreamAggregator.streamAggSql,
+    "q_stream_join" -> graft.streaming.StreamJoin.flaggedFollowupsSql,
     "q_sessions" -> Sessionize.sessionsSql,
     "q_token_counts" -> TextStats.tokenCountsSql,
     "q_quality_scores" -> TextStats.qualityScoresSql,

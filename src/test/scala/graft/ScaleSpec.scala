@@ -112,6 +112,65 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     spark.catalog.clearCache()
   }
 
+  test("sketch mode rule: COUNT(DISTINCT) → HLL, Expand gone, band holds") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.SketchModeRule(spark))
+    try {
+      val exact = graft.engine.Relational.eventsDailyAgg(spark, sf)
+        .select(col("event_type"), col("day"),
+          col("distinct_users").as("exact_n")).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+        .toMap
+      spark.conf.set("spark.graft.sketchMode", "true")
+      val sketched = graft.engine.Relational.eventsDailyAgg(spark, sf)
+      val plan = sketched.queryExecution.executedPlan.toString
+      assert(!plan.contains("count(distinct"),
+        s"sketch mode left the exact distinct in place:\n$plan")
+      assert(plan.contains("approx_count_distinct"), plan)
+      // same query text, HLL result within the 3·rsd band of exact
+      val approx = sketched.collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+        .toMap
+      assert(approx.keySet === exact.keySet)
+      approx.foreach { case (k, est) =>
+        val ex = exact(k)
+        assert(math.abs(est - ex) <= math.max(1.0, ex * 3 * 0.05),
+          s"HLL estimate $est outside band of exact $ex for $k")
+      }
+      // flag off → untouched exact plan (exact distinct back)
+      spark.conf.set("spark.graft.sketchMode", "false")
+      val offPlan = graft.engine.Relational.eventsDailyAgg(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(offPlan.contains("count(distinct"), offPlan)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset("spark.graft.sketchMode")
+    }
+  }
+
+  test("GraftExtensions registers the rule via the session builder") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the shared SparkContext but builds a NEW session with
+      // the extension applied — the spark.sql.extensions code path
+      val s2 = SparkSession.builder()
+        .master(spark.sparkContext.master)
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne spark)
+      s2.conf.set("spark.graft.sketchMode", "true")
+      val plan = graft.engine.Relational.eventsDailyAgg(s2, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("count(distinct"), plan)
+      assert(plan.contains("approx_count_distinct"), plan)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("AQE is available and coalesces shuffle partitions") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val df = Tables.lineitem(spark, sf)

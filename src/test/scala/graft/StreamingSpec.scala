@@ -97,6 +97,26 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("stream-stream range join equals batch join (bounded state)") {
+    val stream = StreamAggregator.eventsStream(spark, s"$sf/{events.parquet}")
+    val joined = graft.streaming.StreamJoin.flaggedFollowups(stream)
+    assert(joined.isStreaming)
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ss_join")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ssjoin-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.streaming.StreamJoin
+      .flaggedFollowups(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("windowed agg with watermark emits event-time windows") {
     val events = StreamAggregator.eventsStream(spark, s"$sf/{events.parquet}")
     val windowed = StreamAggregator.windowedAggStream(events)
