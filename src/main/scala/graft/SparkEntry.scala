@@ -52,6 +52,7 @@ object SparkEntry {
     "q_order_timeline" -> (Windows.orderTimeline _),
     "q_pricing_rollup" -> (Windows.pricingRollup _),
     "q_hourly_windows" -> (Windows.hourlyEventWindows _),
+    "q_trailing_spend" -> (Windows.trailingSpend _),
     "q_set_ops" -> (Windows.setOpsCustomers _),
     // §2.3 projections / filters (P1-P5)
     "q_filter_isin" -> (Relational.filterIsin _),
@@ -77,6 +78,7 @@ object SparkEntry {
     // text analysis
     "q_token_counts" -> (TextStats.tokenCounts _),
     "q_quality_scores" -> (TextStats.qualityScores _),
+    "q_quality_filtered" -> (TextStats.qualityFiltered _),
     "q_fingerprints" -> (TextStats.fingerprints _),
     "q_lang_id" -> (TextStats.langId _),
     // dedup
@@ -149,6 +151,7 @@ object SparkEntry {
     "q_order_timeline" -> Windows.orderTimelineSql,
     "q_pricing_rollup" -> Windows.pricingRollupSql,
     "q_hourly_windows" -> Windows.hourlyEventWindowsSql,
+    "q_trailing_spend" -> Windows.trailingSpendSql,
     "q_set_ops" -> Windows.setOpsCustomersSql,
     "q_filter_isin" -> Relational.filterIsinSql,
     "q_filter_eq_project" -> Relational.filterEqProjectSql,
@@ -162,6 +165,7 @@ object SparkEntry {
     "q_sessions" -> Sessionize.sessionsSql,
     "q_token_counts" -> TextStats.tokenCountsSql,
     "q_quality_scores" -> TextStats.qualityScoresSql,
+    "q_quality_filtered" -> TextStats.qualityFilteredSql,
     "q_fingerprints" -> TextStats.fingerprintsSql,
     "q_dedup_groups" -> Dedup.exactDupGroupsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,

@@ -106,6 +106,35 @@ object Windows {
   /** UNION ALL + EXCEPT + INTERSECT in one query: customers who placed
     * orders but produced no events (except), and the overlap
     * (intersect), labeled and unioned. */
+  /** Interval RANGE frame: per-customer trailing 30-day spend — the
+    * time-based sliding aggregate (vs the ROWS frames above). The
+    * order key is days-since-epoch (an integer), so `rangeBetween`
+    * bounds are exact day offsets on both engines; RANGE includes all
+    * same-day ties, which keeps the result order-independent and
+    * deterministic. Partitioned by customer — bounded groups, no
+    * global window. */
+  def trailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_date(col("o_orderdate").cast("date")))
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      col("o_totalprice"),
+      sum(col("o_totalprice").cast("decimal(30,2)")).over(w)
+        .cast("double").as("trailing_30d_spend"),
+      count(lit(1)).over(w).as("trailing_30d_orders"))
+  }
+
+  val trailingSpendSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS DOUBLE)
+      |         AS trailing_30d_spend,
+      |       COUNT(*) OVER w AS trailing_30d_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
     val orderUsers = Tables.orders(spark, dir)
       .select(col("o_custkey").as("id")).distinct()

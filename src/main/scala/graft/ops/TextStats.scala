@@ -99,6 +99,40 @@ object TextStats {
        |FROM documents""".stripMargin
   }
 
+  /** Percentile-threshold quality filter — the composition every
+    * pre-training mix runs: keep documents whose quality signal clears
+    * a PER-STRATUM percentile (here: stopword ratio above each
+    * language's 25th percentile, a cheap fluency proxy). The
+    * thresholds table is #langs rows — broadcast, zero extra shuffle
+    * on the document side; at 100 TB the exact `percentile` threshold
+    * computation swaps to `approx_percentile` (or runs under the
+    * sketch-mode rule) without touching this query shape. */
+  def qualityFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(qualityScores(spark, dir)
+        .select(col("doc_id"), col("stopword_ratio")), "doc_id")
+    val thresholds = scored.groupBy("lang")
+      .agg(round(percentile(col("stopword_ratio"), lit(0.25)), 4).as("thr"))
+    scored.join(broadcast(thresholds), "lang")
+      .where(col("stopword_ratio") > col("thr"))
+      .select("doc_id", "lang", "stopword_ratio")
+  }
+
+  val qualityFilteredSql: String = {
+    val stop = enStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |t AS (SELECT lang, ROUND(quantile_cont(stopword_ratio, 0.25), 4) AS thr
+       |      FROM s GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.stopword_ratio
+       |FROM s JOIN t ON s.lang = t.lang
+       |WHERE s.stopword_ratio > t.thr""".stripMargin
+  }
+
   /** Content fingerprints (md5 of normalized text) + duplicate-group
     * count per fingerprint. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
