@@ -112,6 +112,40 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     spark.catalog.clearCache()
   }
 
+  test("runtime bloom filter prunes the probe side of a selective " +
+    "shuffle join") {
+    // At 100 TB a fact⋈filtered-fact shuffle join should not shuffle
+    // probe-side rows that cannot match: Spark's runtime bloom filter
+    // (built on the selective side, pushed into the probe-side scan)
+    // does exactly that. Thresholds here are lowered to make the
+    // injection fire at test scale; on a cluster the defaults key off
+    // real scan sizes.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+        .where(col("o_totalprice") > 400000.0)
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // pruning must not change results
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("sketch mode rule: COUNT(DISTINCT) → HLL, Expand gone, band holds") {
     spark.experimental.extraOptimizations =
       Seq(graft.plans.SketchModeRule(spark))

@@ -115,6 +115,37 @@ class StatefulSpec extends AnyFunSuite with SharedSpark {
     assert(out.select("event_id").distinct().count() === 200L)
   }
 
+  test("dynamic partition overwrite sink: day redelivery is idempotent") {
+    val src = Files.createTempDirectory("graft-dpo-src").toString
+    val out = Files.createTempDirectory("graft-dpo-out").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-dpo-ckpt").toString
+    val t0 = new java.sql.Timestamp(0L)
+    val days = graft.streaming.IncrementalProducer.eventDays(spark, sf).take(3)
+    days.foreach(d =>
+      graft.streaming.IncrementalProducer.dropDay(spark, sf, src, d, t0))
+    def runOnce(): Unit = {
+      val rows = StreamAggregator.replayStream(spark, s"$src/day=*")
+        .withColumn("day", to_date(col("ts")).cast("string"))
+      StreamAggregator.runToPartitionedParquet(spark, rows, out, ckpt, "day")
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // redeliver day 1 (same rows, new files, new processed stamp) and
+    // RESUME from the same checkpoint: only the new files process, and
+    // the day partition is REPLACED, not appended
+    graft.streaming.IncrementalProducer.dropDay(spark, sf, src, days.head,
+      new java.sql.Timestamp(60000L))
+    runOnce()
+    val after = spark.read.parquet(out)
+    assert(after.count() === n1, "redelivered day double-appended")
+    // the replaced partition carries the NEW processed stamp
+    val stamps = after.where(col("day") === days.head)
+      .select("processed_date").distinct().collect()
+      .map(_.getTimestamp(0).getTime).toSet
+    assert(stamps === Set(60000L), s"expected replaced partition, got $stamps")
+  }
+
   test("RocksDB state store drops in via config: identical results for " +
     "windowed agg and sessionization") {
     // SCALE.md's claim that state scales past executor heap via RocksDB
