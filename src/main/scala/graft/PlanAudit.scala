@@ -11,7 +11,8 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_pricing_summary","q_revenue_by_region","q_revenue_by_priority",
       "q_events_daily_agg","q_minhash_lsh_pairs","q_ann_topk",
-      "q_asof_join","q_topk_best_day")
+      "q_asof_join","q_topk_best_day","q_stream_join","q_pack_shards",
+      "q_trailing_spend")
     for (n <- names) {
       println(s"########## $n")
       val df = SparkEntry.queries(n)(spark, dir)
