@@ -53,6 +53,8 @@ object SparkEntry {
     "q_pricing_rollup" -> (Windows.pricingRollup _),
     "q_hourly_windows" -> (Windows.hourlyEventWindows _),
     "q_trailing_spend" -> (Windows.trailingSpend _),
+    "q_funnel" -> (Relational.signupFunnel _),
+    "q_novelty" -> (TextStats.noveltyScores _),
     "q_set_ops" -> (Windows.setOpsCustomers _),
     // §2.3 projections / filters (P1-P5)
     "q_filter_isin" -> (Relational.filterIsin _),
@@ -152,6 +154,8 @@ object SparkEntry {
     "q_pricing_rollup" -> Windows.pricingRollupSql,
     "q_hourly_windows" -> Windows.hourlyEventWindowsSql,
     "q_trailing_spend" -> Windows.trailingSpendSql,
+    "q_funnel" -> Relational.signupFunnelSql,
+    "q_novelty" -> TextStats.noveltyScoresSql,
     "q_set_ops" -> Windows.setOpsCustomersSql,
     "q_filter_isin" -> Relational.filterIsinSql,
     "q_filter_eq_project" -> Relational.filterEqProjectSql,

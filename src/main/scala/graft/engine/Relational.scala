@@ -288,6 +288,45 @@ object Relational {
       |       COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS distinct_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Sequential funnel: per user with at least one signup, how many
+    * purchases landed within 7 days of their FIRST signup. The
+    * signup-side aggregate runs first, so the range join probes one
+    * row per user against the purchase stream — shuffle keyed on
+    * user_id only, no window over raw events. Integer counts +
+    * boolean → hash-portable. */
+  def signupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstSignup = e.where(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("first_signup"),
+        count(lit(1)).as("n_signups"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    firstSignup.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("first_signup"), col("n_signups"))
+      .agg(sum(when(col("purchase_ts") >= col("first_signup") &&
+        col("purchase_ts") <= col("first_signup") + expr("INTERVAL 7 DAYS"),
+        1L).otherwise(0L)).as("n_purchases_7d"))
+      .withColumn("converted", col("n_purchases_7d") > 0)
+  }
+
+  val signupFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |s AS (SELECT user_id, MIN(ts) AS first_signup, COUNT(*) AS n_signups
+      |      FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT user_id, ts AS purchase_ts FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT s.user_id, s.first_signup, s.n_signups,
+      |       SUM(CASE WHEN p.purchase_ts >= s.first_signup
+      |                 AND p.purchase_ts <= s.first_signup + INTERVAL 7 DAY
+      |                THEN 1 ELSE 0 END) AS n_purchases_7d,
+      |       SUM(CASE WHEN p.purchase_ts >= s.first_signup
+      |                 AND p.purchase_ts <= s.first_signup + INTERVAL 7 DAY
+      |                THEN 1 ELSE 0 END) > 0 AS converted
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id
+      |GROUP BY s.user_id, s.first_signup, s.n_signups""".stripMargin
+
   /** The geo-join capability (SURVEY §7.5): the reference dataset is the
     * output of an upstream equi-join ("joined by 4-characters geohash",
     * `DataDescription.md:1`); orders⋈customer⋈nation⋈region stands in.
