@@ -125,7 +125,9 @@ object SparkEntry {
       Similarity.lshNearDupPairs(s, d)),
     // multimodal plumbing
     "q_media_features" -> (Multimodal.featureSummary _),
-    "q_media_frames" -> (Multimodal.frameSampleSummary _)
+    "q_media_frames" -> (Multimodal.frameSampleSummary _),
+    "q_media_ann" -> ((s: SparkSession, d: String) =>
+      Multimodal.mediaAnnTopK(s, d))
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). Queries

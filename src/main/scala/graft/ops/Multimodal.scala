@@ -139,6 +139,37 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         count_distinct(col("checksum")).as("distinct_payloads"))
 
+  /** Media similarity search — the full multimodal loop: payload →
+    * (stub) decode → feature vector → normalized cosine top-k, reusing
+    * the similarity machinery (codegen'd DotProduct, broadcast query
+    * side, per-query window). In production only FakeCodec.decode
+    * changes; the embedding/ANN plumbing downstream is identical.
+    * Rows-only check (the codec is not SQL-expressible); determinism
+    * and duplicate-payload behavior are unit-tested. */
+  def mediaAnnTopK(spark: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 3): DataFrame =
+    mediaAnn(mediaTable(spark, dir), numQueries, k)
+
+  /** Core of [[mediaAnnTopK]] over any media table (test seam). */
+  def mediaAnn(media: Dataset[MediaRow],
+      numQueries: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val feats = extractFeatures(media).toDF()
+      .select(col("media_id"),
+        normalize(toDoubleVec(col("features"))).as("vec"))
+    val queries = feats.where(col("media_id") < numQueries)
+      .select(col("media_id").as("query_id"), col("vec").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    feats.join(broadcast(queries), col("media_id") =!= col("query_id"))
+      .select(col("query_id"), col("media_id").as("neighbor_id"),
+        dot(col("vec"), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Frame-sampling summary per media row: how many 64-byte frames the
     * stride-4 sampler kept. Oracle-able: frame i is kept when i % 4 == 0
     * for i in 0..⌊(len-1)/64⌋, i.e. ⌊⌊(len-1)/64⌋/4⌋ + 1 frames. */

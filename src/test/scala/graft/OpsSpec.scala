@@ -137,6 +137,30 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       spark.read.parquet(src).count())
   }
 
+  test("media ANN: duplicate payloads rank first with cosine 1") {
+    // exact-duplicate texts → identical payloads → identical stub
+    // features → the dup must be its twin's top neighbor
+    import graft.ops.Multimodal.MediaRow
+    val payloads = (0L until 10L).map { i =>
+      val bytes =
+        if (i == 5L) "identical payload zero".getBytes("UTF-8")
+        else if (i == 0L) "identical payload zero".getBytes("UTF-8")
+        else s"distinct payload number $i with filler ${"x" * i.toInt}"
+          .getBytes("UTF-8")
+      MediaRow(i, "image", bytes, 64, 64, 16000)
+    }
+    val media = spark.createDataset(payloads)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val topk = graft.ops.Multimodal.mediaAnn(media, numQueries = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(topk.contains((0L, 5L, 1)),
+      s"dup 5 not rank-1 neighbor of 0: ${topk.toSeq}")
+    // deterministic across runs
+    val again = graft.ops.Multimodal.mediaAnn(media, numQueries = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(topk.toSet === again.toSet)
+  }
+
   test("content-hash split: dup-consistent and partitioning-invariant") {
     val split = graft.ops.Mix.trainTestSplit(spark, sf)
     // exact duplicates must land on the same side (same content hash)
