@@ -48,6 +48,11 @@ object Stress {
     t("pack shards 20k   ")(force(graft.ops.Pack.packDocs(spark, out)))
     t("top terms 20k     ")(force(graft.ops.Terms.topTermsPerDoc(spark, out)))
     t("split leakage 20k ")(force(graft.ops.Mix.crossSplitLeakage(spark, out)))
+    t("novelty 20k docs  ")(force(graft.ops.TextStats.noveltyScores(spark, out)))
+    t("redact 20k docs   ")(force(graft.ops.Redact.redactDocs(spark, out)))
+    t("dedup incr 20k    ")(force(graft.ops.Dedup.dedupIncremental(spark, out)))
+    t("funnel 1M events  ")(force(graft.engine.Relational.signupFunnel(spark, out)))
+    t("trailing 1.5M     ")(force(graft.engine.Windows.trailingSpend(spark, out)))
     t("profile exact 1.5M")(force(graft.ops.Profile.profile(
       graft.core.Tables.orders(spark, out))))
     t("profile hll 1.5M  ")(force(graft.ops.Profile.profile(
