@@ -58,6 +58,29 @@ object Stress100 {
     t("trailing 15M      ")(force(graft.engine.Windows.trailingSpend(spark, out)))
     t("sessions 10M      ")(force(graft.streaming.Sessionize.sessionsQuery(spark, out)))
     t("asof 10Mx15M      ")(force(graft.plans.AsOfJoin.eventsWithLatestOrder(spark, out)))
+
+    // streaming throughput at 10M events: paced file stream through the
+    // reference-shaped stateful aggregate into a memory sink
+    t("stream agg 10M    ") {
+      val chunkDir = java.nio.file.Files
+        .createTempDirectory("graft-stress100-stream").toString
+      graft.core.Tables.events(spark, out).repartition(16)
+        .write.mode("overwrite").parquet(chunkDir)
+      val s0 = System.nanoTime()
+      val agg = graft.streaming.StreamAggregator.dailyAggExact(
+        graft.streaming.StreamAggregator.replayStream(spark, chunkDir,
+          maxFilesPerTrigger = Some(4)))
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName("stress100_stream")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-stress100-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - s0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      println(f"[stress100] stream: ${10000000 / sec / 1000}%.0fk rows/s over $batches batches")
+    }
     spark.stop()
   }
 }
