@@ -150,6 +150,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** The materialized form of [[ivfTopK]] — the actual 100 TB layout:
+    * embeddings written ONCE partitioned by their IVF cell, so a query
+    * scans only its nprobe cell directories via partition pruning
+    * (the other cells are never read, not merely filtered). Returns
+    * the centroids for probing; OpsSpec asserts the pruned-scan plan
+    * shape and result parity with the unindexed path. */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      cells: Int = 16): Array[(Int, Array[Double])] = {
+    val corpus = normalized(spark, dir).cache()
+    val cents = ivfCentroids(corpus, cells)
+    val scored = array(cents.map { case (cid, c) =>
+      struct(dot(col("vec"), array(c.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }: _*)
+    corpus
+      .withColumn("cell",
+        slice(reverse(array_sort(scored)), 1, 1)
+          .getItem(0).getField("cid"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    cents
+  }
+
+  /** Query the persisted index: probe the nprobe best cells for each
+    * query vector — the `cell IN (...)` predicate prunes at the
+    * DIRECTORY level, so scan cost is nprobe/cells of the corpus. */
+  def ivfTopKIndexed(spark: SparkSession, indexPath: String,
+      cents: Array[(Int, Array[Double])], numQueries: Int = 10,
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val indexed = spark.read.parquet(indexPath)
+    def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
+      val scored = array(cents.map { case (cid, c) =>
+        struct(dot(v, array(c.map(lit): _*)).as("sim"), lit(cid).as("cid"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, n)
+    }
+    val queries = indexed.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        explode(transform(bestCells(col("vec"), nprobe),
+          s => s.getField("cid"))).as("cell"))
+    // static IN-list on the partition column → directory-level pruning
+    // (a bare join would need DPP); bounded by numQueries × nprobe
+    val probeCells = queries.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = indexed
+      .where(col("cell").isin(probeCells: _*))
+      .join(broadcast(queries), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("vec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (seeded, so plans are
     * reproducible across runs and engines). */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -251,6 +251,35 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("persisted IVF index: partition-pruned probe, same results") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx").toString + "/index"
+    val cents = graft.ops.Similarity.buildIvfIndex(spark, sf, idx)
+    val indexed = graft.ops.Similarity.ivfTopKIndexed(spark, idx, cents)
+    // pruning: the probe scan must touch only the probed cell dirs
+    // (descend through the AQE wrapper — it is a leaf node)
+    val physical = indexed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = physical.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.partitionFilters.nonEmpty => f
+      }
+    assert(scan.isDefined, "no partitioned scan found")
+    assert(scan.get.selectedPartitions.partitionCount < 16,
+      s"probe scanned ${scan.get.selectedPartitions.partitionCount}/16 cells")
+    // parity with the unindexed IVF path (same centroids/seeds)
+    val direct = graft.ops.Similarity.ivfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaIndex = indexed
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex === direct)
+    spark.catalog.clearCache()
+  }
+
   test("winnowing: identical docs share all fingerprints, near-dups many") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
