@@ -219,6 +219,64 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Persisted LSH store — incremental NEAR-dup dedup, the approximate
+    * analog of [[dedupAgainstHistory]]: band rows (doc_id, band,
+    * band_hash) and signatures for the already-ingested corpus are
+    * written once; each new batch computes its own bands and joins
+    * ONLY against the store on (band, band_hash). Cost per batch is
+    * batch-size × bands, independent of history size modulo bucket
+    * occupancy — the only steady-state-viable shape at 100 TB (the
+    * batch-self-contained variant recomputes history signatures every
+    * run). Store layout: plain parquet here; bucketed-by-band_hash on
+    * a real cluster makes the candidate join shuffle-free. */
+  def buildLshStore(spark: SparkSession, docs: DataFrame, storePath: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    val sigs = minhashSignatures(docs, n, numHashes)
+    sigs.write.mode("overwrite").parquet(s"$storePath/signatures")
+    bandRows(sigs, numHashes, bands)
+      .select("doc_id", "band", "band_hash")
+      .write.mode("overwrite").parquet(s"$storePath/bands")
+  }
+
+  /** Banding of a signature table: (doc_id, band, band_hash). */
+  private def bandRows(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs.select(col("doc_id"), col("minhash"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("minhash"), b * rowsPerBand + 1,
+          lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Near-dup pairs between a NEW batch and the persisted store:
+    * candidates from the (band, band_hash) join, verified by estimated
+    * Jaccard over the two signature tables. Returns (new_id, old_id,
+    * est_jaccard). */
+  def nearDupAgainstStore(spark: SparkSession, newDocs: DataFrame,
+      storePath: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, tau: Double = 0.5): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, n, numHashes).cache()
+    val candidates = bandRows(newSigs, numHashes, bands).as("a")
+      .join(spark.read.parquet(s"$storePath/bands").as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    candidates
+      .join(newSigs.select(col("doc_id").as("new_id"),
+        col("minhash").as("mh_new")), "new_id")
+      .join(spark.read.parquet(s"$storePath/signatures")
+        .select(col("doc_id").as("old_id"), col("minhash").as("mh_old")),
+        "old_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("mh_new"), col("mh_old"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes)
+      .where(col("est_jaccard") >= tau)
+      .select("new_id", "old_id", "est_jaccard")
+  }
+
   // ----- SimHash -----
 
   /** 64-bit SimHash per document: each token hashes to 64 bits; bit b of

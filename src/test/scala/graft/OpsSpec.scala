@@ -251,6 +251,29 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("incremental LSH store: new batch finds near-dups in history " +
+    "without rescanning it") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-lsh-store").toString + "/store"
+    val history = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(50).cache()
+    graft.ops.Dedup.buildLshStore(spark, history, store)
+    // new batch: one exact copy of history doc 3 (new id), one fresh doc
+    val dupText = history.where(col("doc_id") === 3)
+      .select("text").head.getString(0)
+    val newBatch = Seq(
+      (1000L, dupText),
+      (1001L, "completely fresh words nothing shared with anything at all " * 3)
+    ).toDF("doc_id", "text")
+    val hits = graft.ops.Dedup
+      .nearDupAgainstStore(spark, newBatch, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists { case (n, o, j) => n == 1000L && o == 3L && j == 1.0 },
+      s"exact dup of doc 3 not found: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 1001L), s"fresh doc matched: ${hits.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("persisted IVF index: partition-pruned probe, same results") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-ivf-idx").toString + "/index"
