@@ -30,6 +30,53 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(pqBack.exceptAll(src).count() === 0)
   }
 
+  test("schema evolution: old and new parquet read under the merged schema") {
+    // a 100 TB table accretes columns over years; readers must handle
+    // mixed-vintage files. Old files: (doc_id, text); new files add
+    // quality_score. mergeSchema unifies; old rows surface null.
+    val base = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "old doc")).toDF("doc_id", "text")
+      .write.parquet(s"$base/batch1")
+    Seq((2L, "new doc", 0.9)).toDF("doc_id", "text", "quality_score")
+      .write.parquet(s"$base/batch2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/batch1", s"$base/batch2")
+    assert(merged.columns.toSet === Set("doc_id", "text", "quality_score"))
+    val byId = merged.collect()
+      .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(byId(1L) === true, "old row should have null for the new column")
+    assert(byId(2L) === false)
+  }
+
+  test("corrupt JSONL lines are quarantined, good rows survive") {
+    // ingestion from the wild: PERMISSIVE mode parses what it can and
+    // routes garbage to _corrupt_record instead of failing the job
+    // (or silently dropping rows)
+    val base = Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/data.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "fine"}""",
+        """{"doc_id": 2 "text": MISSING_COMMA_GARBAGE""",
+        """{"doc_id": 3, "text": "also fine"}"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$base/data.jsonl").cache()
+    assert(parsed.count() === 3)
+    assert(parsed.where(col("_corrupt_record").isNotNull).count() === 1)
+    assert(parsed.where(col("_corrupt_record").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    parsed.unpersist()
+  }
+
   test("as-of join picks the nearest predecessor, nulls before any") {
     val events = Seq(
       (1L, 100L, Timestamp.valueOf("2024-01-01 00:00:05"), "view"),
