@@ -77,4 +77,63 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(pairs.where($"doc_a" >= $"doc_b").count() === 0)
     assert(pairs.where($"jaccard" < 0.5 || $"jaccard" > 1.0).count() === 0)
   }
+
+  test("property: connected components are closed, labeled by minimum, " +
+    "and edge-connected nodes share a label") {
+    // random sparse graphs: nodes 0..n-1, m random edges
+    val graphGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 50)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (a.toLong, b.toLong))
+    } yield (n, edges)
+    samples(graphGen, 6).foreach { case (n, edges) =>
+      val nodes = (0L until n.toLong).toDF("node")
+      val edgeDf = edges.toDF("src", "dst")
+      val labels = graft.ops.Components
+        .connectedComponents(nodes, edgeDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every node labeled; label is a member of its own component
+      assert(labels.keySet === (0L until n.toLong).toSet)
+      labels.foreach { case (_, c) => assert(labels(c) === c,
+        s"label $c is not its own root: $labels edges=$edges") }
+      // edge endpoints share a label
+      edges.foreach { case (a, b) =>
+        assert(labels(a) === labels(b),
+          s"edge ($a,$b) split across components: $labels") }
+      // label = min of the member set
+      labels.groupBy(_._2).foreach { case (c, members) =>
+        assert(members.keys.min === c,
+          s"component $c not labeled by its minimum: $labels") }
+    }
+  }
+
+  test("property: shard packing preserves order, budget, and totals") {
+    val weightsGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 500)))
+    samples(weightsGen, 6).zipWithIndex.foreach { case (ws, i) =>
+      val budget = 400L + i * 137
+      val df = ws.zipWithIndex.map { case (w, id) => (id.toLong, w) }
+        .toDF("doc_id", "w0")
+      val packed = graft.ops.Pack
+        .packIntoShards(df, "doc_id", $"w0", budget, numParts = 1 + (i % 5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1)
+      // cumulative sums are the exact prefix sums in doc_id order
+      var cum = 0L
+      packed.foreach { case (_, w, c, _) => cum += w; assert(c === cum) }
+      // shard ids are non-decreasing and start at 0
+      assert(packed.head._4 === 0L)
+      assert(packed.sliding(2).forall(p =>
+        p.length < 2 || p(1)._4 >= p(0)._4))
+      // a shard never exceeds the budget except via its final document
+      packed.groupBy(_._4).foreach { case (_, docs) =>
+        val total = docs.map(_._2).sum
+        assert(total - docs.last._2 < budget,
+          s"shard overfilled before its last doc: $docs budget=$budget")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
