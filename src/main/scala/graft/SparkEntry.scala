@@ -53,6 +53,8 @@ object SparkEntry {
     "q_pricing_rollup" -> (Windows.pricingRollup _),
     "q_hourly_windows" -> (Windows.hourlyEventWindows _),
     "q_trailing_spend" -> (Windows.trailingSpend _),
+    "q_grouping_sets" -> (Windows.pricingGroupingSets _),
+    "q_relative_ranks" -> (Windows.orderRelativeRanks _),
     "q_funnel" -> (Relational.signupFunnel _),
     "q_novelty" -> (TextStats.noveltyScores _),
     "q_set_ops" -> (Windows.setOpsCustomers _),
@@ -156,6 +158,8 @@ object SparkEntry {
     "q_pricing_rollup" -> Windows.pricingRollupSql,
     "q_hourly_windows" -> Windows.hourlyEventWindowsSql,
     "q_trailing_spend" -> Windows.trailingSpendSql,
+    "q_grouping_sets" -> Windows.pricingGroupingSetsSql,
+    "q_relative_ranks" -> Windows.orderRelativeRanksSql,
     "q_funnel" -> Relational.signupFunnelSql,
     "q_novelty" -> TextStats.noveltyScoresSql,
     "q_set_ops" -> Windows.setOpsCustomersSql,

@@ -106,6 +106,50 @@ object Windows {
   /** UNION ALL + EXCEPT + INTERSECT in one query: customers who placed
     * orders but produced no events (except), and the overlap
     * (intersect), labeled and unioned. */
+  /** Explicit GROUPING SETS with grouping_id — the general form behind
+    * ROLLUP/CUBE: exactly the requested aggregation levels, one Expand
+    * sized to the set count (here 3, vs CUBE's 4). */
+  def pricingGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |       COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin)
+  }
+
+  val pricingGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |       COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())""".stripMargin
+
+  /** Relative-rank window functions: percent_rank (rank-1)/(n-1) and
+    * cume_dist — both exact rational values of two integers, so the
+    * doubles are bit-portable. */
+  def orderRelativeRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  val orderRelativeRanksSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       PERCENT_RANK() OVER w AS pct_rank,
+      |       CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   /** Interval RANGE frame: per-customer trailing 30-day spend — the
     * time-based sliding aggregate (vs the ROWS frames above). The
     * order key is days-since-epoch (an integer), so `rangeBetween`
