@@ -49,4 +49,14 @@ object Formats {
   def readParquet(spark: SparkSession, schema: StructType,
       path: String): DataFrame =
     spark.read.schema(schema).parquet(path)
+
+  /** ORC: the other columnar format Spark ships natively — same
+    * pushdown/pruning machinery as parquet (PushedFilters reach the
+    * ORC reader), relevant when interoperating with Hive-era lakes. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType,
+      path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -112,6 +112,42 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     spark.catalog.clearCache()
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // one hot key owning most rows — the shape that stalls a shuffle
+    // join on a single straggler task. AQE must detect and split it.
+    // Thresholds lowered so test-scale data qualifies as 'skewed'.
+    import spark.implicits._
+    val hot = (1L to 200000L).map(i => (42L, i)) ++
+      (1L to 2000L).map(i => (i % 50 + 100, i))
+    val left = hot.toDF("k", "v").repartition(8)
+    val right = (1L to 200L).map(i => (i, s"dim_$i")).toDF("k", "name")
+      .repartition(8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    try {
+      val joined = left.join(right, "k").select(col("k"))
+      // execute THIS frame's plan — AQE finalizes per execution, so a
+      // separate count() would leave this queryExecution un-adapted
+      val n = joined.collect().length
+      assert(n === 200000 + 2000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective " +
     "shuffle join") {
     // At 100 TB a fact⋈filtered-fact shuffle join should not shuffle

@@ -28,6 +28,15 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     Formats.writeParquet(src, s"$base/parquet")
     val pqBack = Formats.readParquet(spark, Schemas.customer, s"$base/parquet")
     assert(pqBack.exceptAll(src).count() === 0)
+
+    Formats.writeOrc(src, s"$base/orc")
+    val orcBack = Formats.readOrc(spark, Schemas.customer, s"$base/orc")
+    assert(orcBack.exceptAll(src).count() === 0)
+    // pushdown reaches the ORC reader just like parquet
+    val orcPlan = orcBack.where(col("c_custkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(orcPlan.contains("PushedFilters") &&
+      orcPlan.contains("EqualTo(c_custkey,42)"), orcPlan)
   }
 
   test("schema evolution: old and new parquet read under the merged schema") {
