@@ -115,6 +115,29 @@ class StatefulSpec extends AnyFunSuite with SharedSpark {
     assert(out.select("event_id").distinct().count() === 200L)
   }
 
+  test("custom sessionization matches Spark's native session_window") {
+    // same 30-minute gap; session_window's end is last_ts + gap (not
+    // max ts), so compare on (user, start, n_events). Boundary
+    // semantics differ only at diff == gap exactly (half-open window)
+    // — micros-random data cannot hit it.
+    val native = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+      .collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    val custom = Sessionize.sessionsBatch(spark, sf).toDF()
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(native === custom,
+      s"native=${native.size} custom=${custom.size} " +
+        s"diff=${native.diff(custom).take(3)}${custom.diff(native).take(3)}")
+    assert(native.nonEmpty)
+  }
+
   test("dynamic partition overwrite sink: day redelivery is idempotent") {
     val src = Files.createTempDirectory("graft-dpo-src").toString
     val out = Files.createTempDirectory("graft-dpo-out").toString + "/table"
