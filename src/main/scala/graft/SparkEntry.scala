@@ -177,6 +177,7 @@ object SparkEntry {
     "q_quality_scores" -> TextStats.qualityScoresSql,
     "q_quality_filtered" -> TextStats.qualityFilteredSql,
     "q_fingerprints" -> TextStats.fingerprintsSql,
+    "q_lang_id" -> TextStats.langIdSql,
     "q_dedup_groups" -> Dedup.exactDupGroupsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,

@@ -282,4 +282,33 @@ object TextStats {
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), langIdCol(col("text")).as("lang_pred"))
+
+  /** Oracle form of [[langId]]: every signal is an integer count or a
+    * script-range regex, so the heuristic is fully SQL-portable. The
+    * tie-break (greatest score → lexicographically greatest language)
+    * is restated as a reverse-alphabetical CASE chain, which is
+    * equivalent to Spark's struct-max. */
+  val langIdSql: String = {
+    val scoreCols = langProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_intersect(toks, $lst)) AS s_$l"
+    }.mkString(",\n       ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id, text,
+       |       $scoreCols
+       |      FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]') THEN 'zh-ja'
+       |       WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |       WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+       |       WHEN greatest(s_de,s_en,s_es,s_fr,s_it,s_pt) > 0 THEN
+       |         CASE greatest(s_de,s_en,s_es,s_fr,s_it,s_pt)
+       |           WHEN s_pt THEN 'pt' WHEN s_it THEN 'it' WHEN s_fr THEN 'fr'
+       |           WHEN s_es THEN 'es' WHEN s_en THEN 'en' ELSE 'de' END
+       |       ELSE 'und' END AS lang_pred
+       |FROM s""".stripMargin
+  }
 }
