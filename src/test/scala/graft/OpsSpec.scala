@@ -161,6 +161,29 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(topk.toSet === again.toSet)
   }
 
+  test("HLL sketch rollup: merged daily sketches estimate monthly " +
+    "distincts within band, without rescanning events") {
+    val daily = graft.ops.Sketches.dailyUserSketches(spark, sf).cache()
+    val monthly = graft.ops.Sketches.monthlyDistinctFromDaily(daily)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2))).toSeq
+    // exact monthly distincts straight from raw events
+    val exact = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("month", to_date(col("ts"))).cast("date").as("month"))
+      .agg(count_distinct(col("user_id")).as("exact_n"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        r.getLong(2))).toMap
+    assert(monthly.nonEmpty)
+    monthly.foreach { case (et, m, est) =>
+      val ex = exact((et, m))
+      // lgConfigK=12 → ~1.6% RSE; allow 3 sigma + discreteness
+      assert(math.abs(est - ex) <= math.max(2.0, ex * 0.05),
+        s"sketch rollup $est vs exact $ex for ($et, $m)")
+    }
+    daily.unpersist()
+  }
+
   test("content-hash split: dup-consistent and partitioning-invariant") {
     val split = graft.ops.Mix.trainTestSplit(spark, sf)
     // exact duplicates must land on the same side (same content hash)
