@@ -181,6 +181,17 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       assert(math.abs(est - ex) <= math.max(2.0, ex * 0.05),
         s"sketch rollup $est vs exact $ex for ($et, $m)")
     }
+    // the point of mergeable sketches is PERSISTENCE: binary buffers
+    // round-trip through parquet and still union identically
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-sketch-store").toString + "/daily"
+    daily.write.mode("overwrite").parquet(store)
+    val reloaded = graft.ops.Sketches
+      .monthlyDistinctFromDaily(spark.read.parquet(store))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2))).toSet
+    assert(reloaded === monthly.toSet,
+      "sketch union differs after parquet round-trip")
     daily.unpersist()
   }
 
