@@ -27,6 +27,7 @@ object SparkEntry {
     "q_events_daily_agg" -> (Relational.eventsDailyAgg _),
     "q_events_daily_agg_hll" -> (Relational.eventsDailyAggApprox _),
     "q_monthly_sketch_rollup" -> (graft.ops.Sketches.monthlyUserEstimates _),
+    "q_monthly_quantile_rollup" -> (graft.ops.Sketches.monthlyValueQuantiles _),
     "q_distinct_types" -> (Relational.distinctEventTypes _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),

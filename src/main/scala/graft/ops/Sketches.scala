@@ -44,4 +44,29 @@ object Sketches {
     * OpsSpec). */
   def monthlyUserEstimates(spark: SparkSession, dir: String): DataFrame =
     monthlyDistinctFromDaily(dailyUserSketches(spark, dir))
+
+  /** The quantile analog (DataSketches KLL): per-day value sketches,
+    * merged to monthly percentiles without rescanning — what
+    * `approx_percentile` cannot do across queries. KLL rank error at
+    * the default k is ~1.3%; band vs exact asserted in OpsSpec. */
+  def dailyValueSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("kll_sketch_agg_double(value)").as("value_sketch"),
+        count(lit(1)).as("n_events"))
+
+  def monthlyQuantilesFromDaily(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"),
+        date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(expr(
+        "kll_sketch_get_quantile_double(" +
+          "kll_merge_agg_double(value_sketch), array(0.5D, 0.99D))")
+        .as("q"))
+      .select(col("event_type"), col("month"),
+        col("q").getItem(0).as("q50_est"),
+        col("q").getItem(1).as("q99_est"))
+
+  def monthlyValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    monthlyQuantilesFromDaily(dailyValueSketches(spark, dir))
 }

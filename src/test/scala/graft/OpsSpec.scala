@@ -195,6 +195,33 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     daily.unpersist()
   }
 
+  test("KLL sketch rollup: merged daily sketches bracket monthly " +
+    "quantiles within rank band") {
+    val monthly = graft.ops.Sketches
+      .monthlyValueQuantiles(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(monthly.nonEmpty)
+    // rank check: fraction of raw values ≤ estimate must bracket the
+    // target quantile within KLL rank error (~1.3%) + discreteness
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        date_trunc("month", to_date(col("ts"))).cast("date").as("month"),
+        col("value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    monthly.foreach { case (k, (q50, q99)) =>
+      val vs = events(k); val n = vs.length.toDouble
+      val tol = 0.013 * 3 + 2.0 / n
+      def rank(q: Double): Double = vs.count(_ <= q) / n
+      assert(rank(q50) >= 0.5 - tol && vs.count(_ < q50) / n <= 0.5 + tol,
+        s"q50 rank ${rank(q50)} outside band for $k")
+      assert(rank(q99) >= 0.99 - tol && vs.count(_ < q99) / n <= 0.99 + tol,
+        s"q99 rank ${rank(q99)} outside band for $k")
+    }
+  }
+
   test("content-hash split: dup-consistent and partitioning-invariant") {
     val split = graft.ops.Mix.trainTestSplit(spark, sf)
     // exact duplicates must land on the same side (same content hash)
