@@ -43,9 +43,16 @@ case class SketchModeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** `spark.sql.extensions` entry point: sketch-mode rule + the graft SQL
-  * functions (dot_product etc.) registered session-wide. */
+  * functions registered session-wide (vs the runtime
+  * `VectorFunctions.register`, which is temp-function-per-session). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(SketchModeRule)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(exprs(0), exprs(1))))
   }
 }

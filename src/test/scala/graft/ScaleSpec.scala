@@ -220,13 +220,16 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
 
   test("GraftExtensions registers the rule via the session builder") {
     import org.apache.spark.sql.SparkSession
+    // touch the shared session BEFORE clearing: lazy init after the
+    // clears would re-register itself and getOrCreate would return it
+    val master = spark.sparkContext.master
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
       // reuses the shared SparkContext but builds a NEW session with
       // the extension applied — the spark.sql.extensions code path
       val s2 = SparkSession.builder()
-        .master(spark.sparkContext.master)
+        .master(master)
         .withExtensions(new graft.plans.GraftExtensions())
         .getOrCreate()
       assert(s2 ne spark)
@@ -235,6 +238,11 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("count(distinct"), plan)
       assert(plan.contains("approx_count_distinct"), plan)
+      // injected SQL function is available without runtime registration
+      val d = s2.sql(
+        "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head.getDouble(0)
+      assert(d === 11.0)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
