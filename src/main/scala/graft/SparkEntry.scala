@@ -97,6 +97,7 @@ object SparkEntry {
     // near-dup clustering: pair graph → connected components → survivors
     "q_near_dup_components" -> (graft.ops.Components.nearDupComponents _),
     "q_dedup_survivors" -> (graft.ops.Components.dedupNearSurvivors _),
+    "q_corpus_clean" -> (graft.ops.Components.cleanCorpus _),
     "q_dedup_clusters_lsh" -> (graft.ops.Components.lshDedupClusters _),
     "q_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashLshPairs(s, d)),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_redact_docs" -> graft.ops.Redact.redactDocsSql,
     "q_near_dup_components" -> graft.ops.Components.nearDupComponentsSql,
     "q_dedup_survivors" -> graft.ops.Components.dedupNearSurvivorsSql,
+    "q_corpus_clean" -> graft.ops.Components.cleanCorpusSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,
     "q_top_terms" -> graft.ops.Terms.topTermsPerDocSql,
     "q_sample_stratified" -> graft.ops.Mix.stratifiedSampleSql,

@@ -130,6 +130,26 @@ object Components {
       .select(col("node").as("doc_id"), col("component"))
   }
 
+  /** The end-user deliverable: the cleaned corpus. Near-dup components
+    * subsume exact dedup (exact duplicates have Jaccard 1 and land in
+    * one component), so keeping each component's minimum doc_id yields
+    * the corpus with BOTH exact and near duplicates removed — one
+    * semi-join against the survivor set. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .join(dedupNearSurvivors(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+
+  val cleanCorpusSql: String =
+    nearDupComponentsSql.replace(
+      """SELECT src AS doc_id, MIN(dst) AS component
+        |FROM reach GROUP BY src""".stripMargin,
+      """, comp AS (SELECT src AS doc_id, MIN(dst) AS component
+        |           FROM reach GROUP BY src)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM comp GROUP BY component)""".stripMargin)
+
   /** Survivors after near-dup clustering: one document (min doc_id) per
     * component — the rows a training pipeline would keep. */
   def dedupNearSurvivors(spark: SparkSession, dir: String): DataFrame =
