@@ -115,6 +115,32 @@ class StatefulSpec extends AnyFunSuite with SharedSpark {
     assert(out.select("event_id").distinct().count() === 200L)
   }
 
+  test("HLL sketch aggregate runs under streaming and matches batch") {
+    // the ingest-grain sketch build must work in the stream itself so
+    // the sketch store stays current without batch backfills
+    val stream = StreamAggregator.eventsStream(spark, s"$sf/{events.parquet}")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("distinct_users_est"))
+    val q = stream.writeStream
+      .outputMode("complete").format("memory").queryName("sketch_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sketch-stream-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sketch_stream")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("distinct_users_est"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("custom sessionization matches Spark's native session_window") {
     // same 30-minute gap; session_window's end is last_ts + gap (not
     // max ts), so compare on (user, start, n_events). Boundary
