@@ -46,6 +46,8 @@ object SparkEntry {
     "q_array_agg" -> (AnsiSurface.customerOrderArraysCsv _),
     "q_array_agg_raw" -> (AnsiSurface.customerOrderArrays _),
     "q_cube" -> (AnsiSurface.pricingCube _),
+    "q_map_funcs" -> (AnsiSurface.statusCountMaps _),
+    "q_stable_ids" -> (graft.ops.Pack.docStableIds _),
     // §2.5 + §2.6 window / top-k / sort (W1, P4, O1, O2)
     "q_topk_best_day" -> (Relational.topKByBestDay _),
     "q_sorted_agg" -> (Relational.sortedAggDump _),
@@ -153,6 +155,8 @@ object SparkEntry {
     "q_pivot" -> AnsiSurface.ordersPivotByStatusSql,
     "q_array_agg" -> AnsiSurface.customerOrderArraysCsvSql,
     "q_cube" -> AnsiSurface.pricingCubeSql,
+    "q_map_funcs" -> AnsiSurface.statusCountMapsSql,
+    "q_stable_ids" -> graft.ops.Pack.docStableIdsSql,
     "q_topk_best_day" -> Relational.topKByBestDaySql,
     "q_sorted_agg" -> Relational.sortedAggDumpSql,
     "q_argmax_per_customer" -> Relational.latestBestOrderPerCustomerSql,

@@ -168,6 +168,40 @@ object AnsiSurface {
       |       COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** Map-typed values as first-class columns: per-priority status→count
+    * maps built with map_from_entries, queried with map_keys /
+    * element_at, and rendered canonically (sorted k:v CSV) for the
+    * hash compare — the oracle states the same facts relationally
+    * (maps don't hash through the driver's pandas compare, same as
+    * raw arrays). */
+  def statusCountMaps(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    val m = map_from_entries(sort_array(
+      collect_list(struct(col("o_orderstatus"), col("n")))))
+    counts.groupBy("o_orderpriority")
+      .agg(m.as("m"))
+      .select(col("o_orderpriority"),
+        size(map_keys(col("m"))).as("n_statuses"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+        array_join(transform(map_keys(col("m")),
+          k => concat(k, lit(":"), element_at(col("m"), k))), ",")
+          .as("status_counts_csv"))
+  }
+
+  val statusCountMapsSql: String =
+    """SELECT o_orderpriority,
+      |       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      |       CAST(COALESCE(SUM(n) FILTER (WHERE o_orderstatus = 'F'), 0)
+      |            AS BIGINT) AS n_f,
+      |       string_agg(sc, ',' ORDER BY sc) AS status_counts_csv
+      |FROM (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      |         o_orderstatus || ':' || COUNT(*) AS sc
+      |  FROM orders GROUP BY o_orderpriority, o_orderstatus)
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** CUBE: all grouping-set combinations of (returnflag, linestatus). */
   def pricingCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -82,6 +82,25 @@ object Pack {
       |       (cum_tokens - w) // 4096 AS shard_id
       |FROM c""".stripMargin
 
+  /** Stable contiguous row ids in key order — the scalable form of
+    * zipWithIndex / ROW_NUMBER-over-everything (both of which either
+    * funnel through one task or depend on partition layout):
+    * weight-1 prefix sums ARE 1-based global positions, computed by
+    * the same two-pass machinery, cluster-size-invariant. The id a
+    * training pipeline stamps on examples before sharding. */
+  def assignStableIds(df: DataFrame, orderCol: String,
+      numParts: Int = 32): DataFrame =
+    packIntoShards(df, orderCol, lit(1L), budget = Long.MaxValue, numParts)
+      .select(col(orderCol), col("cum_tokens").as("row_idx"))
+
+  def docStableIds(spark: SparkSession, dir: String): DataFrame =
+    assignStableIds(Tables.documents(spark, dir), "doc_id")
+
+  val docStableIdsSql: String =
+    """SELECT doc_id,
+      |       ROW_NUMBER() OVER (ORDER BY doc_id) AS row_idx
+      |FROM documents""".stripMargin
+
   /** Per-shard manifest: member count + token total per shard — what a
     * training loader reads. Every shard except possibly the last holds
     * > budget - max_doc_tokens and ≤ budget + last-doc overhang. */
