@@ -126,6 +126,8 @@ object SparkEntry {
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
+    "q_winnow_fp_portable" -> ((s: SparkSession, d: String) =>
+      graft.ops.TextStats.winnowingPortable(s, d)),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) =>
       Similarity.nearDupPairsExact(s, d)),
     "q_embed_near_dup_lsh" -> ((s: SparkSession, d: String) =>
@@ -185,6 +187,7 @@ object SparkEntry {
     "q_quality_filtered" -> TextStats.qualityFilteredSql,
     "q_fingerprints" -> TextStats.fingerprintsSql,
     "q_lang_id" -> TextStats.langIdSql,
+    "q_winnow_fp_portable" -> TextStats.winnowingPortableSql,
     "q_dedup_groups" -> Dedup.exactDupGroupsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,

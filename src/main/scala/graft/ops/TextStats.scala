@@ -234,6 +234,53 @@ object TextStats {
       .select(col("doc_id"), size(col("fingerprints")).as("n_fingerprints"),
         col("fingerprints"))
 
+  /** Oracle variant of winnowing: identical algorithm with the k-gram
+    * hash swapped from xxhash64 (engine-native, fast path) to an
+    * md5-low-bits integer that BOTH engines compute identically — so
+    * the fingerprint COUNTS hash-match DuckDB, proving the winnow
+    * machinery (k-gram explode, sliding minima, full-window cut,
+    * distinct) end-to-end. The xxhash64 path stays the production
+    * default; only the hash differs. */
+  def winnowingPortable(spark: SparkSession, dir: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kgramHash =
+      conv(substring(md5(col("text").substr(col("col"), lit(k))), 25, 8),
+        16, 10).cast("long")
+    val positions = Tables.documents(spark, dir)
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")) - (k - 1))))
+      .select(col("doc_id"), col("col").as("pos"), kgramHash.as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val maxPos = Window.partitionBy(col("doc_id"))
+    positions
+      .withColumn("win_min", min(col("h")).over(win))
+      .withColumn("max_pos", max(col("pos")).over(maxPos))
+      .where(col("pos") <= col("max_pos") - (w - 1))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("win_min")).as("n_fingerprints"))
+  }
+
+  val winnowingPortableSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |         CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 25, 8))
+      |              AS BIGINT) AS h
+      |  FROM documents, UNNEST(range(1, length(text) - 6)) AS u(i)
+      |  WHERE length(text) >= 8),
+      |m AS (
+      |  SELECT doc_id, i,
+      |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+      |           AS win_min,
+      |         MAX(i) OVER (PARTITION BY doc_id) AS max_i
+      |  FROM pos)
+      |SELECT doc_id, COUNT(DISTINCT win_min) AS n_fingerprints
+      |FROM m WHERE i <= max_i - 3
+      |GROUP BY doc_id""".stripMargin
+
   // ----- language ID -----
 
   /** Per-language marker stopword profiles (public, standard closed-class
