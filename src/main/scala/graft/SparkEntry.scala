@@ -103,6 +103,8 @@ object SparkEntry {
     "q_dedup_clusters_lsh" -> (graft.ops.Components.lshDedupClusters _),
     "q_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashLshPairs(s, d)),
+    "q_minhash_lsh_portable" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLshPairsPortable(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d)),
     // term statistics (TF-IDF family)
@@ -188,6 +190,7 @@ object SparkEntry {
     "q_fingerprints" -> TextStats.fingerprintsSql,
     "q_lang_id" -> TextStats.langIdSql,
     "q_winnow_fp_portable" -> TextStats.winnowingPortableSql,
+    "q_minhash_lsh_portable" -> Dedup.minhashLshPairsPortableSql,
     "q_dedup_groups" -> Dedup.exactDupGroupsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,

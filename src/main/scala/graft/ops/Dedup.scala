@@ -277,6 +277,89 @@ object Dedup {
       .select("new_id", "old_id", "est_jaccard")
   }
 
+  /** Oracle variant of the FULL MinHash+LSH pipeline with every hash
+    * swapped to md5-low-bits integers both engines compute identically:
+    * 16 seeded min-hashes per doc, 4 bands of 4 rows keyed by the md5
+    * of the band's stringified slice, candidate pairs from the band
+    * join, estimated Jaccard = agreeing components / 16. Proves the
+    * banding machinery end-to-end against DuckDB — the xxhash64
+    * 64-hash path stays the production default (same shape, faster
+    * hash, more hashes). */
+  def minhashLshPairsPortable(spark: SparkSession, dir: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val numHashes = 16
+    val bands = 4
+    val rowsPerBand = numHashes / bands
+    def pHash(seed: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"$seed:"), c)), 25, 8), 16, 10)
+        .cast("long")
+    val sh = shingles(Tables.documents(spark, dir), n)
+    val minCols = (0 until numHashes).map(s =>
+      min(pHash(s, col("shingle"))).as(s"mh_$s"))
+    val sigs = sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .cache()
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"mh_${b * rowsPerBand + r}").cast("string")): _*))
+          .as("band_hash"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until numHashes).map(s =>
+      when(col(s"a.mh_$s") === col(s"b.mh_$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= tau)
+  }
+
+  val minhashLshPairsPortableSql: String = {
+    val minExprs = (0 until 16).map(s =>
+      s"min(CAST(('0x' || substr(md5('$s:' || s), 25, 8)) AS BIGINT)) AS mh_$s")
+      .mkString(",\n       ")
+    val bandSelects = (0 until 4).map { b =>
+      val slice = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($slice) AS band_hash FROM mh"
+    }.mkString("\nUNION ALL\n")
+    val matchSum = (0 until 16)
+      .map(s => s"CASE WHEN x.mh_$s = y.mh_$s THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+       |       FROM t, UNNEST(range(1, len(toks)-1)) AS u(i)
+       |       WHERE len(toks) >= 3),
+       |mh AS (SELECT doc_id,
+       |       $minExprs
+       |       FROM sh GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST($matchSum AS DOUBLE) / 16 AS est_jaccard
+       |FROM pairs
+       |JOIN mh x ON pairs.doc_a = x.doc_id
+       |JOIN mh y ON pairs.doc_b = y.doc_id
+       |WHERE CAST($matchSum AS DOUBLE) / 16 >= 0.5""".stripMargin
+  }
+
   // ----- SimHash -----
 
   /** 64-bit SimHash per document: each token hashes to 64 bits; bit b of
