@@ -107,6 +107,8 @@ object SparkEntry {
       Dedup.minhashLshPairsPortable(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d)),
+    "q_simhash_portable" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashPairsPortable(s, d)),
     // term statistics (TF-IDF family)
     "q_term_stats" -> (graft.ops.Terms.termStats _),
     "q_top_terms" -> ((s: SparkSession, d: String) =>
@@ -191,6 +193,7 @@ object SparkEntry {
     "q_lang_id" -> TextStats.langIdSql,
     "q_winnow_fp_portable" -> TextStats.winnowingPortableSql,
     "q_minhash_lsh_portable" -> Dedup.minhashLshPairsPortableSql,
+    "q_simhash_portable" -> Dedup.simhashPairsPortableSql,
     "q_dedup_groups" -> Dedup.exactDupGroupsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,

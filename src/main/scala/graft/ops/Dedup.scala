@@ -362,6 +362,74 @@ object Dedup {
 
   // ----- SimHash -----
 
+  /** Oracle twin of the SimHash pipeline: 60-bit signatures (md5 low 60
+    * bits per token — 15 hex chars keep the value inside signed BIGINT
+    * on both engines), per-bit ±1 votes, 4×15-bit pigeonhole quarters,
+    * bit_count-verified Hamming ≤ 3. Every step is integer arithmetic
+    * both engines compute identically, so the emitted pairs hash-match
+    * DuckDB — proving the vote/assemble/bucket machinery. The xxhash64
+    * 64-bit path stays the production default. */
+  def simhashPairsPortable(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h",
+        conv(substring(md5(col("token")), 18, 15), 16, 10).cast("long"))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"v_$b"))
+    val sigExpr = (0 until bits)
+      .map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = tokens.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), sigExpr.as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
+      .withColumnRenamed("pos", "quarter")
+      .withColumnRenamed("col", "quarter_bits")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.quarter") === col("b.quarter") &&
+          col("a.quarter_bits") === col("b.quarter_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  val simhashPairsPortableSql: String = {
+    val votes = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(",\n       ")
+    val sig = (0 until 60)
+      .map(b => s"(CASE WHEN v_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val quarters = (0 until 4).map(q =>
+      s"SELECT doc_id, $q AS quarter, (sig >> ${q * 15}) & 32767 AS qb, sig FROM s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, t.token
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x' || substr(md5(token), 18, 15)) AS BIGINT) AS h
+       |      FROM tok),
+       |v AS (SELECT doc_id,
+       |       $votes
+       |      FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, $sig AS sig FROM v),
+       |q AS ($quarters)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM q a JOIN q b
+       |  ON a.quarter = b.quarter AND a.qb = b.qb AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
+
   /** 64-bit SimHash per document: each token hashes to 64 bits; bit b of
     * the signature is the majority vote (+1/−1) of token-hash bit b.
     * Same codegen-friendly shape as [[minhashSignatures]]: explode
