@@ -101,6 +101,8 @@ object SparkEntry {
     "q_dedup_survivors" -> (graft.ops.Components.dedupNearSurvivors _),
     "q_corpus_clean" -> (graft.ops.Components.cleanCorpus _),
     "q_dedup_clusters_lsh" -> (graft.ops.Components.lshDedupClusters _),
+    "q_dedup_clusters_portable" ->
+      (graft.ops.Components.lshDedupClustersPortable _),
     "q_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashLshPairs(s, d)),
     "q_minhash_lsh_portable" -> ((s: SparkSession, d: String) =>
@@ -194,6 +196,8 @@ object SparkEntry {
     "q_winnow_fp_portable" -> TextStats.winnowingPortableSql,
     "q_minhash_lsh_portable" -> Dedup.minhashLshPairsPortableSql,
     "q_simhash_portable" -> Dedup.simhashPairsPortableSql,
+    "q_dedup_clusters_portable" ->
+      graft.ops.Components.lshDedupClustersPortableSql,
     "q_dedup_groups" -> Dedup.exactDupGroupsSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,

@@ -59,6 +59,12 @@ object Stress100 {
     t("sessions 10M      ")(force(graft.streaming.Sessionize.sessionsQuery(spark, out)))
     t("asof 10Mx15M      ")(force(graft.plans.AsOfJoin.eventsWithLatestOrder(spark, out)))
 
+    // document ops at 20× (100k docs, 4× duplication preserved by id
+    // offsetting): the full LSH → connected-components dedup flow
+    t("build 100k docs   ")(xN(graft.core.Tables.documents(spark, dir), "doc_id", 20)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet"))
+    t("lsh clusters 100k ")(force(graft.ops.Components.lshDedupClusters(spark, out)))
+
     // streaming throughput at 10M events: paced file stream through the
     // reference-shaped stateful aggregate into a memory sink
     t("stream agg 10M    ") {

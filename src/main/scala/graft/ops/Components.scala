@@ -130,6 +130,41 @@ object Components {
       .select(col("node").as("doc_id"), col("component"))
   }
 
+  /** The production dedup flow proven END-TO-END: connected components
+    * over the portable-hash MinHash+LSH pairs — sketch, band, bucket
+    * join, candidate verify, AND clustering all hash-match DuckDB in
+    * one composed query (the xxhash64 LSH clusters stay the fast
+    * path; this twin differs only in the hash function). */
+  def lshDedupClustersPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"))
+    val edges = Dedup.minhashLshPairsPortable(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs, edges)
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
+  val lshDedupClustersPortableSql: String = {
+    // reuse the portable LSH pair SQL as a CTE feeding the closure
+    val pairs = Dedup.minhashLshPairsPortableSql
+      .replaceFirst("^WITH ", "")
+      .replace(
+        """SELECT doc_a, doc_b,
+          |       CAST""".stripMargin,
+        """, lshp AS (SELECT doc_a, doc_b,
+          |       CAST""".stripMargin)
+    s"""WITH RECURSIVE $pairs),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM lshp
+       |      UNION SELECT doc_b, doc_a FROM lshp),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+       |)
+       |SELECT src AS doc_id, MIN(dst) AS component
+       |FROM reach GROUP BY src""".stripMargin
+  }
+
   /** The end-user deliverable: the cleaned corpus. Near-dup components
     * subsume exact dedup (exact duplicates have Jaccard 1 and land in
     * one component), so keeping each component's minimum doc_id yields
