@@ -42,9 +42,10 @@ object SparkEntry {
     "q_string_funcs" -> (AnsiSurface.partNameStrings _),
     "q_date_parts" -> (AnsiSurface.ordersByDateParts _),
     "q_pivot" -> (AnsiSurface.ordersPivotByStatus _),
-    // hash-oracled CSV rendering; raw-array form stays rows-checked
+    // hash-oracled CSV rendering; the raw-array form is library-only
+    // (list cells crash the driver's pandas canonicalization — covered
+    // by AnsiSpec instead)
     "q_array_agg" -> (AnsiSurface.customerOrderArraysCsv _),
-    "q_array_agg_raw" -> (AnsiSurface.customerOrderArrays _),
     "q_cube" -> (AnsiSurface.pricingCube _),
     "q_map_funcs" -> (AnsiSurface.statusCountMaps _),
     "q_stable_ids" -> (graft.ops.Pack.docStableIds _),

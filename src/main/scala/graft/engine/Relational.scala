@@ -318,9 +318,9 @@ object Relational {
       |p AS (SELECT user_id, ts AS purchase_ts FROM e
       |      WHERE event_type = 'purchase')
       |SELECT s.user_id, s.first_signup, s.n_signups,
-      |       SUM(CASE WHEN p.purchase_ts >= s.first_signup
+      |       CAST(SUM(CASE WHEN p.purchase_ts >= s.first_signup
       |                 AND p.purchase_ts <= s.first_signup + INTERVAL 7 DAY
-      |                THEN 1 ELSE 0 END) AS n_purchases_7d,
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases_7d,
       |       SUM(CASE WHEN p.purchase_ts >= s.first_signup
       |                 AND p.purchase_ts <= s.first_signup + INTERVAL 7 DAY
       |                THEN 1 ELSE 0 END) > 0 AS converted

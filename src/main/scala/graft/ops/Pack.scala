@@ -75,8 +75,8 @@ object Pack {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, w,
-      |         SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-      |           AS cum_tokens
+      |         CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS cum_tokens
       |  FROM w)
       |SELECT doc_id, w, cum_tokens,
       |       (cum_tokens - w) // 4096 AS shard_id
@@ -112,7 +112,7 @@ object Pack {
 
   val shardManifestSql: String =
     packDocsSql.replace("SELECT doc_id, w, cum_tokens,",
-      "SELECT shard_id, COUNT(*) AS n_docs, SUM(w) AS shard_tokens, " +
+      "SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS shard_tokens, " +
         "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM (SELECT doc_id, w, cum_tokens,")
       .replace("FROM c", "FROM c) GROUP BY shard_id")
   }

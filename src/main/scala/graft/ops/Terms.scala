@@ -43,7 +43,7 @@ object Terms {
       |  SELECT doc_id, t.term, COUNT(*) AS tf
       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
       |  GROUP BY 1, 2)
-      |SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf
+      |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
       |FROM tf GROUP BY term
       |ORDER BY df DESC, term LIMIT 100""".stripMargin
 

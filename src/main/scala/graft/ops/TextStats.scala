@@ -321,11 +321,13 @@ object TextStats {
       .otherwise(lit("und"))
   }
 
-  /** Language-ID over documents. No SQL oracle (heuristic, not
-    * SQL-expressible compactly) — correctness asserted in LangIdSpec on
-    * crafted multilingual fixtures; the corpus `lang` column is a random
-    * label over uniformly English-vocab synthetic text, so agreement
-    * with it is not a meaningful target. */
+  /** Language-ID over documents. Hash-oracled via [[langIdSql]] (every
+    * signal is an integer count or script-range regex, so the heuristic
+    * is SQL-portable; see the tie-break equivalence note there).
+    * Behavioral correctness on crafted multilingual fixtures is asserted
+    * in LangIdSpec; the corpus `lang` column is a random label over
+    * uniformly English-vocab synthetic text, so agreement with it is not
+    * a meaningful target. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), langIdCol(col("text")).as("lang_pred"))
