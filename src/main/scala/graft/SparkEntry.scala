@@ -122,9 +122,14 @@ object SparkEntry {
     "q_train_test_split" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.trainTestSplit(s, d)),
     "q_split_leakage" -> (graft.ops.Mix.crossSplitLeakage _),
-    // shard packing (distributed prefix sum)
+    // shard packing (distributed prefix sum) + corpus shuffle
     "q_pack_shards" -> (graft.ops.Pack.packDocs _),
     "q_shard_manifest" -> (graft.ops.Pack.shardManifest _),
+    "q_corpus_shuffle" -> ((s: SparkSession, d: String) =>
+      graft.ops.Pack.corpusShuffle(s, d)),
+    // chunking + repetition quality signals
+    "q_chunk_docs" -> (graft.ops.Chunk.chunkDocs _),
+    "q_repetition" -> (graft.ops.Repetition.repetitionSignals _),
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
@@ -139,6 +144,10 @@ object SparkEntry {
       Similarity.nearDupPairsExact(s, d)),
     "q_embed_near_dup_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.lshNearDupPairs(s, d)),
+    // SemDeDup-style: IVF-cell-bucketed pairs -> CC clusters (rows-only:
+    // float-seeded centroids; recall/precision asserted in PipelineOpsSpec)
+    "q_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDedupClusters(s, d)),
     // multimodal plumbing
     "q_media_features" -> (Multimodal.featureSummary _),
     "q_media_frames" -> (Multimodal.frameSampleSummary _),
@@ -214,6 +223,9 @@ object SparkEntry {
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,
     "q_pack_shards" -> graft.ops.Pack.packDocsSql,
     "q_shard_manifest" -> graft.ops.Pack.shardManifestSql,
+    "q_corpus_shuffle" -> graft.ops.Pack.corpusShuffleSql,
+    "q_chunk_docs" -> graft.ops.Chunk.chunkDocsSql,
+    "q_repetition" -> graft.ops.Repetition.repetitionSignalsSql,
     "q_ann_topk" -> Similarity.bruteForceTopKSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
     "q_media_frames" -> Multimodal.frameSampleSummarySql

@@ -101,6 +101,48 @@ object Pack {
       |       ROW_NUMBER() OVER (ORDER BY doc_id) AS row_idx
       |FROM documents""".stripMargin
 
+  /** Deterministic global corpus shuffle + shard assignment — the
+    * "shuffle the data once before training" step. Ordering by a
+    * content-free seeded hash of the key gives a reproducible
+    * pseudo-random permutation with no `rand()` (partition-order
+    * dependent) and no driver-side state; the position comes from the
+    * same distributed prefix-sum machinery as [[assignStableIds]], so
+    * it is cluster-size-invariant and never funnels through one task.
+    * The shard is a hash bucket (md5 low bits, the Mix.contentBucket
+    * pattern) — stable under re-runs and independent of the position.
+    * md5 (not xxhash64) keeps the whole thing engine-portable, hence
+    * hash-oracled; the cost difference is irrelevant next to the scan.
+    *
+    * The hash-ordered sort key carries doc_id as a suffix (hash first
+    * ⇒ order is by hash; suffix ⇒ unique even on a hash collision), and
+    * doc_id is parsed back out afterwards rather than re-joined — the
+    * prefix-sum shuffle stays (key, weight)-slim and no second join
+    * shuffle appears.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String, seed: Int = 0,
+      nShards: Int = 8): DataFrame = {
+    val keyed = Tables.documents(spark, dir).select(
+      concat(md5(concat(lit(s"graft:$seed:"), col("doc_id").cast("string"))),
+        lit(":"), col("doc_id").cast("string")).as("k"))
+    assignStableIds(keyed, "k")
+      .select(
+        element_at(split(col("k"), ":"), 2).cast("long").as("doc_id"),
+        col("row_idx").as("shuffle_pos"),
+        (conv(substring(element_at(split(col("k"), ":"), 1), 25, 8), 16, 10)
+          .cast("long") % nShards).as("shard"))
+  }
+
+  val corpusShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         md5('graft:0:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents)
+      |SELECT doc_id,
+      |       ROW_NUMBER() OVER (ORDER BY h || ':' || CAST(doc_id AS VARCHAR))
+      |         AS shuffle_pos,
+      |       CAST(concat('0x', substr(h, 25, 8)) AS BIGINT) % 8 AS shard
+      |FROM h""".stripMargin
+
   /** Per-shard manifest: member count + token total per shard — what a
     * training loader reads. Every shard except possibly the last holds
     * > budget - max_doc_tokens and ≤ budget + last-doc overhang. */

@@ -206,6 +206,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** SemDeDup-style semantic dedup: cluster embeddings by their IVF
+    * cell, verify cosine ≥ tau only WITHIN cells, then connected
+    * components over the verified pairs; the survivor of each
+    * component is its min vec_id. The embedding analogue of the
+    * LSH→clusters text flow (Components.lshDedupClusters): candidate
+    * generation is bucketed (cell join, cost ∝ cell occupancy²·cells,
+    * not corpus²), verification is exact, clustering is the same
+    * pointer-jumping CC.
+    *
+    * Scale shape: one shuffle of (cell, vec_id, vec) per join side —
+    * linear in corpus size, like any repartition — then id-only pairs
+    * into CC. Cross-cell near-dup pairs are missed by construction
+    * (that is the recall/cost trade); recall and pair precision vs the
+    * exact-pair clustering are asserted in PipelineOpsSpec. Rows-only
+    * at the driver gate: centroid averaging is float arithmetic, not
+    * bit-portable across engines. */
+  def semanticDedupClusters(spark: SparkSession, dir: String,
+      tau: Double = 0.4, cells: Int = 16): DataFrame = {
+    val corpus = normalized(spark, dir).cache()
+    val cents = ivfCentroids(corpus, cells)
+    val scored = array(cents.map { case (cid, c) =>
+      struct(dot(col("vec"), array(c.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }: _*)
+    val assigned = corpus.withColumn("cell",
+      slice(reverse(array_sort(scored)), 1, 1).getItem(0).getField("cid"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(dot(col("a.vec"), col("b.vec")) >= tau)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    Components.connectedComponents(
+        corpus.select(col("vec_id").as("node")), pairs)
+      .select(col("node").as("vec_id"), col("component").as("cluster"))
+  }
+
+  /** Survivors of [[semanticDedupClusters]]: one representative (min
+    * vec_id) per semantic cluster — the rows a training mix keeps. */
+  def semanticDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupClusters(spark, dir)
+      .where(col("vec_id") === col("cluster"))
+      .select(col("vec_id"))
+
   /** Deterministic pseudo-random unit hyperplanes (seeded, so plans are
     * reproducible across runs and engines). */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Chunk, Components, Pack, Repetition, Similarity}
+
+/** Round-3 training-pipeline ops: chunking, repetition signals,
+  * deterministic corpus shuffle. */
+class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  // ----- chunking -----
+
+  test("chunkTokens: window/stride cover every token, last chunk reaches end") {
+    val words = (1 to 10).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Chunk.chunkTokens(docs, window = 4, stride = 3)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_chunk_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // i_max = ceil((10-4)/3) = 2 -> chunks at offsets 0, 3, 6
+    assert(got.toSeq === Seq(
+      (0L, "w1 w2 w3 w4", 4),
+      (1L, "w4 w5 w6 w7", 4),
+      (2L, "w7 w8 w9 w10", 4)))
+  }
+
+  test("chunkTokens: short doc yields exactly one whole-doc chunk") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = Chunk.chunkTokens(docs, window = 64, stride = 48).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("chunk_text") === "a b c")
+    assert(got.head.getAs[Int]("n_chunk_tokens") === 3)
+  }
+
+  test("chunkDocs covers every corpus token exactly: sum of chunk tokens " +
+    "= n_tokens + overlap") {
+    // With window 64 / stride 48, each non-final chunk adds 'window'
+    // fresh-or-overlap tokens; total chunk tokens = n + 16 * (chunks-1)
+    // per doc only when the final chunk is full — so assert the
+    // position-level invariant instead: max covered position = n.
+    val perDoc = Chunk.chunkDocs(spark, sf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("chunk_id") * 48 + col("n_chunk_tokens")).as("max_pos"))
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val bad = perDoc.join(toks, "doc_id")
+      .where(col("max_pos") =!= col("n")).count()
+    assert(bad === 0L)
+  }
+
+  // ----- repetition signals -----
+
+  test("repetition signals on crafted repetitive vs distinct docs") {
+    val docs = Seq(
+      (1L, "a a a a"),      // fully repetitive
+      (2L, "p q r s"),      // fully distinct
+      (3L, "solo")          // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val m = Repetition.signalsFor(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = m(1L)
+    assert(d1.getAs[Long]("n_tokens") === 4L)
+    assert(d1.getAs[Long]("n_distinct_tokens") === 1L)
+    assert(d1.getAs[Double]("distinct_token_ratio") === 0.25)
+    assert(d1.getAs[Double]("top_token_frac") === 1.0)
+    // bigrams: "a a" x3 -> dup frac 2/3, top frac 1
+    assert(d1.getAs[Long]("n_bigrams") === 3L)
+    assert(d1.getAs[Double]("dup_bigram_frac") === 2.0 / 3.0)
+    assert(d1.getAs[Double]("top_bigram_frac") === 1.0)
+
+    val d2 = m(2L)
+    assert(d2.getAs[Double]("distinct_token_ratio") === 1.0)
+    assert(d2.getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(d2.getAs[Double]("top_bigram_frac") === 1.0 / 3.0)
+
+    val d3 = m(3L)
+    assert(d3.getAs[Long]("n_bigrams") === 0L)
+    assert(d3.getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(d3.getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  // ----- semantic (embedding) dedup -----
+
+  test("semanticDedup refines the exact embedding clustering: pair " +
+    "precision 1.0, recall above 0.8") {
+    def coPairs(clusters: Map[Long, Long]): Set[(Long, Long)] =
+      clusters.groupBy(_._2).values.flatMap { m =>
+        val ids = m.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+
+    val exact = Components.connectedComponents(
+        Similarity.normalized(spark, sf).select(col("vec_id").as("node")),
+        Similarity.nearDupPairsExact(spark, sf)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sem = Similarity.semanticDedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(sem.keySet === exact.keySet) // every vector is clustered
+    val exactPairs = coPairs(exact)
+    val semPairs = coPairs(sem)
+    // within-cell pairs are exact-cosine verified, and CC only merges
+    // through verified pairs -> semantic clusters never merge vectors
+    // the exact clustering keeps apart
+    assert((semPairs -- exactPairs).isEmpty,
+      s"semantic co-clustered pairs not in exact: ${semPairs -- exactPairs}")
+    val recall = if (exactPairs.isEmpty) 1.0
+      else exactPairs.intersect(semPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"semantic dedup recall $recall")
+    // survivors = one per cluster
+    val surv = Similarity.semanticDedupSurvivors(spark, sf).count()
+    assert(surv === sem.values.toSet.size)
+  }
+
+  // ----- deterministic corpus shuffle -----
+
+  test("corpusShuffle is a permutation, matches the single-task global " +
+    "window, and is deterministic") {
+    val a = Pack.corpusShuffle(spark, sf)
+    val n = graft.core.Tables.documents(spark, sf).count()
+
+    val rows = a.collect()
+    assert(rows.length === n)
+    // positions are exactly 1..n
+    assert(rows.map(_.getAs[Long]("shuffle_pos")).sorted.toSeq
+      === (1L to n).toSeq)
+    // shards bounded
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 8 })
+
+    // distributed prefix-sum order == naive global ROW_NUMBER order
+    val naive = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat(md5(concat(lit("graft:0:"), col("doc_id").cast("string"))),
+          lit(":"), col("doc_id").cast("string")).as("k"))
+      .withColumn("pos", row_number().over(Window.orderBy("k")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val mism = a.join(naive, "doc_id")
+      .where(col("shuffle_pos") =!= col("pos")).count()
+    assert(mism === 0L)
+
+    // deterministic across invocations
+    val b = Pack.corpusShuffle(spark, sf)
+    assert(a.exceptAll(b).count() === 0L)
+
+    // a different seed actually permutes differently
+    val other = Pack.corpusShuffle(spark, sf, seed = 1)
+    val same = a.select("doc_id", "shuffle_pos")
+      .intersect(other.select("doc_id", "shuffle_pos")).count()
+    assert(same < n, s"seed 1 left all $n positions unchanged")
+  }
+}
