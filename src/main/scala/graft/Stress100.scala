@@ -64,6 +64,18 @@ object Stress100 {
     t("build 100k docs   ")(xN(graft.core.Tables.documents(spark, dir), "doc_id", 20)
       .write.mode("overwrite").parquet(s"$out/documents.parquet"))
     t("lsh clusters 100k ")(force(graft.ops.Components.lshDedupClusters(spark, out)))
+    t("chunk 100k docs   ")(force(graft.ops.Chunk.chunkDocs(spark, out)))
+    t("repetition 100k   ")(force(graft.ops.Repetition.repetitionSignals(spark, out)))
+    t("shuffle 100k docs ")(force(graft.ops.Pack.corpusShuffle(spark, out)))
+
+    // embeddings at 20× (40k vectors): SemDeDup under the auto-scaled
+    // cell count (occupancy held flat — the knob that keeps the
+    // within-cell pair join linear overall; a FIXED cell count was
+    // measured degrading toward all-pairs here)
+    t("build 40k embeds  ")(xN(graft.core.Tables.embeddings(spark, dir), "vec_id", 20)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet"))
+    t("semantic dedup 40k")(force(
+      graft.ops.Similarity.semanticDedupClusters(spark, out)))
 
     // streaming throughput at 10M events: paced file stream through the
     // reference-shaped stateful aggregate into a memory sink

@@ -94,9 +94,13 @@ object Similarity {
       .select(col("vec")).collect()
       .map(_.getSeq[Double](0).toArray).zipWithIndex
       .map { case (v, i) => (i, v) }
+    // sim MUST be the first struct field: array_max compares structs
+    // lexicographically, so (cid, sim) order would assign every vector
+    // to the highest cid — one degenerate centroid (caught by the 20×
+    // stress: "IVF" became one big cell, i.e. an all-pairs join)
     val seedCols = seeds.map { case (i, v) =>
-      struct(lit(i).as("cid"), dot(col("vec"), array(v.map(lit): _*))
-        .as("sim"))
+      struct(dot(col("vec"), array(v.map(lit): _*)).as("sim"),
+        lit(i).as("cid"))
     }
     // one Lloyd step: assign to best seed, average, renormalize
     val assigned = corpus.withColumn("best",
@@ -206,6 +210,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Centroids as a DATAFRAME (cid, cvec): k seeded sample vectors
+    * refined by one Lloyd step, with every vec·centroid product
+    * computed through a broadcast join — centroids are DATA, never
+    * plan literals. The literal-array form ([[ivfCentroids]], fine at
+    * k=16 for the ANN probes) embeds k·dim literals into each
+    * projection; at k=128 that is 8k+ expressions, past the codegen
+    * method-size limit, and the whole scoring drops to interpreted
+    * evaluation — measured 113× blowup at the 20× stress scale before
+    * this rewrite. The join form is codegen'd at any k. */
+  def ivfCentroidsDf(corpus: DataFrame, k: Int): DataFrame = {
+    // k rows: the window is bounded and intentional
+    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("vec_id")).cast("int") - 1)
+      .select(col("cid"), col("vec").as("cvec"))
+    val assigned = corpus.join(
+      assignCells(corpus, seeds.localCheckpoint()), "vec_id")
+    assigned.select(col("cell").as("cid"), posexplode(col("vec")))
+      .groupBy("cid", "pos").agg(avg("col").as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pairs"))
+      .select(col("cid"),
+        normalize(transform(col("pairs"), p => p.getField("m")))
+          .as("cvec"))
+  }
+
+  /** Top-`nprobe` centroid assignment via broadcast join: the n×k
+    * scored stream carries only (vec_id, cid, sim) — vectors never
+    * ride through the argmax shuffle. nprobe=1 reduces map-side
+    * (max_by partials); nprobe>1 ranks per vector. Ties break to the
+    * lowest cid, so assignment is deterministic. */
+  def assignCells(vectors: DataFrame, cents: DataFrame,
+      nprobe: Int = 1): DataFrame = {
+    val scored = vectors.select(col("vec_id"), col("vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        dot(col("vec"), col("cvec")).as("sim"))
+    if (nprobe == 1)
+      scored.groupBy("vec_id")
+        .agg(max_by(col("cid"),
+          struct(col("sim"), (-col("cid")).cast("double"))).as("cell"))
+    else {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= nprobe)
+        .select(col("vec_id"), col("cid").as("cell"))
+    }
+  }
+
   /** SemDeDup-style semantic dedup: cluster embeddings by their IVF
     * cell, verify cosine ≥ tau only WITHIN cells, then connected
     * components over the verified pairs; the survivor of each
@@ -215,29 +270,56 @@ object Similarity {
     * not corpus²), verification is exact, clustering is the same
     * pointer-jumping CC.
     *
-    * Scale shape: one shuffle of (cell, vec_id, vec) per join side —
-    * linear in corpus size, like any repartition — then id-only pairs
-    * into CC. Cross-cell near-dup pairs are missed by construction
-    * (that is the recall/cost trade); recall and pair precision vs the
-    * exact-pair clustering are asserted in PipelineOpsSpec. Rows-only
-    * at the driver gate: centroid averaging is float arithmetic, not
-    * bit-portable across engines. */
+    * THE scale knob is the cell count: candidate volume is
+    * n²·nprobe²/cells while centroid assignment is n·cells dots, so a
+    * FIXED cell count quietly degrades the cell join toward all-pairs
+    * (measured at the 20× stress: 128 fixed cells ⇒ occupancy 1250 ⇒
+    * 94.6M candidates = 12% of all-pairs, 265 s; auto-scaled ⇒
+    * 132 s total). The sum is minimized at cells ≈ nprobe·√n — total
+    * work Θ(n^1.5), the classic single-level IVF trade — which
+    * `cells = 0` (the default) self-tunes to; the join-based centroid
+    * path supports any k. Beyond ~10⁹ vectors a two-level centroid
+    * probe (√k coarse cells over the centroid table itself) takes the
+    * assignment term down again; the single-level shape here is the
+    * right default below that.
+    *
+    * Shuffle discipline: the bucket self-join and the candidate
+    * distinct move ids only; vectors re-attach afterwards with the
+    * strategy left to AQE, then id-only pairs feed CC. Cross-cell
+    * near-dup pairs are missed by construction (that is the
+    * recall/cost trade; nprobe buys recall — measured 1.0 at
+    * nprobe=4); recall and pair precision vs the exact-pair clustering
+    * are asserted in PipelineOpsSpec. Rows-only at the driver gate:
+    * centroid averaging is float arithmetic, not bit-portable across
+    * engines. */
   def semanticDedupClusters(spark: SparkSession, dir: String,
-      tau: Double = 0.4, cells: Int = 16): DataFrame = {
+      tau: Double = 0.4, cells: Int = 0, nprobe: Int = 4): DataFrame = {
     val corpus = normalized(spark, dir).cache()
-    val cents = ivfCentroids(corpus, cells)
-    val scored = array(cents.map { case (cid, c) =>
-      struct(dot(col("vec"), array(c.map(lit): _*)).as("sim"),
-        lit(cid).as("cid"))
-    }: _*)
-    val assigned = corpus.withColumn("cell",
-      slice(reverse(array_sort(scored)), 1, 1).getItem(0).getField("cid"))
-    val pairs = assigned.as("a")
-      .join(assigned.as("b"),
+    val k =
+      if (cells > 0) cells
+      else math.min(4096, math.max(16,
+        (nprobe * math.sqrt(corpus.count().toDouble)).toLong)).toInt
+    val cents = ivfCentroidsDf(corpus, k).localCheckpoint()
+    // multi-probe candidates: each vector lists its nprobe nearest
+    // cells; a pair is a candidate if the probe sets intersect. The
+    // bucket self-join and the distinct move ids only (the
+    // lshNearDupPairs shuffle discipline); vectors re-attach after,
+    // strategy left to AQE.
+    val buckets = assignCells(corpus, cents, nprobe)
+      .localCheckpoint()
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
-      .where(dot(col("a.vec"), col("b.vec")) >= tau)
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val pairs = candidates
+      .join(corpus.select(col("vec_id").as("vec_a"),
+        col("vec").as("va")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"),
+        col("vec").as("vb")), "vec_b")
+      .where(dot(col("va"), col("vb")) >= tau)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     Components.connectedComponents(
         corpus.select(col("vec_id").as("node")), pairs)
       .select(col("node").as("vec_id"), col("component").as("cluster"))

@@ -112,6 +112,33 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     spark.catalog.clearCache()
   }
 
+  test("chunking is pure per-row compute: no exchange in the plan") {
+    val plan = graft.ops.Chunk.chunkDocs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n$plan")
+  }
+
+  test("repetition signals aggregate with map-side partials") {
+    val plan = graft.ops.Repetition.repetitionSignals(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both keyed aggregations must run partial -> final, so the
+    // exploded gram stream combines before it shuffles
+    assert(plan.contains("partial_count"),
+      s"no partial aggregation in repetition plan:\n$plan")
+  }
+
+  test("corpus shuffle inherits the prefix-sum shape: no single-task " +
+    "stage, no join-back") {
+    val df = graft.ops.Pack.corpusShuffle(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"corpus shuffle collapsed to a single partition:\n$plan")
+    // doc_id is parsed back out of the sort key, never re-joined
+    assert(!plan.contains("Join"), s"unexpected join-back:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     // one hot key owning most rows — the shape that stalls a shuffle
     // join on a single straggler task. AQE must detect and split it.
