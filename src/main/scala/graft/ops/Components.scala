@@ -59,11 +59,15 @@ object Components {
           col("component").as("nbr_comp")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("nbr_comp").as("nbr_comp"))
+      // the previous label rides along as `old` so the convergence
+      // check below reads the checkpointed frame directly — no extra
+      // join-back per round
       val adopted = labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"),
-            coalesce(col("nbr_comp"), col("component"))).as("component"))
+            coalesce(col("nbr_comp"), col("component"))).as("component"),
+          col("component").as("old"))
       // pointer jump: component := component(component) — compresses
       // label chains so convergence is logarithmic, not diameter-bound
       val jumped = adopted
@@ -71,12 +75,11 @@ object Components {
           col("component").as("parent")), Seq("component"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("parent"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("old"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.withColumnRenamed("component", "old"), "node")
-        .where(col("component") =!= col("old")).count()
-      labels = jumped
+      changed = jumped.where(col("component") =!= col("old")).count()
+      labels = jumped.select("node", "component")
       iter += 1
     }
     labels
