@@ -125,6 +125,7 @@ object SparkEntry {
     // shard packing (distributed prefix sum) + corpus shuffle
     "q_pack_shards" -> (graft.ops.Pack.packDocs _),
     "q_shard_manifest" -> (graft.ops.Pack.shardManifest _),
+    "q_pack_payloads" -> (graft.ops.Pack.packedPayloads _),
     "q_corpus_shuffle" -> ((s: SparkSession, d: String) =>
       graft.ops.Pack.corpusShuffle(s, d)),
     // chunking + repetition quality signals
@@ -223,6 +224,7 @@ object SparkEntry {
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,
     "q_pack_shards" -> graft.ops.Pack.packDocsSql,
     "q_shard_manifest" -> graft.ops.Pack.shardManifestSql,
+    "q_pack_payloads" -> graft.ops.Pack.packedPayloadsSql,
     "q_corpus_shuffle" -> graft.ops.Pack.corpusShuffleSql,
     "q_chunk_docs" -> graft.ops.Chunk.chunkDocsSql,
     "q_repetition" -> graft.ops.Repetition.repetitionSignalsSql,

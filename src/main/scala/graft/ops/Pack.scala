@@ -152,6 +152,33 @@ object Pack {
       .agg(count(lit(1)).as("n_docs"), sum("w").as("shard_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
 
+  /** Materialized shard payloads — the training sequences themselves:
+    * every shard's member documents concatenated in doc_id order into
+    * one text blob (what a loader feeds the tokenizer), plus the count.
+    * One key shuffle on shard_id after the packing pass; per-group
+    * state is the shard's own documents (budget-bounded by
+    * construction, so collect_list cannot blow up a group). Order
+    * inside the group comes from sorting the collected (doc_id, text)
+    * structs — deterministic, never collect_list arrival order. */
+  def packedPayloads(spark: SparkSession, dir: String): DataFrame =
+    packDocs(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text"))).as("payload"))
+
+  val packedPayloadsSql: String =
+    packDocsSql.replace("SELECT doc_id, w, cum_tokens,",
+      "SELECT shard_id, COUNT(*) AS n_docs, " +
+        "string_agg(text, ' ' ORDER BY doc_id) AS payload " +
+        "FROM (SELECT c.doc_id, d.text, cum_tokens,")
+      .replace("FROM c", "FROM c JOIN documents d ON c.doc_id = d.doc_id) " +
+        "GROUP BY shard_id")
+
   val shardManifestSql: String =
     packDocsSql.replace("SELECT doc_id, w, cum_tokens,",
       "SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS shard_tokens, " +

@@ -85,6 +85,30 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(d3.getAs[Double]("top_bigram_frac") === 0.0)
   }
 
+  // ----- packed shard payloads -----
+
+  test("packed payloads agree with the shard manifest: token totals, " +
+    "doc counts, and first-doc prefix") {
+    val payloads = Pack.packedPayloads(spark, sf)
+    val manifest = Pack.shardManifest(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf)
+
+    val joined = payloads.join(manifest, "shard_id")
+      .withColumn("payload_tokens",
+        size(split(col("payload"), " ")).cast("long"))
+    // concatenating in doc order preserves every token exactly once:
+    // whitespace-token count of the blob == sum of member weights
+    assert(joined.where(col("payload_tokens") =!= col("shard_tokens"))
+      .count() === 0L)
+    assert(joined.where(payloads("n_docs") =!= manifest("n_docs"))
+      .count() === 0L)
+    // each payload begins with its first member's text
+    val bad = joined.join(
+        docs.select(col("doc_id").as("first_doc"), col("text")), "first_doc")
+      .where(!col("payload").startsWith(col("text"))).count()
+    assert(bad === 0L)
+  }
+
   // ----- semantic (embedding) dedup -----
 
   test("semanticDedup refines the exact embedding clustering: pair " +
