@@ -131,6 +131,14 @@ object SparkEntry {
     // chunking + repetition quality signals
     "q_chunk_docs" -> (graft.ops.Chunk.chunkDocs _),
     "q_repetition" -> (graft.ops.Repetition.repetitionSignals _),
+    // benchmark decontamination + the composed governance corpus
+    // (dedup survivors ∘ decontaminate)
+    "q_contamination_report" -> ((s: SparkSession, d: String) =>
+      graft.ops.Decontaminate.contaminated(s, d)),
+    "q_decontaminated_corpus" -> ((s: SparkSession, d: String) =>
+      graft.ops.Decontaminate.decontaminatedCorpus(s, d)),
+    "q_governed_corpus" -> ((s: SparkSession, d: String) =>
+      graft.ops.Decontaminate.governedCorpus(s, d)),
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
@@ -228,6 +236,10 @@ object SparkEntry {
     "q_corpus_shuffle" -> graft.ops.Pack.corpusShuffleSql,
     "q_chunk_docs" -> graft.ops.Chunk.chunkDocsSql,
     "q_repetition" -> graft.ops.Repetition.repetitionSignalsSql,
+    "q_contamination_report" -> graft.ops.Decontaminate.contaminatedSql,
+    "q_decontaminated_corpus" ->
+      graft.ops.Decontaminate.decontaminatedCorpusSql,
+    "q_governed_corpus" -> graft.ops.Decontaminate.governedCorpusSql,
     "q_ann_topk" -> Similarity.bruteForceTopKSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
     "q_media_frames" -> Multimodal.frameSampleSummarySql

@@ -96,4 +96,24 @@ object Decontaminate {
        |SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE source <> 'src19'
        |  AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
+
+  /** The full governance pipeline in one artifact: near-dup dedup
+    * survivors ([[Components.cleanCorpus]]) minus the eval source and
+    * minus every contaminated doc — the corpus a training mix would
+    * actually consume. Two anti-join-style filters over the cleaned
+    * corpus; both right sides are tiny (flagged ids), so AQE
+    * broadcasts them. */
+  def governedCorpus(spark: SparkSession, dir: String,
+      evalSource: String = "src19", n: Int = 4): DataFrame =
+    Components.cleanCorpus(spark, dir)
+      .where(col("source") =!= evalSource)
+      .join(contaminated(spark, dir, evalSource, n).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+
+  val governedCorpusSql: String =
+    s"""WITH hits AS ($contaminatedSql)
+       |SELECT doc_id, lang, source, n_chars
+       |FROM (${Components.cleanCorpusSql}) clean
+       |WHERE source <> 'src19'
+       |  AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
 }

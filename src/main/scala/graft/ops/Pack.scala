@@ -32,16 +32,34 @@ import graft.core.Tables
   */
 object Pack {
 
+  /** Size-aware partition count for the prefix-sum range pass: the
+    * optimizer's size estimate of the slim (key, weight) projection,
+    * one task per ~64 MB, floored at `spark.sql.shuffle.partitions`.
+    * A fixed default (the old 32) is the same silent-degradation knob
+    * the IVF cell count had: at 100 TB it means ~3 TB per
+    * `sortWithinPartitions` task. The result is partition-count-
+    * invariant by construction (asserted in PipelineOpsSpec), so this
+    * only sizes tasks, never changes answers. */
+  private def autoParts(slim: DataFrame): Int = {
+    val shuffleParts =
+      slim.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = slim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bySize = (bytes / (64L << 20)).min(BigInt(4 << 20)).toInt + 1
+    math.max(shuffleParts, bySize)
+  }
+
   /** Global running sum + shard assignment. `orderCol` must be a unique
     * key (ties across a partition boundary would make the order — and
     * any global cumsum — ill-defined). Shard id = exclusive prefix sum
     * DIV budget: a document starts a new shard once the previous ones
-    * have consumed the budget. */
+    * have consumed the budget. `numParts` ≤ 0 (the default) derives
+    * the range-pass width from the input size estimate. */
   def packIntoShards(df: DataFrame, orderCol: String, weight: Column,
-      budget: Long, numParts: Int = 32): DataFrame = {
-    val weighted = df
-      .select(col(orderCol), weight.cast("long").as("w"))
-      .repartitionByRange(numParts, col(orderCol))
+      budget: Long, numParts: Int = 0): DataFrame = {
+    val slim = df.select(col(orderCol), weight.cast("long").as("w"))
+    val parts = if (numParts > 0) numParts else autoParts(slim)
+    val weighted = slim
+      .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("pid", spark_partition_id())
       // bounded cache: (key, weight, pid) — pins the partitioning so
@@ -49,17 +67,22 @@ object Pack {
       .cache()
     val totals = weighted.groupBy("pid").agg(sum("w").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val offsets = (0 until numParts)
+    val offsets = (0 until parts)
       .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
-    val offsetByPid = map((0 until numParts).flatMap(p =>
-      Seq(lit(p), lit(offsets(p)))): _*)
+    // Offsets ride in as a broadcast-joined frame, NOT a map literal:
+    // a plan literal with one entry per partition stops being a
+    // constant at a size-derived partition count (10⁵⁺ at 100 TB) —
+    // the same codegen-blowup trap as literal IVF centroids.
+    import slim.sparkSession.implicits._
+    val offsetsDf = (0 until parts).map(p => (p, offsets(p)))
+      .toDF("pid", "p_off")
     val w = Window.partitionBy("pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     weighted
-      .withColumn("cum_tokens",
-        sum(col("w")).over(w) + element_at(offsetByPid, col("pid")))
+      .join(broadcast(offsetsDf), "pid")
+      .withColumn("cum_tokens", sum(col("w")).over(w) + col("p_off"))
       .withColumn("shard_id", expr(s"(cum_tokens - w) DIV $budget"))
-      .drop("pid")
+      .drop("pid", "p_off")
   }
 
   /** Pack the documents table into 4096-token shards in doc_id order —
@@ -89,7 +112,7 @@ object Pack {
     * the same two-pass machinery, cluster-size-invariant. The id a
     * training pipeline stamps on examples before sharding. */
   def assignStableIds(df: DataFrame, orderCol: String,
-      numParts: Int = 32): DataFrame =
+      numParts: Int = 0): DataFrame =
     packIntoShards(df, orderCol, lit(1L), budget = Long.MaxValue, numParts)
       .select(col(orderCol), col("cum_tokens").as("row_idx"))
 

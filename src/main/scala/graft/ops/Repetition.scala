@@ -21,14 +21,17 @@ import graft.core.Tables
   *  - `top_bigram_frac` — occurrences of the most frequent bigram /
   *    total bigrams.
   *
-  * Shape at 100 TB: one explode per n-gram order, then two
-  * map-side-combined key shuffles each — (doc_id, gram) counts, then
-  * doc-level rollup. Nothing pairwise, nothing quadratic; shuffle
-  * volume is bounded by the exploded gram stream and reduces to
-  * doc-level immediately. The bigram array is built with a single
-  * O(len) `transform(sequence)` over O(1) `element_at` lookups — NOT
-  * the O(len²) slice-per-position shape that bit the winnowing op
-  * (see TextStats.winnowingFor).
+  * Shape at 100 TB: ONE scan of the text — unigrams and bigrams are
+  * emitted from the same projection as a single (kind, gram) struct
+  * stream, so the corpus (the dominant cost at scale) is read once,
+  * not once per n-gram order. Then two map-side-combined key
+  * shuffles: (doc_id, kind, gram) counts, then doc-level rollup with
+  * per-kind conditional aggregates. Nothing pairwise, nothing
+  * quadratic; shuffle volume is bounded by the exploded gram stream
+  * and reduces to doc-level immediately. The bigram array is built
+  * with a single O(len) `transform(sequence)` over O(1) `element_at`
+  * lookups — NOT the O(len²) slice-per-position shape that bit the
+  * winnowing op (see TextStats.winnowingFor).
   *
   * All ratios are exact-int / exact-int single IEEE divisions —
   * bit-deterministic across engines and partitionings, hence
@@ -36,44 +39,45 @@ import graft.core.Tables
   */
 object Repetition {
 
-  private def gramStats(grams: DataFrame, gramCol: String): DataFrame =
-    grams
-      .groupBy(col("doc_id"), col(gramCol))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_distinct"),
-        sum("c").as("n_total"),
-        max("c").as("top_n"))
-
   /** Per-document repetition signals for any (doc_id, text) frame. */
   def signalsFor(input: DataFrame): DataFrame = {
     val docs = input
       .select(col("doc_id"), TextStats.wsTokens(col("text")).as("toks"))
 
-    val tokStats = gramStats(
-      docs.select(col("doc_id"), explode(col("toks")).as("tok")), "tok")
+    // ONE exploded (kind, gram) stream per document: kind 0 =
+    // unigrams, kind 1 = bigrams built by O(1) element_at index
+    // arithmetic (the trailing position emits null and is filtered —
+    // `sequence(1, size-1)` can't be used directly because Spark's
+    // sequence steps BACKWARDS when size==1 makes start > stop).
+    // Chained single-level lambdas only: no nested HOFs (those run
+    // interpreted and re-evaluate per outer element).
+    val grams = docs.select(col("doc_id"),
+      explode(concat(
+        expr("transform(toks, t -> named_struct('kind', 0, 'g', t))"),
+        expr("filter(transform(sequence(1, size(toks)), i -> " +
+          "IF(i < size(toks), named_struct('kind', 1, 'g', " +
+          "concat(element_at(toks, i), ' ', element_at(toks, i + 1))), " +
+          "CAST(null AS struct<kind: int, g: string>))), " +
+          "s -> s IS NOT NULL)"))).as("gk"))
       .select(col("doc_id"),
-        col("n_total").as("n_tokens"),
-        col("n_distinct").as("n_distinct_tokens"),
-        col("top_n").as("top_token_n"))
+        col("gk.kind").as("kind"), col("gk.g").as("g"))
 
-    // O(len) bigram array per row: index arithmetic only, no nested
-    // re-scan of the token array.
-    val bigrams = docs
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .as("bg"))
-    val bgStats = gramStats(bigrams, "bg")
-      .select(col("doc_id"),
-        col("n_total").as("n_bigrams"),
-        col("n_distinct").as("n_distinct_bigrams"),
-        col("top_n").as("top_bigram_n"))
+    // Shuffle 1: (doc_id, kind, gram) occurrence counts, map-side
+    // combined. Shuffle 2: doc-level rollup, both kinds in one pass
+    // via conditional aggregates (count counts non-null args only).
+    val stats = grams
+      .groupBy(col("doc_id"), col("kind"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("kind") === 0, col("c"))).as("n_tokens"),
+        count(when(col("kind") === 0, lit(1))).as("n_distinct_tokens"),
+        max(when(col("kind") === 0, col("c"))).as("top_token_n"),
+        sum(when(col("kind") === 1, col("c"))).as("n_bigrams"),
+        count(when(col("kind") === 1, lit(1))).as("n_distinct_bigrams"),
+        max(when(col("kind") === 1, col("c"))).as("top_bigram_n"))
 
-    tokStats.join(bgStats, Seq("doc_id"), "left")
+    stats
       .na.fill(0L, Seq("n_bigrams", "n_distinct_bigrams", "top_bigram_n"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),

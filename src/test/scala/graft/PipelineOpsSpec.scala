@@ -53,6 +53,39 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(bad === 0L)
   }
 
+  // ----- benchmark decontamination -----
+
+  test("contaminationReport: planted 4-gram flags, short docs and clean " +
+    "docs are absent, repeats count once") {
+    import graft.ops.Decontaminate
+    // Eval doc contributes exactly two distinct 4-grams.
+    val evalDocs = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val trainDocs = Seq(
+      (1L, "prefix the quick brown fox suffix"),        // shares 1 window
+      (2L, "the quick brown fox jumps again and again"),// shares both
+      (3L, "the quick brown"),                          // < n tokens: immune
+      (4L, "completely unrelated training text here"),  // zero hits: absent
+      (5L, "the quick brown fox and the quick brown fox")// repeat counts once
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.contaminationReport(trainDocs, evalDocs, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 5L -> 1L))
+  }
+
+  test("governedCorpus = cleanCorpus minus eval source minus flagged docs") {
+    import graft.ops.Decontaminate
+    val governed = Decontaminate.governedCorpus(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val clean = Components.cleanCorpus(spark, sf)
+      .where(col("source") =!= "src19")
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = Decontaminate.contaminated(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(governed === clean -- flagged)
+    assert(governed.nonEmpty)
+  }
+
   // ----- repetition signals -----
 
   test("repetition signals on crafted repetitive vs distinct docs") {
@@ -107,6 +140,20 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
         docs.select(col("doc_id").as("first_doc"), col("text")), "first_doc")
       .where(!col("payload").startsWith(col("text"))).count()
     assert(bad === 0L)
+  }
+
+  test("packIntoShards is partition-count-invariant: identical results " +
+    "at numParts 3, 7, and the size-derived default") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    def packed(parts: Int): Set[(Long, Long, Long, Long)] =
+      Pack.packIntoShards(docs, "doc_id",
+          size(split(col("text"), " ")), budget = 4096L, numParts = parts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val auto = packed(0)
+    assert(packed(3) === auto)
+    assert(packed(7) === auto)
   }
 
   // ----- semantic (embedding) dedup -----

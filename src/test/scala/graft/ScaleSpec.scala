@@ -134,8 +134,16 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       s"corpus shuffle collapsed to a single partition:\n$plan")
-    // doc_id is parsed back out of the sort key, never re-joined
-    assert(!plan.contains("Join"), s"unexpected join-back:\n$plan")
+    // doc_id is parsed back out of the sort key, never re-joined: the
+    // only join in the plan is the broadcast of per-partition offsets
+    // onto pid (offsets ride a BroadcastHashJoin, not a map literal,
+    // so a size-derived partition count can't blow up codegen) — no
+    // shuffle join of corpus data may appear
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"unexpected shuffle join-back:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast offsets join:\n$plan")
     spark.catalog.clearCache()
   }
 
