@@ -43,8 +43,8 @@ object SparkEntry {
     "q_date_parts" -> (AnsiSurface.ordersByDateParts _),
     "q_pivot" -> (AnsiSurface.ordersPivotByStatus _),
     // hash-oracled CSV rendering; the raw-array form is library-only
-    // (list cells crash the driver's pandas canonicalization — covered
-    // by AnsiSpec instead)
+    // (list cells crash the driver's pandas canonicalization) and is
+    // asserted equal to this CSV twin in SqlSurfaceSpec
     "q_array_agg" -> (AnsiSurface.customerOrderArraysCsv _),
     "q_cube" -> (AnsiSurface.pricingCube _),
     "q_map_funcs" -> (AnsiSurface.statusCountMaps _),

@@ -320,9 +320,15 @@ object Similarity {
         col("vec").as("vb")), "vec_b")
       .where(dot(col("va"), col("vb")) >= tau)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
-    Components.connectedComponents(
+    val clusters = Components.connectedComponents(
         corpus.select(col("vec_id").as("node")), pairs)
       .select(col("node").as("vec_id"), col("component").as("cluster"))
+    // connectedComponents ran its driver loop above and checkpointed
+    // every round, so nothing downstream reads the corpus cache — drop
+    // it here rather than letting cached vector partitions pile up
+    // across calls in a long-lived session
+    corpus.unpersist()
+    clusters
   }
 
   /** Survivors of [[semanticDedupClusters]]: one representative (min

@@ -81,4 +81,57 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
 
     docs.unpersist()
   }
+
+  test("bucketed fp store: anti-join shuffles only the batch side; " +
+    "compaction keeps content and bucketing") {
+    val base = Files.createTempDirectory("graft-store").toString
+    val store = s"$base/store"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+
+    // two appends -> up to 2 * StoreBuckets bucket files
+    Ingest.appendToStore(spark, store, docs.where(col("doc_id") < 200))
+    Ingest.appendToStore(spark, store,
+      docs.where(col("doc_id") >= 200).select("fp")
+        .exceptAll(docs.where(col("doc_id") < 200).select("fp")))
+    val expected = docs.select("fp").distinct().count()
+    assert(spark.read.parquet(store).count() === expected)
+
+    def antiJoinPlan(): String = {
+      val probe = docs.select("doc_id", "fp")
+      probe.join(Ingest.readStore(spark, store), Seq("fp"), "left_anti")
+        .queryExecution.executedPlan.toString
+    }
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = antiJoinPlan()
+      // store side reads its bucket layout directly — the ONLY
+      // exchange in the plan is the probe side shuffling into it
+      assert(plan.contains("Bucketed: true"),
+        s"store scan is not bucketed:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(exchanges === 1,
+        s"expected exactly one exchange (probe side only):\n$plan")
+
+      // compaction: one file per bucket, same content, still bucketed
+      Ingest.compactStore(spark, store)
+      val files = new java.io.File(store).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= Ingest.StoreBuckets,
+        s"compaction left ${files.length} files:\n" +
+          files.map(_.getName).sorted.mkString("\n"))
+      assert(spark.read.parquet(store).count() === expected)
+      assert(spark.read.parquet(store).distinct().count() === expected)
+      val planAfter = antiJoinPlan()
+      assert(planAfter.contains("Bucketed: true") &&
+        "Exchange hashpartitioning".r.findAllIn(planAfter).length === 1,
+        s"compaction lost the bucket layout:\n$planAfter")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

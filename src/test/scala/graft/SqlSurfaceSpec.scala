@@ -34,4 +34,19 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
       assert(b.exceptAll(a).count() === 0, s"$name: api rows not in sql")
     }
   }
+
+  test("raw customerOrderArrays agrees with its hash-oracled CSV twin") {
+    // The raw-array form stays out of the driver registry (pandas
+    // cannot hash list cells), so its coverage lives here: rendering
+    // the typed array must reproduce the oracled CSV query exactly.
+    import org.apache.spark.sql.functions._
+    val rendered = graft.engine.AnsiSurface.customerOrderArrays(spark, sf)
+      .select(col("o_custkey"),
+        array_join(transform(col("order_keys"), k => k.cast("string")), ",")
+          .as("order_keys_csv"),
+        col("n_orders"))
+    val oracled = graft.engine.AnsiSurface.customerOrderArraysCsv(spark, sf)
+    assert(rendered.exceptAll(oracled).count() === 0)
+    assert(oracled.exceptAll(rendered).count() === 0)
+  }
 }
