@@ -13,6 +13,19 @@ import graft.streaming.Ingest
   * against the persisted fingerprint store → corpus append. */
 class IngestSpec extends AnyFunSuite with SharedSpark {
 
+  /** Bucketed-scan plan assertions only mean anything when the join
+    * can't go broadcast (a broadcast anti-join needs no distribution,
+    * so the planner rightly skips the bucket layout). */
+  private def noBroadcast[T](f: => T): T = {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("streamed ingest == batch first-arrival dedup over the union; " +
     "re-delivery and re-runs are no-ops") {
     val base = Files.createTempDirectory("graft-ingest").toString
@@ -102,10 +115,7 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       probe.join(Ingest.readStore(spark, store), Seq("fp"), "left_anti")
         .queryExecution.executedPlan.toString
     }
-    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try {
+    noBroadcast {
       val plan = antiJoinPlan()
       // store side reads its bucket layout directly — the ONLY
       // exchange in the plan is the probe side shuffling into it
@@ -120,7 +130,7 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       Ingest.compactStore(spark, store)
       val files = new java.io.File(store).listFiles()
         .filter(_.getName.endsWith(".parquet"))
-      assert(files.length <= Ingest.StoreBuckets,
+      assert(files.length <= Ingest.DefaultStoreBuckets,
         s"compaction left ${files.length} files:\n" +
           files.map(_.getName).sorted.mkString("\n"))
       assert(spark.read.parquet(store).count() === expected)
@@ -129,9 +139,93 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       assert(planAfter.contains("Bucketed: true") &&
         "Exchange hashpartitioning".r.findAllIn(planAfter).length === 1,
         s"compaction lost the bucket layout:\n$planAfter")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
-      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("store survives catalog loss (fresh-JVM reopen): appends keep " +
+    "working via DDL re-registration, never CTAS over the data") {
+    val base = Files.createTempDirectory("graft-reopen").toString
+    val store = s"$base/store"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+
+    Ingest.appendToStore(spark, store, docs.where(col("doc_id") < 100))
+    val before = spark.read.parquet(store).count()
+    assert(before > 0)
+
+    // Simulate a fresh JVM: the in-memory catalog forgets the table,
+    // the directory (non-empty) and the sidecar survive. The old CTAS
+    // registration crashed here (non-empty-location); DDL must not.
+    spark.sql(s"DROP TABLE IF EXISTS ${Ingest.storeTableName(spark, store)}")
+    Ingest.appendToStore(spark, store,
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 150).select("fp")
+        .exceptAll(docs.where(col("doc_id") < 100).select("fp")))
+    assert(spark.read.parquet(store).count() > before)
+    // and readStore still comes back as the bucketed catalog table
+    noBroadcast {
+      val plan = docs.select("doc_id", "fp")
+        .join(Ingest.readStore(spark, store), Seq("fp"), "left_anti")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"reopened store not bucketed:\n$plan")
+    }
+  }
+
+  test("bucket count is fixed at creation: persisted in the sidecar, " +
+    "validated on reopen, mismatched appends fail loudly") {
+    val base = Files.createTempDirectory("graft-buckets").toString
+    val store = s"$base/store"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+
+    Ingest.appendToStore(spark, store, docs.where(col("doc_id") < 50),
+      buckets = 4)
+    assert(Ingest.persistedBuckets(spark, store) === Some(4))
+    // unspecified count on reopen uses the persisted layout
+    Ingest.appendToStore(spark, store,
+      docs.where(col("doc_id") >= 50 && col("doc_id") < 60).select("fp")
+        .exceptAll(docs.where(col("doc_id") < 50).select("fp")))
+    // a DIFFERENT count must fail loudly, not corrupt the layout
+    val e = intercept[IllegalArgumentException] {
+      Ingest.appendToStore(spark, store, docs.limit(1), buckets = 16)
+    }
+    assert(e.getMessage.contains("4 buckets"))
+    // compaction preserves the creation-time count
+    Ingest.compactStore(spark, store)
+    assert(Ingest.persistedBuckets(spark, store) === Some(4))
+    val files = new java.io.File(store).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= 4, s"expected ≤4 bucket files, got ${files.length}")
+  }
+
+  test("pre-bucketing legacy layout: bucketed append refuses; " +
+    "compactStore migrates it in place") {
+    val base = Files.createTempDirectory("graft-legacy").toString
+    val store = s"$base/store"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+    // a plain (non-bucketed, no sidecar) fp dump — the old layout
+    docs.where(col("doc_id") < 80).select("fp").distinct()
+      .write.parquet(store)
+    val expected = spark.read.parquet(store).count()
+
+    val e = intercept[IllegalArgumentException] {
+      Ingest.appendToStore(spark, store, docs.limit(1))
+    }
+    assert(e.getMessage.contains("compactStore"))
+
+    Ingest.compactStore(spark, store, buckets = 4)
+    assert(Ingest.persistedBuckets(spark, store) === Some(4))
+    assert(spark.read.parquet(store).count() === expected)
+    noBroadcast {
+      val plan = docs.select("doc_id", "fp")
+        .join(Ingest.readStore(spark, store), Seq("fp"), "left_anti")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"migrated store not bucketed:\n$plan")
+    }
+    // post-migration appends work bucketed
+    Ingest.appendToStore(spark, store,
+      docs.where(col("doc_id") >= 80 && col("doc_id") < 90).select("fp")
+        .exceptAll(docs.where(col("doc_id") < 80).select("fp")))
+    assert(spark.read.parquet(store).count() > expected)
   }
 }
