@@ -109,7 +109,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"stream_avg_batch_sec":$avgBatchSec,"stream_first_batch_sec":$firstBatchSec,"stream_steady_batch_sec":$steadyBatchSec,"stream_batches":${batchDurations.size},"golden_replay_sec":$goldenSec,"golden_match":$goldenMatch,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"stream_avg_batch_sec":$avgBatchSec,"stream_first_batch_sec":$firstBatchSec,"stream_steady_batch_sec":$steadyBatchSec,"stream_batches":${batchDurations.size},"golden_replay_sec":$goldenSec,"golden_match":$goldenMatch,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line gets truncated in round artifacts (BENCH_rNN.json
+    // historically cut off mid-`queries`, hiding 34/88 timings) — so the
+    // SAME line is also written untruncated to a committed file. The
+    // round snapshot copies it to BENCH_full_rNN.json.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_full_latest.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      line + "\n")
     spark.stop()
   }
 }

@@ -37,6 +37,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // README counts block — paste mechanically, never hand-count
+    // (README drifted stale for four rounds before this existed):
+    val nq = SparkEntry.queries.size
+    val no = SparkEntry.oracleSql.size
+    System.err.println(
+      s"[verify] counts: $nq registered queries, $no DuckDB-oracled " +
+        s"(hash-exact gate), ${nq - no} rows-only")
     spark.stop()
   }
 }

@@ -44,8 +44,25 @@ object Pack {
     val shuffleParts =
       slim.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val bytes = slim.queryExecution.optimizedPlan.stats.sizeInBytes
-    val bySize = (bytes / (64L << 20)).min(BigInt(4 << 20)).toInt + 1
-    math.max(shuffleParts, bySize)
+    // Stats-less inputs (createDataFrame over an RDD, some DSv2
+    // relations) report spark.sql.defaultSizeInBytes = Long.MaxValue at
+    // the LEAF — trusting the derived estimate (projections scale the
+    // leaf size by row-width ratio, so the top-level number looks
+    // "merely" exabyte-huge rather than exactly MaxValue) would size a
+    // 4M-partition range shuffle, a 4M-entry scanLeft, and a 4M-row
+    // driver collect on a tiny input. Any stats-less leaf ⇒ the
+    // estimate is fiction: fall back to the shuffle-partition count
+    // (correctness is partition-count-invariant, so this only affects
+    // task sizing).
+    val defaultSize = BigInt(slim.sparkSession.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
+    val statsless = slim.queryExecution.optimizedPlan.collectLeaves()
+      .exists(_.stats.sizeInBytes >= defaultSize)
+    if (statsless) shuffleParts
+    else {
+      val bySize = (bytes / (64L << 20)).min(BigInt(4 << 20)).toInt + 1
+      math.max(shuffleParts, bySize)
+    }
   }
 
   /** Global running sum + shard assignment. `orderCol` must be a unique

@@ -98,19 +98,60 @@ object Ingest {
   private def pathExists(spark: SparkSession, dir: String): Boolean =
     fileSystem(spark, dir).exists(new Path(dir))
 
+  private def swapSiblings(spark: SparkSession, storeDir: String): (Path, Path) = {
+    val p = qualified(spark, storeDir)
+    (new Path(p.getParent, p.getName + ".old"),
+      new Path(p.getParent, p.getName + ".compact.tmp"))
+  }
+
+  /** Fail loudly when a crashed [[compactStore]] swap left the history
+    * in `<storeDir>.old` / `.compact.tmp` while the store itself is
+    * missing or sidecar-less — otherwise readStore would return an
+    * EMPTY store and the next append would silently orphan the dedup
+    * history the leftover dirs still hold. */
+  private def checkNoInterruptedSwap(spark: SparkSession,
+      storeDir: String): Unit = {
+    val fs = fileSystem(spark, storeDir)
+    val (oldPath, tmpPath) = swapSiblings(spark, storeDir)
+    val leftovers = Seq(oldPath, tmpPath).filter(fs.exists)
+    if (leftovers.nonEmpty &&
+        !fs.exists(new Path(storeDir, BucketsSidecar)))
+      throw new IllegalStateException(
+        s"fp store at $storeDir looks like an interrupted compactStore " +
+          s"swap: leftover ${leftovers.mkString(", ")} but no healthy " +
+          "store directory. Complete the swap manually (move the " +
+          ".compact.tmp dir into place, or restore .old) before " +
+          "reading or appending — proceeding would silently orphan " +
+          "the dedup history those directories hold.")
+  }
+
   /** The persisted bucket count, if this directory holds a bucketed
-    * store created by [[ensureStore]]. */
+    * store created by [[ensureStore]]. A sidecar that exists but does
+    * not parse (zero bytes — a crash between create and write — or
+    * garbage) is CORRUPT, not absent: returning None would silently
+    * re-register the store at the default count and break the layout,
+    * so it fails with a descriptive error instead. */
   def persistedBuckets(spark: SparkSession, storeDir: String): Option[Int] = {
     val p = new Path(storeDir, BucketsSidecar)
     val fs = fileSystem(spark, storeDir)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
+      // read fully: a single read() may return a partial buffer
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, StandardCharsets.UTF_8).trim.toInt)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8).trim
       } finally in.close()
+      val parsed = scala.util.Try(text.toInt).toOption.filter(_ > 0)
+      require(parsed.isDefined,
+        s"corrupt $BucketsSidecar sidecar at $storeDir (content: " +
+          s"'${text.take(64)}'): expected a positive bucket count. " +
+          "Restore the sidecar or rewrite the store via compactStore " +
+          "with an explicit bucket count.")
+      parsed
     }
   }
 
@@ -142,6 +183,7 @@ object Ingest {
   def ensureStore(spark: SparkSession, storeDir: String,
       buckets: Int = 0): (String, Int) = {
     val tbl = storeTableName(spark, storeDir)
+    checkNoInterruptedSwap(spark, storeDir)
     val persisted = persistedBuckets(spark, storeDir)
     persisted.foreach { n =>
       require(buckets <= 0 || buckets == n,
@@ -159,10 +201,14 @@ object Ingest {
         s"$storeDir holds a pre-bucketing store layout (data files, no " +
           s"$BucketsSidecar sidecar); run compactStore to migrate it " +
           "before bucketed appends")
+      // backslash-escape quotes: the URI is caller data interpolated
+      // into a SQL string literal; an unescaped quote breaks the DDL
+      val loc = qualified(spark, storeDir).toUri.toString
+        .replace("\\", "\\\\").replace("'", "\\'")
       spark.sql(
         s"""CREATE TABLE $tbl (fp STRING) USING parquet
            |CLUSTERED BY (fp) SORTED BY (fp) INTO $n BUCKETS
-           |LOCATION '${qualified(spark, storeDir).toUri}'""".stripMargin)
+           |LOCATION '$loc'""".stripMargin)
       if (persisted.isEmpty) writeBucketsSidecar(spark, storeDir, n)
     }
     (tbl, n)
@@ -179,20 +225,34 @@ object Ingest {
     * THEN disables the bucketed scan as "unnecessary" — the writer
     * would get raw file splits and emit tasks×buckets files. Pinning
     * the scan bucketed makes the elision actually hold. */
+  /** Serializes the session-global conf toggle in [[appendToStore]]:
+    * two concurrent appends in one JVM would otherwise race the
+    * save/restore and could leave autoBucketedScan disabled. Queries
+    * OUTSIDE this lock that run concurrently with an append still see
+    * the toggled conf for the append's duration — appends are a
+    * maintenance write, not meant to overlap latency-sensitive reads
+    * on the same session. */
+  private val appendLock = new Object
+
   def appendToStore(spark: SparkSession, storeDir: String,
       fps: DataFrame, buckets: Int = 0): Unit = {
     val (tbl, n) = ensureStore(spark, storeDir, buckets)
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try {
-      fps.select("fp")
-        .repartition(n, col("fp"))
-        .write.mode("append")
-        .format("parquet")
-        .bucketBy(n, "fp").sortBy("fp")
-        .saveAsTable(tbl)
-    } finally spark.conf.set(key, prev)
+    appendLock.synchronized {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try {
+        fps.select("fp")
+          .repartition(n, col("fp"))
+          .write.mode("append")
+          .format("parquet")
+          .bucketBy(n, "fp").sortBy("fp")
+          .saveAsTable(tbl)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Rewrite the store's accumulated per-batch files to one file per
@@ -213,9 +273,17 @@ object Ingest {
   def compactStore(spark: SparkSession, storeDir: String,
       buckets: Int = 0): Unit = {
     val tbl = storeTableName(spark, storeDir)
-    val persisted = persistedBuckets(spark, storeDir)
-    val n = persisted.getOrElse(if (buckets > 0) buckets
-      else DefaultStoreBuckets)
+    // a crashed previous swap must be recovered by hand, not papered
+    // over: the snapshot read below would otherwise see a missing (or
+    // half-swapped) store and compact an empty history
+    checkNoInterruptedSwap(spark, storeDir)
+    // An explicit positive count WINS over the sidecar: compactStore is
+    // the documented re-bucketing path (ensureStore's mismatch error
+    // points here), and the durable tmp-write + two-rename swap below
+    // makes changing the layout safe. Only with buckets <= 0 does the
+    // store keep its persisted count.
+    val n = if (buckets > 0) buckets
+      else persistedBuckets(spark, storeDir).getOrElse(DefaultStoreBuckets)
     // Read the CURRENT layout as plain parquet files, whatever it is —
     // covers legacy non-bucketed stores without registering them
     // bucketed, and gives the rewrite an unknown input partitioning so
@@ -268,6 +336,7 @@ object Ingest {
     * for a pre-bucketing layout (correct, just not shuffle-free);
     * empty otherwise. */
   def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+    checkNoInterruptedSwap(spark, storeDir)
     val registered = spark.catalog.tableExists(storeTableName(spark, storeDir))
     if (registered || persistedBuckets(spark, storeDir).isDefined)
       spark.table(ensureStore(spark, storeDir)._1)

@@ -197,6 +197,85 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     assert(files.length <= 4, s"expected ≤4 bucket files, got ${files.length}")
   }
 
+  test("compactStore honors an explicit bucket count over the sidecar: " +
+    "the documented re-bucketing path actually re-buckets") {
+    val base = Files.createTempDirectory("graft-rebucket").toString
+    val store = s"$base/store"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+    Ingest.appendToStore(spark, store, docs.where(col("doc_id") < 100),
+      buckets = 4)
+    val expected = spark.read.parquet(store).count()
+    // ensureStore's mismatch error tells callers to re-bucket via
+    // compactStore — so an explicit count here must WIN over the
+    // persisted 4, not silently no-op
+    Ingest.compactStore(spark, store, buckets = 8)
+    assert(Ingest.persistedBuckets(spark, store) === Some(8))
+    assert(spark.read.parquet(store).count() === expected)
+    // appends at the new layout work; the old count now fails loudly
+    Ingest.appendToStore(spark, store,
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 110).select("fp")
+        .exceptAll(docs.where(col("doc_id") < 100).select("fp")))
+    val e = intercept[IllegalArgumentException] {
+      Ingest.appendToStore(spark, store, docs.limit(1), buckets = 4)
+    }
+    assert(e.getMessage.contains("8 buckets"))
+  }
+
+  test("corrupt (zero-byte) sidecar fails with a descriptive error, " +
+    "and explicit-bucket compactStore recovers the store") {
+    val base = Files.createTempDirectory("graft-corrupt").toString
+    val store = s"$base/store"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+    Ingest.appendToStore(spark, store, docs.where(col("doc_id") < 100),
+      buckets = 4)
+    val expected = spark.read.parquet(store).count()
+    // crash between fs.create and write leaves a zero-byte sidecar;
+    // simulate a fresh JVM so nothing is cached in the catalog
+    spark.sql(s"DROP TABLE IF EXISTS ${Ingest.storeTableName(spark, store)}")
+    Files.write(java.nio.file.Paths.get(store, "_graft_buckets"),
+      Array.empty[Byte])
+    val e = intercept[IllegalArgumentException] {
+      Ingest.persistedBuckets(spark, store)
+    }
+    assert(e.getMessage.contains("corrupt"))
+    // reads/appends surface the same descriptive failure, not a silent
+    // re-registration at the default count
+    intercept[IllegalArgumentException] { Ingest.readStore(spark, store) }
+    // recovery: rewrite at an explicit count (never consults the
+    // corrupt sidecar), data intact
+    Ingest.compactStore(spark, store, buckets = 4)
+    assert(Ingest.persistedBuckets(spark, store) === Some(4))
+    assert(spark.read.parquet(store).count() === expected)
+  }
+
+  test("interrupted compaction swap is detected: leftover dirs with a " +
+    "missing store fail loudly instead of returning an empty store") {
+    val base = Files.createTempDirectory("graft-swapcrash").toString
+    val store = s"$base/store"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+    Ingest.appendToStore(spark, store, docs.where(col("doc_id") < 100),
+      buckets = 4)
+    // simulate a crash between compactStore's two renames: history
+    // lives only in <store>.old, the store path itself is gone
+    spark.sql(s"DROP TABLE IF EXISTS ${Ingest.storeTableName(spark, store)}")
+    Files.move(java.nio.file.Paths.get(store),
+      java.nio.file.Paths.get(s"$store.old"))
+    val e = intercept[IllegalStateException] { Ingest.readStore(spark, store) }
+    assert(e.getMessage.contains("interrupted"))
+    intercept[IllegalStateException] {
+      Ingest.appendToStore(spark, store, docs.limit(1))
+    }
+    intercept[IllegalStateException] { Ingest.compactStore(spark, store) }
+    // operator completes the swap by hand; everything works again
+    Files.move(java.nio.file.Paths.get(s"$store.old"),
+      java.nio.file.Paths.get(store))
+    assert(spark.read.parquet(store).count() ===
+      Ingest.readStore(spark, store).count())
+  }
+
   test("pre-bucketing legacy layout: bucketed append refuses; " +
     "compactStore migrates it in place") {
     val base = Files.createTempDirectory("graft-legacy").toString

@@ -112,6 +112,47 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     spark.catalog.clearCache()
   }
 
+  test("pack autoParts ignores the Long.MaxValue estimate of stats-less " +
+    "inputs (falls back to shuffle partitions)") {
+    // createDataFrame over an RDD has no stats: the optimizer reports
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) as its size. Before
+    // the guard, autoParts trusted that and sized a 4,194,305-partition
+    // range shuffle + driver collect on a 100-row input.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rdd = spark.sparkContext.parallelize(
+      (1L to 100L).map(i => Row(i, s"doc $i body words")), 4)
+    val schema = StructType(Seq(StructField("doc_id", LongType, false),
+      StructField("text", StringType, false)))
+    val df = spark.createDataFrame(rdd, schema)
+    val packed = graft.ops.Pack.packIntoShards(df, "doc_id",
+      size(split(col("text"), " ")), budget = 16L)
+    assert(packed.count() === 100)
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val plan = packed.queryExecution.executedPlan.toString
+    val rangeParts = """rangepartitioning\([^)]*, (\d+)\)""".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(rangeParts === Some(shuffleParts),
+      s"range pass must fall back to $shuffleParts partitions on a " +
+        s"stats-less input, got $rangeParts:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("repetition signals read the documents table exactly once") {
+    // r4 rewrote q_repetition from two scans + self-join to a single
+    // scan feeding one (kind, gram) struct stream; this pins the shape
+    // so a regression back to the two-scan plan fails loudly.
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec is itself a
+    // leaf node, hiding the scans from collectLeaves
+    val plan = graft.ops.Repetition.repetitionSignals(spark, sf)
+      .queryExecution.sparkPlan
+    val scans = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 1,
+      s"expected exactly one parquet scan, got ${scans.size}:\n$plan")
+  }
+
   test("chunking is pure per-row compute: no exchange in the plan") {
     val plan = graft.ops.Chunk.chunkDocs(spark, sf)
       .queryExecution.executedPlan.toString
