@@ -139,11 +139,19 @@ object SparkEntry {
       graft.ops.Decontaminate.decontaminatedCorpus(s, d)),
     "q_governed_corpus" -> ((s: SparkSession, d: String) =>
       graft.ops.Decontaminate.governedCorpus(s, d)),
+    // the full end-to-end pipeline (ingest → dedup → decontaminate →
+    // quality → shuffle → pack) as ONE hash-oracled artifact
+    "q_training_shards" -> ((s: SparkSession, d: String) =>
+      graft.ops.Corpus.trainingShards(s, d)),
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(s, d)),
+    // IVF recall gate: hash-exact row asserting per-query recall ≥ 0.9
+    // vs the brute-force twin (which is itself hash-proven vs DuckDB)
+    "q_ann_ivf_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRecall(s, d)),
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
@@ -241,6 +249,8 @@ object SparkEntry {
       graft.ops.Decontaminate.decontaminatedCorpusSql,
     "q_governed_corpus" -> graft.ops.Decontaminate.governedCorpusSql,
     "q_ann_topk" -> Similarity.bruteForceTopKSql,
+    "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
+    "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
     "q_media_frames" -> Multimodal.frameSampleSummarySql
   )

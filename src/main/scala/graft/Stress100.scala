@@ -68,6 +68,47 @@ object Stress100 {
     t("repetition 100k   ")(force(graft.ops.Repetition.repetitionSignals(spark, out)))
     t("shuffle 100k docs ")(force(graft.ops.Pack.corpusShuffle(spark, out)))
 
+    // repetition crossover: the shipped single-scan (kind, gram) shape
+    // vs the superseded TWO-SCAN shape (unigram pass + bigram pass +
+    // doc-level join) it replaced — the rewrite benched ~1.3× slower
+    // at sf0.1, where per-query constant overhead dominates; this
+    // measures where the one-scan-of-the-corpus saving overtakes it.
+    def repTwoScan(d: String): DataFrame = {
+      val toks = graft.core.Tables.documents(spark, d)
+        .select(col("doc_id"), graft.ops.TextStats.wsTokens(col("text")).as("toks"))
+      val uni = toks.select(col("doc_id"), explode(col("toks")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct_tokens"), max("c").as("top_token_n"))
+      val bi = toks.select(col("doc_id"), explode(expr(
+          "filter(transform(sequence(1, size(toks)), i -> " +
+            "IF(i < size(toks), concat(element_at(toks, i), ' ', " +
+            "element_at(toks, i + 1)), CAST(null AS string))), " +
+            "g -> g IS NOT NULL)")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"), max("c").as("top_bigram_n"))
+      uni.join(bi, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_bigrams", "n_distinct_bigrams", "top_bigram_n"))
+        .select(col("doc_id"),
+          (col("n_distinct_tokens").cast("double") / col("n_tokens"))
+            .as("distinct_token_ratio"),
+          (col("top_token_n").cast("double") / col("n_tokens"))
+            .as("top_token_frac"),
+          when(col("n_bigrams") > 0, (col("n_bigrams") -
+            col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+            .otherwise(0.0).as("dup_bigram_frac"),
+          when(col("n_bigrams") > 0,
+            col("top_bigram_n").cast("double") / col("n_bigrams"))
+            .otherwise(0.0).as("top_bigram_frac"))
+    }
+    t("build 50k docs 10x")(xN(graft.core.Tables.documents(spark, dir), "doc_id", 10)
+      .write.mode("overwrite").parquet(s"$out/d10/documents.parquet"))
+    t("rep 1scan 10x     ")(force(graft.ops.Repetition.repetitionSignals(spark, s"$out/d10")))
+    t("rep 2scan 10x     ")(force(repTwoScan(s"$out/d10")))
+    t("rep 1scan 20x     ")(force(graft.ops.Repetition.repetitionSignals(spark, out)))
+    t("rep 2scan 20x     ")(force(repTwoScan(out)))
+
     // embeddings at 20× (40k vectors): SemDeDup under the auto-scaled
     // cell count (occupancy held flat — the knob that keeps the
     // within-cell pair join linear overall; a FIXED cell count was
@@ -76,6 +117,28 @@ object Stress100 {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet"))
     t("semantic dedup 40k")(force(
       graft.ops.Similarity.semanticDedupClusters(spark, out)))
+
+    // embeddings at 100× (200k vectors, k = 4·√n ≈ 1789 cells): the
+    // two-level probe's home turf — the n·k single-level assignment
+    // term vs the n·(√k + wc·√k) two-level one, then the full SemDeDup
+    // flow with the auto-selected two-level assignment (k ≥ 512)
+    t("build 200k embeds ")(xN(graft.core.Tables.embeddings(spark, dir), "vec_id", 100)
+      .write.mode("overwrite").parquet(s"$out/e100/embeddings.parquet"))
+    locally {
+      val corpus = graft.ops.Similarity.normalized(spark, s"$out/e100").cache()
+      val k = math.min(4096, math.max(16,
+        (4 * math.sqrt(corpus.count().toDouble)).toLong)).toInt
+      var cents: DataFrame = null
+      t(s"centroids k=$k    ")(
+        { cents = graft.ops.Similarity.ivfCentroidsDf(corpus, k).localCheckpoint() })
+      t("assign 1level 200k")(force(
+        graft.ops.Similarity.assignCells(corpus, cents, nprobe = 4)))
+      t("assign 2level 200k")(force(
+        graft.ops.Similarity.assignCellsTwoLevel(corpus, cents, nprobe = 4)))
+      corpus.unpersist()
+    }
+    t("semantic dedup 200k")(force(
+      graft.ops.Similarity.semanticDedupClusters(spark, s"$out/e100")))
 
     // streaming throughput at 10M events: paced file stream through the
     // reference-shaped stateful aggregate into a memory sink

@@ -126,9 +126,14 @@ object Similarity {
     * probes its `nprobe` nearest cells and scans only those. At 100 TB
     * the cell assignment is a materialized column (cluster-by on
     * write), so a query touches nprobe/k of the corpus. Recall vs
-    * brute force is measured in OpsSpec. */
+    * brute force is gated by [[ivfRecall]] (driver row, ≥ 0.9
+    * aggregate) and floored per-query in OpsSpec. nprobe=6 of 16
+    * cells is what meets the 0.9 band at the tiny gate SF — at real
+    * scale `cells` grows with √n and the probed FRACTION shrinks
+    * toward nprobe/cells ≪ 1; the ratio here is an artifact of a
+    * 500-vector test corpus, not the scale shape. */
   def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
-      k: Int = 10, cells: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, cells: Int = 16, nprobe: Int = 6): DataFrame = {
     val corpus = normalized(spark, dir).cache()
     val cents = ivfCentroids(corpus, cells)
     def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
@@ -153,6 +158,45 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  /** Per-query IVF hit counts vs the TRUE top-k (the brute-force twin,
+    * itself hash-proven against the DuckDB oracle): (query_id, n_hits
+    * of k). The spec-level recall instrument. */
+  def ivfRecallPerQuery(spark: SparkSession, dir: String,
+      numQueries: Int = 10, k: Int = 10, cells: Int = 16,
+      nprobe: Int = 6): DataFrame = {
+    val ivf = ivfTopK(spark, dir, numQueries, k, cells, nprobe)
+      .select("query_id", "neighbor_id")
+    val brute = bruteForceTopK(spark, dir, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+  }
+
+  /** Driver-gate recall row for [[ivfTopK]]: ONE aggregate row
+    * asserting the IVF path recovers ≥ 90% of all true top-k
+    * neighbors. Emitting the thresholded aggregate — not per-query
+    * float recalls — is what makes the row hash-oracle-able: DuckDB
+    * cannot re-run the IVF probe, but it can state the invariant
+    * ("10 queries, recall band met"), so the driver's hash compare
+    * becomes a hard recall assertion instead of a rows-only count.
+    * Per-query floors are asserted in OpsSpec, which can see the
+    * actual hit counts. Fully deterministic (seeded centroids), so
+    * the 0.94 measured at the gate SF never drifts between runs. */
+  def ivfRecall(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 10, cells: Int = 16, nprobe: Int = 6): DataFrame =
+    ivfRecallPerQuery(spark, dir, numQueries, k, cells, nprobe)
+      .agg(count(lit(1)).as("n_queries"),
+        (sum("n_hits") >= math.ceil(0.9 * k * numQueries).toLong)
+          .cast("int").as("recall_ge_90"))
+
+  val ivfRecallSql: String =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+      |       1 AS recall_ge_90
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** The materialized form of [[ivfTopK]] — the actual 100 TB layout:
     * embeddings written ONCE partitioned by their IVF cell, so a query
@@ -181,7 +225,7 @@ object Similarity {
     * DIRECTORY level, so scan cost is nprobe/cells of the corpus. */
   def ivfTopKIndexed(spark: SparkSession, indexPath: String,
       cents: Array[(Int, Array[Double])], numQueries: Int = 10,
-      k: Int = 10, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, nprobe: Int = 6): DataFrame = {
     val indexed = spark.read.parquet(indexPath)
     def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
       val scored = array(cents.map { case (cid, c) =>
@@ -243,11 +287,17 @@ object Similarity {
     * (max_by partials); nprobe>1 ranks per vector. Ties break to the
     * lowest cid, so assignment is deterministic. */
   def assignCells(vectors: DataFrame, cents: DataFrame,
-      nprobe: Int = 1): DataFrame = {
-    val scored = vectors.select(col("vec_id"), col("vec"))
+      nprobe: Int = 1): DataFrame =
+    pickCells(vectors.select(col("vec_id"), col("vec"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
-        dot(col("vec"), col("cvec")).as("sim"))
+        dot(col("vec"), col("cvec")).as("sim")), nprobe)
+
+  /** Shared tail of the cell assigners: reduce a scored (vec_id, cid,
+    * sim) stream to each vector's top-`nprobe` cells. nprobe=1 is a
+    * map-side-combined max_by; nprobe>1 ranks per vector. The shuffle
+    * carries only ids and one double either way. */
+  private def pickCells(scored: DataFrame, nprobe: Int): DataFrame =
     if (nprobe == 1)
       scored.groupBy("vec_id")
         .agg(max_by(col("cid"),
@@ -259,6 +309,80 @@ object Similarity {
         .where(col("rn") <= nprobe)
         .select(col("vec_id"), col("cid").as("cell"))
     }
+
+  /** Coarse quantizer over the centroid table itself — level 2 of the
+    * two-level IVF probe: ~√k super-cells clustering the k fine
+    * centroids, built by the same seeded-sample + one-Lloyd-step
+    * machinery ([[ivfCentroidsDf]] applied to the centroids as if they
+    * were the corpus). */
+  def coarseCentroids(cents: DataFrame, kc: Int): DataFrame =
+    ivfCentroidsDf(
+      cents.select(col("cid").as("vec_id"), col("cvec").as("vec")), kc)
+      .select(col("cid").as("ccid"), col("cvec").as("ccvec"))
+
+  /** Two-level cell assignment — the ≥10⁹-vector shape promised by the
+    * [[semanticDedupClusters]] scale note: instead of scoring every
+    * vector against all k centroids (n·k dots and an n·k-row argmax
+    * shuffle — the assignment term that dominates once k = nprobe·√n
+    * grows past ~10³), score against ~√k COARSE centroids, keep each
+    * vector's best `coarseProbe` super-cells, and score only the fine
+    * centroids living in those. Work per vector: kc + wc·k/kc dots
+    * (kc=√k, wc=coarseProbe) vs k — at k=1800 / wc=4 that is ~6× fewer
+    * dot products, and the same factor off the argmax shuffle volume.
+    *
+    * Plan shape: the coarse table rides in as ONE broadcast row (an
+    * array of kc structs), so the per-vector top-wc probe is computed
+    * entirely map-side by array expressions — no shuffle, and no
+    * plan-literal centroids (the k=128 codegen blowup documented on
+    * [[ivfCentroidsDf]]). Fine centroids arrive pre-grouped by coarse
+    * cell via a second broadcast; vectors never shuffle. The only
+    * exchange is [[pickCells]]'s id-only argmax, now wc·k/kc wide per
+    * vector instead of k.
+    *
+    * `coarseProbe` is the recall knob: a vector's true best fine
+    * centroid can live in a coarse cell the probe skipped. wc = kc
+    * degenerates to exact single-level assignment (every fine centroid
+    * scored — asserted in PipelineOpsSpec). The default wc=6 keeps
+    * dedup pair recall at single-level parity (wc=4 measured one
+    * recall notch below the single-level path at spec scale) while
+    * still cutting the k=1789 stress assignment ~6×. */
+  def assignCellsTwoLevel(vectors: DataFrame, cents: DataFrame,
+      nprobe: Int = 1, coarseK: Int = 0, coarseProbe: Int = 6): DataFrame = {
+    val k = cents.count().toInt
+    val kc = if (coarseK > 0) coarseK
+      else math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+    val wc = math.min(kc, math.max(coarseProbe, nprobe))
+    val coarse = coarseCentroids(cents, kc).localCheckpoint()
+    // fine → coarse: each of the k fine centroids keeps its best
+    // super-cell (k rows total; ties to the lowest ccid)
+    val packedFine = cents.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cvec"), col("ccid"),
+        dot(col("cvec"), col("ccvec")).as("sim"))
+      .groupBy("cid")
+      .agg(max_by(struct(col("ccid"), col("cvec")),
+        struct(col("sim"), (-col("ccid")).cast("double"))).as("b"))
+      .select(col("b.ccid").as("ccid"), col("cid"), col("b.cvec").as("cvec"))
+      .groupBy("ccid")
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("fines"))
+    // whole coarse table as one broadcast array row: top-wc super-cells
+    // per vector computed map-side, no shuffle
+    val coarseArr = coarse
+      .agg(collect_list(struct(col("ccid"), col("ccvec"))).as("cc"))
+    val probed = vectors.select(col("vec_id"), col("vec"))
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"), col("vec"),
+        explode(slice(reverse(array_sort(transform(col("cc"),
+          c => struct(dot(col("vec"), c.getField("ccvec")).as("sim"),
+            c.getField("ccid").as("ccid"))))), 1, wc)
+          .getField("ccid")).as("ccid"))
+    val scored = probed.join(broadcast(packedFine), "ccid")
+      .select(col("vec_id"),
+        explode(transform(col("fines"),
+          f => struct(dot(col("vec"), f.getField("cvec")).as("sim"),
+            f.getField("cid").as("cid")))).as("sc"))
+      .select(col("vec_id"), col("sc.cid").as("cid"),
+        col("sc.sim").as("sim"))
+    pickCells(scored, nprobe)
   }
 
   /** SemDeDup-style semantic dedup: cluster embeddings by their IVF
@@ -293,7 +417,8 @@ object Similarity {
     * centroid averaging is float arithmetic, not bit-portable across
     * engines. */
   def semanticDedupClusters(spark: SparkSession, dir: String,
-      tau: Double = 0.4, cells: Int = 0, nprobe: Int = 4): DataFrame = {
+      tau: Double = 0.4, cells: Int = 0, nprobe: Int = 4,
+      twoLevelFrom: Int = 512): DataFrame = {
     val corpus = normalized(spark, dir).cache()
     val k =
       if (cells > 0) cells
@@ -305,7 +430,14 @@ object Similarity {
     // bucket self-join and the distinct move ids only (the
     // lshNearDupPairs shuffle discipline); vectors re-attach after,
     // strategy left to AQE.
-    val buckets = assignCells(corpus, cents, nprobe)
+    // past ~512 cells the single-level n·k assignment term dominates;
+    // switch to the two-level probe (recall-neutral at the default
+    // coarseProbe, measured at the 20× stress — see SCALE.md). The
+    // driver-gate SF stays single-level (k ≈ 90 at sf0.01), so the
+    // registered query's output is untouched by the switch.
+    val buckets = (if (k >= twoLevelFrom)
+        assignCellsTwoLevel(corpus, cents, nprobe)
+      else assignCells(corpus, cents, nprobe))
       .localCheckpoint()
     val candidates = buckets.as("a")
       .join(buckets.as("b"),

@@ -303,13 +303,27 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("IVF ANN recall vs brute force is high at nprobe=4/16") {
+  test("IVF ANN recall vs brute force is high at the default nprobe=6/16") {
     val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(spark, sf, numQueries = 10, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall too low")
+    assert(recall >= 0.9, s"IVF recall $recall too low")
+  }
+
+  test("ivfRecall gate: aggregate recall >= 0.9 (the q_ann_ivf_recall " +
+    "driver row) and a 0.8 per-query floor") {
+    val perQ = Similarity.ivfRecallPerQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(perQ.length === 10)
+    perQ.foreach { case (q, hits) =>
+      assert(hits >= 8L, s"query $q IVF hits $hits below the 0.8 floor")
+    }
+    val gate = Similarity.ivfRecall(spark, sf).collect()
+    assert(gate.length === 1)
+    assert(gate(0).getLong(0) === 10L)
+    assert(gate(0).getInt(1) === 1, "aggregate IVF recall below 0.9")
   }
 
   test("incremental LSH store: new batch finds near-dups in history " +
@@ -339,7 +353,11 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-ivf-idx").toString + "/index"
     val cents = graft.ops.Similarity.buildIvfIndex(spark, sf, idx)
-    val indexed = graft.ops.Similarity.ivfTopKIndexed(spark, idx, cents)
+    // nprobe pinned to 4: the pruning assertion needs the 10 queries'
+    // probe-cell union to stay under all 16 dirs, and parity needs the
+    // same nprobe on both paths
+    val indexed = graft.ops.Similarity.ivfTopKIndexed(spark, idx, cents,
+      nprobe = 4)
     // pruning: the probe scan must touch only the probed cell dirs
     // (descend through the AQE wrapper — it is a leaf node)
     val physical = indexed.queryExecution.executedPlan match {
@@ -356,7 +374,7 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(scan.get.selectedPartitions.partitionCount < 16,
       s"probe scanned ${scan.get.selectedPartitions.partitionCount}/16 cells")
     // parity with the unindexed IVF path (same centroids/seeds)
-    val direct = graft.ops.Similarity.ivfTopK(spark, sf)
+    val direct = graft.ops.Similarity.ivfTopK(spark, sf, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val viaIndex = indexed
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

@@ -191,6 +191,74 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(surv === sem.values.toSet.size)
   }
 
+  test("two-level cell assignment with full coarse probe is EXACTLY " +
+    "single-level assignment") {
+    val corpus = Similarity.normalized(spark, sf)
+    val cents = Similarity.ivfCentroidsDf(corpus, 16).localCheckpoint()
+    val single = Similarity.assignCells(corpus, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // coarseProbe = coarseK ⇒ every fine centroid is scored, so the
+    // two-level argmax must reproduce the single-level one bit-for-bit
+    val two = Similarity.assignCellsTwoLevel(corpus, cents,
+        coarseK = 4, coarseProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(two === single)
+  }
+
+  test("semanticDedup through the two-level probe keeps pair precision " +
+    "1.0 and recall parity with the single-level path") {
+    def coPairs(clusters: Map[Long, Long]): Set[(Long, Long)] =
+      clusters.groupBy(_._2).values.flatMap { m =>
+        val ids = m.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    val exactPairs = coPairs(Components.connectedComponents(
+        Similarity.normalized(spark, sf).select(col("vec_id").as("node")),
+        Similarity.nearDupPairsExact(spark, sf)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // twoLevelFrom = 1 forces the two-level assignment at test scale
+    val sem = Similarity.semanticDedupClusters(spark, sf, twoLevelFrom = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val semPairs = coPairs(sem)
+    assert((semPairs -- exactPairs).isEmpty,
+      s"two-level co-clustered pairs not in exact: ${semPairs -- exactPairs}")
+    val recall = if (exactPairs.isEmpty) 1.0
+      else exactPairs.intersect(semPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"two-level semantic dedup recall $recall")
+  }
+
+  // ----- end-to-end composed pipeline -----
+
+  test("trainingShards: shard token totals, doc counts, and payloads " +
+    "reconcile with the survivor set") {
+    val shards = graft.ops.Corpus.trainingShards(spark, sf).collect()
+    // survivors = governed ∩ quality-filtered, recomputed independently
+    val docs = graft.core.Tables.documents(spark, sf)
+    val survivors = docs.select("doc_id", "text")
+      .join(graft.ops.Decontaminate.governedCorpus(spark, sf)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(graft.ops.TextStats.qualityFiltered(spark, sf)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .collect()
+    assert(shards.map(_.getAs[Long]("n_docs")).sum === survivors.length)
+    val totalTokens = survivors
+      .map(_.getString(1).split(" ", -1).length.toLong).sum
+    assert(shards.map(_.getAs[Long]("shard_tokens")).sum === totalTokens)
+    // each payload is its member docs joined by single spaces, so its
+    // whitespace token count equals the shard's token total
+    shards.foreach { r =>
+      assert(r.getAs[String]("payload").split(" ", -1).length.toLong ===
+        r.getAs[Long]("shard_tokens"))
+    }
+    // budget respected: every shard's PREDECESSOR content fits 4096
+    // (the overhang doc that closes a shard may run past it)
+    val sorted = shards.sortBy(_.getAs[Long]("shard_id"))
+    assert(sorted.map(_.getAs[Long]("shard_id")).toSeq ===
+      sorted.indices.map(_.toLong))
+  }
+
   // ----- deterministic corpus shuffle -----
 
   test("corpusShuffle is a permutation, matches the single-task global " +
