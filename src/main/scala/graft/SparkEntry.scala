@@ -122,6 +122,11 @@ object SparkEntry {
     "q_train_test_split" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.trainTestSplit(s, d)),
     "q_split_leakage" -> (graft.ops.Mix.crossSplitLeakage _),
+    // weighted corpus mixing: deterministic per-source epoch
+    // upsampling/downsampling + its per-source audit
+    "q_corpus_mix" -> ((s: SparkSession, d: String) =>
+      graft.ops.Mix.corpusMix(s, d)),
+    "q_corpus_mix_summary" -> (graft.ops.Mix.corpusMixSummary _),
     // shard packing (distributed prefix sum) + corpus shuffle
     "q_pack_shards" -> (graft.ops.Pack.packDocs _),
     "q_shard_manifest" -> (graft.ops.Pack.shardManifest _),
@@ -152,6 +157,12 @@ object SparkEntry {
     // vs the brute-force twin (which is itself hash-proven vs DuckDB)
     "q_ann_ivf_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRecall(s, d)),
+    // PQ (product quantization) ANN: ADC candidates + exact rerank;
+    // recall gate hash-asserts ≥ 0.9 vs the brute-force twin
+    "q_ann_pq" -> ((s: SparkSession, d: String) =>
+      graft.ops.Quantize.pqTopK(s, d)),
+    "q_ann_pq_recall" -> ((s: SparkSession, d: String) =>
+      graft.ops.Quantize.pqRecall(s, d)),
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
@@ -238,6 +249,8 @@ object SparkEntry {
     "q_sample_stratified" -> graft.ops.Mix.stratifiedSampleSql,
     "q_train_test_split" -> graft.ops.Mix.trainTestSplitSql,
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,
+    "q_corpus_mix" -> graft.ops.Mix.corpusMixSql,
+    "q_corpus_mix_summary" -> graft.ops.Mix.corpusMixSummarySql,
     "q_pack_shards" -> graft.ops.Pack.packDocsSql,
     "q_shard_manifest" -> graft.ops.Pack.shardManifestSql,
     "q_pack_payloads" -> graft.ops.Pack.packedPayloadsSql,
@@ -250,6 +263,7 @@ object SparkEntry {
     "q_governed_corpus" -> graft.ops.Decontaminate.governedCorpusSql,
     "q_ann_topk" -> Similarity.bruteForceTopKSql,
     "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
+    "q_ann_pq_recall" -> graft.ops.Quantize.pqRecallSql,
     "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
     "q_media_frames" -> Multimodal.frameSampleSummarySql

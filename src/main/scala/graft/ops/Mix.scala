@@ -52,6 +52,89 @@ object Mix {
        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25
        |       WHEN lang = 'fr' THEN 10 ELSE 0 END""".stripMargin
 
+  /** Weighted corpus mixing with deterministic upsampling — the
+    * source-reweighting step of a training run (give wiki 2.5 epochs,
+    * downsample web crawl to 0.4, drop a poisoned source outright).
+    * Weights are integer PERCENT (250 = 2.5 epochs) so the semantics
+    * stay exact: a doc with weight w repeats `w div 100` times, plus
+    * one more iff its 0-99 content bucket < `w mod 100` — so the
+    * fractional part holds in expectation over content, is
+    * reproducible across runs/engines/partitionings (no `rand()`),
+    * and keeps exact duplicates at identical multiplicity. Output is
+    * one row per (doc_id, epoch): the epoch index is what a
+    * downstream shard shuffle keys on so repeats of a doc land in
+    * different shards.
+    *
+    * Scale shape: per-row codegen fan-out (`explode(sequence)`), zero
+    * shuffle — the same survives-any-scale shape as chunking. Sources
+    * absent from the map get `defaultPct`. */
+  def corpusMix(spark: SparkSession, dir: String,
+      weightsPct: Map[String, Int] =
+        Map("src0" -> 250, "src1" -> 40, "src2" -> 0),
+      defaultPct: Int = 100): DataFrame = {
+    val wp = weightsPct.foldLeft(lit(defaultPct)) {
+      case (acc, (src, pct)) =>
+        when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("repeats",
+        (wp / 100).cast("long") +
+          when(contentBucket(col("text")) < wp % 100, 1L).otherwise(0L))
+      .where(col("repeats") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("repeats") - 1)).as("epoch"))
+  }
+
+  val corpusMixSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN source = 'src0' THEN 250
+       |              WHEN source = 'src1' THEN 40
+       |              WHEN source = 'src2' THEN 0
+       |              ELSE 100 END AS wp,
+       |         $bucketSqlExpr AS b
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |         wp // 100 + CASE WHEN b < wp % 100 THEN 1 ELSE 0 END
+       |           AS repeats
+       |  FROM w)
+       |SELECT doc_id, source, CAST(unnest(range(repeats)) AS BIGINT) AS epoch
+       |FROM r WHERE repeats > 0""".stripMargin
+
+  /** Per-source audit of [[corpusMix]]: docs in, rows out, effective
+    * epoch multiplier — the number a data-mixing run reports next to
+    * its target weights. */
+  def corpusMixSummary(spark: SparkSession, dir: String): DataFrame =
+    corpusMix(spark, dir)
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"))
+      .join(Tables.documents(spark, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_source_docs")),
+        Seq("source"), "right")
+      .na.fill(0L, Seq("n_docs", "n_rows"))
+      .select(col("source"), col("n_source_docs"), col("n_docs"),
+        col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_source_docs"), 4)
+          .as("effective_epochs"))
+
+  val corpusMixSummarySql: String =
+    s"""WITH m AS ($corpusMixSql),
+       |agg AS (
+       |  SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+       |         CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM m GROUP BY source),
+       |src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source_docs
+       |  FROM documents GROUP BY source)
+       |SELECT src.source, src.n_source_docs,
+       |       COALESCE(agg.n_docs, 0) AS n_docs,
+       |       COALESCE(agg.n_rows, 0) AS n_rows,
+       |       ROUND(CAST(COALESCE(agg.n_rows, 0) AS DOUBLE)
+       |             / src.n_source_docs, 4) AS effective_epochs
+       |FROM src LEFT JOIN agg ON src.source = agg.source""".stripMargin
+
   /** Content-hash train/test split: bucket < trainPct → train. */
   def trainTestSplit(spark: SparkSession, dir: String,
       trainPct: Int = 90): DataFrame =

@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Product quantization (PQ) — the memory-bounded ANN family that
+  * complements the IVF cell layout in [[Similarity]]. Extension beyond
+  * the reference surface (SURVEY §7 step 7, similarity-search scale
+  * path).
+  *
+  * IVF prunes WHICH vectors a query scans; PQ shrinks WHAT each scan
+  * touches. A vector is split into `m` subvectors and each subvector
+  * is replaced by the id of its nearest per-subspace centroid
+  * ("code"), so a 64-dim float64 vector (512 B) becomes `m` small ints
+  * (8 B at m=8/ksub=256): at 10⁹ vectors the code table is ~8 GB —
+  * executor-memory-resident — while the raw vectors (512 GB) are only
+  * ever read once to encode and once more to rerank a few candidates.
+  * This is the standard IVF-PQ decomposition (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+  * `IndexIVFPQ` shape).
+  *
+  * Spark mapping — everything rides the same discipline as the IVF
+  * path:
+  *  - codebooks are DATA in one broadcast row (array of m × ksub
+  *    centroid structs), never plan literals (k·dim literal
+  *    expressions blow the codegen method limit — the
+  *    [[Similarity.ivfCentroidsDf]] lesson);
+  *  - encode is one `crossJoin(broadcast(onerow))` + per-row array
+  *    expressions over the codegen'd [[graft.functions.DotProduct]]:
+  *    zero shuffle, scan-speed;
+  *  - asymmetric-distance (ADC) scoring precomputes each query's
+  *    m × ksub lookup table ONCE, then scores a candidate as m
+  *    `element_at` picks summed with `zip_with` — no per-candidate
+  *    dot products at all;
+  *  - ADC is a candidate generator, not an oracle: the top
+  *    k·`rerank` ADC candidates re-attach their true vectors and an
+  *    exact cosine pass picks the final top-k (FAISS "refine"),
+  *    which is what makes the recall gate tight.
+  *
+  * Correctness: float k-means is not bit-portable across engines, so
+  * the driver gate is the same thresholded-aggregate trick as
+  * [[Similarity.ivfRecall]] — ONE hash-oracle-able row asserting
+  * aggregate recall vs the brute-force twin (itself hash-proven vs
+  * DuckDB); per-query floors and encode determinism are asserted in
+  * QuantizeSpec.
+  */
+object Quantize {
+
+  /** Subvector slices of a (vec_id, vec) frame: one row per (vec_id,
+    * sub, svec), sub ∈ [0, m). Pure per-row fan-out, no shuffle. */
+  private def subvectors(vectors: DataFrame, m: Int): DataFrame = {
+    val dsub = expr(s"size(vec) DIV $m")
+    vectors
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("vec"), j * dsub + 1, dsub))))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("svec"))
+  }
+
+  /** Per-subspace codebooks: for each of the `m` subspaces, `ksub`
+    * centroids seeded from the lowest vec_ids (deterministic) and
+    * refined by one Lloyd step (plain means — PQ centroids live in the
+    * subspace, they are NOT renormalized). Output one row per (sub,
+    * code) with the centroid and its precomputed half squared norm:
+    * argmin_c ‖x−c‖² ≡ argmax_c (x·c − ‖c‖²/2), so assignment later
+    * costs one dot per candidate. All DataFrame compute; the result is
+    * k = m·ksub tiny rows. */
+  def pqCodebooks(vectors: DataFrame, m: Int = 8, ksub: Int = 16)
+      : DataFrame = {
+    val sub = subvectors(vectors, m)
+    // seeds: per subspace, the ksub lowest vec_ids (bounded window)
+    val seeds = sub
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sub").orderBy("vec_id")))
+      .where(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+        col("svec").as("cvec"))
+    val assigned = assignCodes(sub, packBooks(seeds))
+    // one Lloyd step: mean per (sub, code, pos); codes that captured
+    // no vectors keep their seed (left join back)
+    val refined = assigned.join(sub, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("svec")))
+      .groupBy("sub", "code", "pos").agg(avg("col").as("mu"))
+      .groupBy("sub", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu"))))
+        .as("pairs"))
+      .select(col("sub"), col("code"),
+        transform(col("pairs"), p => p.getField("mu")).as("cvec"))
+    seeds.select("sub", "code")
+      .join(refined, Seq("sub", "code"), "left")
+      .join(seeds.select(col("sub"), col("code"),
+        col("cvec").as("seed_cvec")), Seq("sub", "code"))
+      .select(col("sub"), col("code"),
+        coalesce(col("cvec"), col("seed_cvec")).as("cvec"))
+  }
+
+  /** The m × ksub codebook table as ONE broadcast-able row: `books` is
+    * an array indexed by sub, each element the array of (code, cvec,
+    * halfn = ‖cvec‖²/2) structs sorted by code. */
+  def packBooks(codebooks: DataFrame): DataFrame =
+    codebooks
+      .select(col("sub"), struct(col("code"),
+        col("cvec"), (dot(col("cvec"), col("cvec")) / 2).as("halfn"))
+        .as("entry"))
+      .groupBy("sub")
+      .agg(array_sort(collect_list(col("entry"))).as("entries"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("entries"))))
+        .as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("entries"))
+        .as("books"))
+
+  /** Nearest code per (vec_id, sub) row — used by the Lloyd step. */
+  private def assignCodes(sub: DataFrame, packed: DataFrame): DataFrame =
+    sub.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("sub"),
+        (-array_max(transform(element_at(col("books"), col("sub") + 1),
+          e => struct((dot(col("svec"), e.getField("cvec")) -
+            e.getField("halfn")).as("s"),
+            (-e.getField("code")).cast("double").as("nc"))))
+          .getField("nc")).cast("int").as("code"))
+
+  /** PQ-encode a (vec_id, vec) frame: (vec_id, codes array<int>) with
+    * codes(j) = the j-th subspace's nearest centroid. One broadcast
+    * row in, per-row array expressions out — zero shuffle, the plan
+    * is a single projection over the scan (asserted in QuantizeSpec).
+    * Ties break to the lowest code, so encoding is deterministic
+    * given the codebooks. */
+  def pqEncode(vectors: DataFrame, packed: DataFrame): DataFrame = {
+    val m = size(col("books"))
+    val dsub = expr("size(vec) DIV size(books)")
+    vectors.crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), m - 1), j =>
+          (-array_max(transform(element_at(col("books"), j + 1),
+            e => struct((dot(slice(col("vec"), j * dsub + 1, dsub),
+              e.getField("cvec")) - e.getField("halfn")).as("s"),
+              (-e.getField("code")).cast("double").as("nc"))))
+            .getField("nc")).cast("int")).as("codes"))
+  }
+
+  /** ADC top-k with exact rerank over the `embeddings` table: for each
+    * of the first `numQueries` vectors, score every encoded vector by
+    * the asymmetric distance ∑ⱼ lut[j][codes[j]] (lut[j][c] = qⱼ·c —
+    * inner product against PRE-NORMALIZED corpus vectors approximates
+    * cosine), keep the top k·`rerank` candidates, then rank those by
+    * exact cosine on the true vectors. The heavy stream (corpus) only
+    * ever carries (vec_id, codes): the scoring pass does m
+    * `element_at` picks per row instead of a dim-wide dot, and true
+    * vectors re-attach for the candidate set only (k·rerank·numQueries
+    * rows).
+    *
+    * Defaults (m=16, ksub=32, rerank=20) are what meet the 0.9 recall
+    * band on the near-random 64-dim gate corpus — the hard case for
+    * PQ, which thrives on clustered data. As with the IVF nprobe note:
+    * k·rerank = 200 of the gate corpus is an artifact of the tiny
+    * gate SF; at real scale the candidate set is a fixed few hundred
+    * rows out of 10⁹, and m/ksub grow to 8-bit codes (ksub=256). */
+  def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 10, m: Int = 16, ksub: Int = 32, rerank: Int = 20)
+      : DataFrame = {
+    val corpus = Similarity.normalized(spark, dir)
+      .select("vec_id", "vec").localCheckpoint()
+    val packed = packBooks(pqCodebooks(corpus, m, ksub)).localCheckpoint()
+    val codes = pqEncode(corpus, packed)
+    val dsub = expr("size(qvec) DIV size(books)")
+    // per-query lookup table: lut[j][c+1] = q_j · cvec(j, c)
+    val queries = corpus.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(packed))
+      .select(col("query_id"), col("qvec"),
+        transform(col("books"), (entries, j) =>
+          transform(entries, e => dot(
+            slice(col("qvec"), j * dsub + 1, dsub), e.getField("cvec"))))
+          .as("lut"))
+    val adc = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+          (c, l) => element_at(l, c + 1)), lit(0d), _ + _).as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= k * rerank)
+      .select("query_id", "qvec", "neighbor_id")
+    // exact rerank of the candidate set only
+    val exact = cand.join(
+      corpus.select(col("vec_id").as("neighbor_id"), col("vec")),
+      "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("vec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Per-query hit counts of [[pqTopK]] vs the TRUE top-k (the
+    * brute-force twin) — the spec-level recall instrument, same shape
+    * as [[Similarity.ivfRecallPerQuery]]. */
+  def pqRecallPerQuery(spark: SparkSession, dir: String,
+      numQueries: Int = 10, k: Int = 10, m: Int = 16, ksub: Int = 32,
+      rerank: Int = 20): DataFrame = {
+    val pq = pqTopK(spark, dir, numQueries, k, m, ksub, rerank)
+      .select("query_id", "neighbor_id")
+    val brute = Similarity.bruteForceTopK(spark, dir, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val hits = pq.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+  }
+
+  /** Driver-gate recall row for [[pqTopK]]: ONE aggregate row
+    * asserting the PQ+rerank path recovers ≥ 90% of all true top-k
+    * neighbors — hash-oracle-able for the same reason as
+    * [[Similarity.ivfRecall]] (DuckDB cannot re-run PQ, but it can
+    * state the invariant, so the hash compare becomes a hard recall
+    * assertion). Deterministic: seeded codebooks, tie-broken argmins. */
+  def pqRecall(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 10, m: Int = 16, ksub: Int = 32, rerank: Int = 20)
+      : DataFrame =
+    pqRecallPerQuery(spark, dir, numQueries, k, m, ksub, rerank)
+      .agg(count(lit(1)).as("n_queries"),
+        (sum("n_hits") >= math.ceil(0.9 * k * numQueries).toLong)
+          .cast("int").as("recall_ge_90"))
+
+  val pqRecallSql: String =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+      |       1 AS recall_ge_90
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+}

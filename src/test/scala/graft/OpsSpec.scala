@@ -242,6 +242,67 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(train / n > 0.8 && train / n < 0.97, s"train frac ${train / n}")
   }
 
+  test("corpusMix: repeat counts honor integer+fractional weights, " +
+    "dropped sources vanish, epochs are dense from 0") {
+    val mix = graft.ops.Mix.corpusMix(spark, sf).cache()
+    val perDoc = mix.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("max_e"),
+        min("epoch").as("min_e")).collect()
+    perDoc.foreach { r =>
+      val (src, n) = (r.getString(1), r.getLong(2))
+      src match {
+        case "src0" => assert(n == 2L || n == 3L, s"src0 repeats $n") // 2.5
+        case "src1" => assert(n == 1L, s"src1 repeats $n")            // 0.4
+        case "src2" => fail("src2 has weight 0 and must not appear")
+        case _      => assert(n == 1L, s"$src repeats $n")            // 1.0
+      }
+      // epochs are 0..n-1 per doc
+      assert(r.getLong(4) === 0L && r.getLong(3) === n - 1)
+    }
+    // weight-0 source really dropped; fractional sources partially kept
+    val srcs = perDoc.map(_.getString(1)).toSet
+    assert(!srcs.contains("src2") && srcs.contains("src0"))
+    // partitioning-invariant (content hash, no rand())
+    val repartitioned = graft.ops.Mix.corpusMix(spark, sf).repartition(7)
+    assert(mix.exceptAll(repartitioned).count() === 0)
+    mix.unpersist()
+  }
+
+  test("corpusMix: exact duplicate texts get identical multiplicity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same exact text", "en", "srcA", 15L),
+      (2L, "same exact text", "en", "srcA", 15L),
+      (3L, "different text here", "en", "srcA", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val counts = graft.ops.Mix
+      .corpusMix(spark, dir, Map("srcA" -> 150), defaultPct = 100)
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts(1L) === counts(2L),
+      "identical content must repeat identically")
+    assert(counts.values.forall(n => n == 1L || n == 2L))
+  }
+
+  test("corpusMixSummary reconciles with the exploded mix") {
+    val mix = graft.ops.Mix.corpusMix(spark, sf)
+    val fromMix = mix.groupBy("source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val summary = graft.ops.Mix.corpusMixSummary(spark, sf).collect()
+    assert(summary.length === 20, "every source appears in the audit")
+    summary.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(3) === fromMix.getOrElse(src, 0L),
+        s"summary n_rows mismatch for $src")
+      assert(r.getLong(1) === 25L)
+      if (src == "src2") assert(r.getLong(3) === 0L)
+    }
+  }
+
   test("minhash_sketch aggregate is bit-identical to 64 min-agg columns") {
     val docs = graft.core.Tables.documents(spark, sf)
     val viaColumns = Dedup.minhashSignatures(docs)
