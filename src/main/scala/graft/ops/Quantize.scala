@@ -232,4 +232,101 @@ object Quantize {
     """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
       |       1 AS recall_ge_90
       |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  // ----- IVF-PQ: the composed 100 TB index layout -----
+
+  /** Build a persisted IVF-PQ index — the composition of both index
+    * families and the actual ≥10⁹-vector layout (FAISS `IndexIVFPQ`):
+    * rows live in their IVF cell's DIRECTORY (partition pruning skips
+    * unprobed cells entirely) and carry their PQ codes NEXT TO the raw
+    * vector, so the ADC scoring scan reads only the narrow `codes`
+    * column (columnar pruning skips the wide `vec` bytes within the
+    * probed cells) and the raw vectors are touched just for the final
+    * candidate rerank. Both prunings are plan-asserted in
+    * QuantizeSpec.
+    *
+    * Layout under `indexPath`: `data/cell=N/` (vec_id, codes, vec),
+    * plus `centroids` and `codebooks` sidecar tables — everything a
+    * fresh session needs to probe. */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+      cells: Int = 16, m: Int = 16, ksub: Int = 32): Unit = {
+    val corpus = Similarity.normalized(spark, dir)
+      .select("vec_id", "vec").localCheckpoint()
+    val cents = Similarity.ivfCentroidsDf(corpus, cells).localCheckpoint()
+    val books = pqCodebooks(corpus, m, ksub).localCheckpoint()
+    corpus
+      .join(Similarity.assignCells(corpus, cents), "vec_id")
+      .join(pqEncode(corpus, packBooks(books)), "vec_id")
+      .select(col("vec_id"), col("codes"), col("vec"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/data")
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    books.write.mode("overwrite").parquet(s"$indexPath/codebooks")
+  }
+
+  /** Query a persisted IVF-PQ index: probe each query's `nprobe` best
+    * cells (centroids ride in as ONE broadcast array row — map-side
+    * probe, no plan literals), ADC-score ONLY the probed cells' `codes`
+    * column via per-query lookup tables, keep the top k·`rerank`
+    * candidates, then exactly rerank those against their true vectors
+    * (read from the same probed partitions). Scan cost per query is
+    * nprobe/cells of the CODES bytes plus candidates·dim of vector
+    * bytes — at 10⁹ vectors with cells = √n that is megabytes, not
+    * terabytes. */
+  def ivfPqTopK(spark: SparkSession, indexPath: String,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 6,
+      rerank: Int = 20): DataFrame = {
+    val data = spark.read.parquet(s"$indexPath/data")
+    val packed = packBooks(spark.read.parquet(s"$indexPath/codebooks"))
+      .localCheckpoint()
+    val centArr = spark.read.parquet(s"$indexPath/centroids")
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cc"))
+      .localCheckpoint()
+    val dsub = expr("size(qvec) DIV size(books)")
+    // per-query probe cells + ADC lookup table, one row per
+    // (query, probed cell); bounded numQueries × nprobe
+    val queries = data.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(centArr)).crossJoin(broadcast(packed))
+      .select(col("query_id"), col("qvec"),
+        transform(col("books"), (entries, j) =>
+          transform(entries, e => dot(
+            slice(col("qvec"), j * dsub + 1, dsub), e.getField("cvec"))))
+          .as("lut"),
+        explode(slice(reverse(array_sort(transform(col("cc"),
+          c => struct(dot(col("qvec"), c.getField("cvec")).as("sim"),
+            c.getField("cid").as("cid"))))), 1, nprobe)
+          .getField("cid")).as("cell"))
+      .localCheckpoint()
+    // static IN-list on the partition column → directory-level pruning
+    // (the ivfTopKIndexed pattern); bounded by numQueries × nprobe
+    val probeCells = queries.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = data.where(col("cell").isin(probeCells: _*))
+    val adc = pruned.select(col("cell"), col("vec_id"), col("codes"))
+      .join(broadcast(queries), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+          (c, l) => element_at(l, c + 1)), lit(0d), _ + _).as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= k * rerank)
+      .select("query_id", "neighbor_id")
+    // exact rerank: true vectors re-read from the probed partitions only
+    val exact = cand
+      .join(pruned.select(col("vec_id").as("neighbor_id"), col("vec")),
+        "neighbor_id")
+      .join(data.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("vec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }

@@ -63,6 +63,40 @@ class QuantizeSpec extends AnyFunSuite with SharedSpark {
     assert(gate(0).getInt(1) === 1, "aggregate PQ recall below 0.9")
   }
 
+  test("IVF-PQ index: partition-pruned + column-pruned ADC scan, " +
+    "recall >= 0.9 vs brute force") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-idx").toString + "/index"
+    Quantize.buildIvfPqIndex(spark, sf, idx)
+    val topk = Quantize.ivfPqTopK(spark, idx, nprobe = 4)
+    // plan: the ADC scan touches only probed cell dirs, and its
+    // ReadSchema must NOT include the raw vector column (codes only)
+    val physical = topk.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = physical.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "no partition-pruned scan found")
+    scans.foreach(s => assert(s.selectedPartitions.partitionCount < 16,
+      s"probe scanned ${s.selectedPartitions.partitionCount}/16 cells"))
+    val adcScan = scans.find(_.schema.fieldNames.contains("codes"))
+    assert(adcScan.isDefined, "no codes-column ADC scan found")
+    assert(!adcScan.get.schema.fieldNames.contains("vec"),
+      s"ADC scan reads the raw vectors: ${adcScan.get.schema.fieldNames.toSeq}")
+    // recall: both approximation axes together (missed cells + PQ
+    // candidates) still clear the 0.9 aggregate band
+    val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = topk.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall too low")
+    spark.catalog.clearCache()
+  }
+
   test("ADC ordering is meaningful before rerank: PQ top-k without " +
     "rerank headroom still overlaps the true top-k") {
     val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 5, k = 10)
