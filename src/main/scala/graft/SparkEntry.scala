@@ -127,6 +127,11 @@ object SparkEntry {
     "q_corpus_mix" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.corpusMix(s, d)),
     "q_corpus_mix_summary" -> (graft.ops.Mix.corpusMixSummary _),
+    // token-budget mixing: per-source TARGET TOKEN COUNTS, weights
+    // derived from the data in one aggregate pass (all-BIGINT)
+    "q_token_budget_mix" -> ((s: SparkSession, d: String) =>
+      graft.ops.Mix.tokenBudgetMix(s, d)),
+    "q_token_budget_audit" -> (graft.ops.Mix.tokenBudgetMixAudit _),
     // shard packing (distributed prefix sum) + corpus shuffle
     "q_pack_shards" -> (graft.ops.Pack.packDocs _),
     "q_shard_manifest" -> (graft.ops.Pack.shardManifest _),
@@ -251,6 +256,8 @@ object SparkEntry {
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,
     "q_corpus_mix" -> graft.ops.Mix.corpusMixSql,
     "q_corpus_mix_summary" -> graft.ops.Mix.corpusMixSummarySql,
+    "q_token_budget_mix" -> graft.ops.Mix.tokenBudgetMixSql,
+    "q_token_budget_audit" -> graft.ops.Mix.tokenBudgetMixAuditSql,
     "q_pack_shards" -> graft.ops.Pack.packDocsSql,
     "q_shard_manifest" -> graft.ops.Pack.shardManifestSql,
     "q_pack_payloads" -> graft.ops.Pack.packedPayloadsSql,

@@ -135,6 +135,110 @@ object Mix {
        |             / src.n_source_docs, 4) AS effective_epochs
        |FROM src LEFT JOIN agg ON src.source = agg.source""".stripMargin
 
+  /** Token-budget corpus mixing — the form a training run actually
+    * specifies: a TARGET TOKEN COUNT per source ("4000 tokens of src0,
+    * 600 of src1, none of src2, 1500 of everything else"), not an
+    * epoch multiplier. The per-source weight is derived FROM THE DATA
+    * in one aggregate pass — wp = budget·100 div source_token_total,
+    * all BIGINT arithmetic so both engines agree bit-exactly — capped
+    * at `maxEpochsPct` (a tiny source cannot explode into unbounded
+    * repeats), then documents expand through the same deterministic
+    * content-bucket repeat rule as [[corpusMix]]. Output carries
+    * `n_tokens` so the result feeds straight into token-budget shard
+    * packing.
+    *
+    * Scale shape: one map-side-combined aggregate over (source) — 20
+    * rows — broadcast back onto the scan, then the zero-shuffle
+    * explode. Two passes over the corpus, no wide shuffle anywhere. */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+      budgets: Map[String, Long] =
+        Map("src0" -> 4000L, "src1" -> 600L, "src2" -> 0L),
+      defaultBudget: Long = 1500L, maxEpochsPct: Long = 1000L)
+      : DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) =>
+        when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(TextStats.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val weights = docs.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("budget", budget.cast("long"))
+      .select(col("source"),
+        least(expr("budget * 100 DIV src_tokens"), lit(maxEpochsPct))
+          .as("wp"))
+    docs.join(broadcast(weights), "source")
+      .withColumn("repeats",
+        expr("wp DIV 100") +
+          when(contentBucket(col("text")) < col("wp") % 100, 1L)
+            .otherwise(0L))
+      .where(col("repeats") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(0L), col("repeats") - 1)).as("epoch"))
+  }
+
+  private val tokenBudgetCase =
+    """CASE WHEN source = 'src0' THEN 4000
+      |     WHEN source = 'src1' THEN 600
+      |     WHEN source = 'src2' THEN 0
+      |     ELSE 1500 END""".stripMargin
+
+  val tokenBudgetMixSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |w AS (
+       |  SELECT source,
+       |         LEAST(($tokenBudgetCase) * 100
+       |                 // CAST(SUM(n_tokens) AS BIGINT), 1000) AS wp
+       |  FROM d GROUP BY source),
+       |r AS (
+       |  SELECT d.doc_id, d.source, d.n_tokens,
+       |         CAST(w.wp // 100 + CASE WHEN $bucketSqlExpr < w.wp % 100
+       |                                 THEN 1 ELSE 0 END AS BIGINT)
+       |           AS repeats
+       |  FROM d JOIN w ON d.source = w.source)
+       |SELECT doc_id, source, n_tokens,
+       |       CAST(unnest(range(repeats)) AS BIGINT) AS epoch
+       |FROM r WHERE repeats > 0""".stripMargin
+
+  /** Per-source audit of [[tokenBudgetMix]]: target vs achieved token
+    * counts. Achieved lands within one document's tokens of the target
+    * in expectation (the fractional remainder is content-bucketed);
+    * all-integer so the row set is hash-exact. */
+  def tokenBudgetMixAudit(spark: SparkSession, dir: String): DataFrame = {
+    val budget = Map("src0" -> 4000L, "src1" -> 600L, "src2" -> 0L)
+      .foldLeft(lit(1500L)) { case (acc, (src, b)) =>
+        when(col("source") === src, lit(b)).otherwise(acc)
+      }
+    tokenBudgetMix(spark, dir)
+      .groupBy("source")
+      .agg(sum("n_tokens").as("achieved_tokens"),
+        count(lit(1)).as("n_rows"))
+      .join(Tables.documents(spark, dir).groupBy("source")
+        .agg(budget.as("budget_tokens")).select("source", "budget_tokens"),
+        Seq("source"), "right")
+      .na.fill(0L, Seq("achieved_tokens", "n_rows"))
+      .select("source", "budget_tokens", "achieved_tokens", "n_rows")
+  }
+
+  val tokenBudgetMixAuditSql: String =
+    s"""WITH m AS ($tokenBudgetMixSql),
+       |agg AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS achieved_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM m GROUP BY source),
+       |src AS (
+       |  SELECT DISTINCT source,
+       |         CAST($tokenBudgetCase AS BIGINT) AS budget_tokens
+       |  FROM documents)
+       |SELECT src.source, src.budget_tokens,
+       |       COALESCE(agg.achieved_tokens, 0) AS achieved_tokens,
+       |       COALESCE(agg.n_rows, 0) AS n_rows
+       |FROM src LEFT JOIN agg ON src.source = agg.source""".stripMargin
+
   /** Content-hash train/test split: bucket < trainPct → train. */
   def trainTestSplit(spark: SparkSession, dir: String,
       trainPct: Int = 90): DataFrame =

@@ -287,6 +287,33 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(counts.values.forall(n => n == 1L || n == 2L))
   }
 
+  test("tokenBudgetMix: achieved tokens land near each source's " +
+    "budget; dropped source vanishes; repeats bounded by the cap") {
+    val audit = graft.ops.Mix.tokenBudgetMixAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(audit.length === 20)
+    val perDocMax = graft.core.Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(max(size(graft.ops.TextStats.wsTokens(col("text"))))
+        .cast("long").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    audit.foreach { case (src, budget, achieved) =>
+      if (budget == 0L) assert(achieved === 0L, s"$src achieved tokens")
+      else {
+        // integer-weight floor: achieved ∈ (budget - src_total/100 -
+        // one doc, budget + one doc) — loose band: within 25% + 2 docs
+        val slack = budget / 4 + 2 * perDocMax(src)
+        assert(math.abs(achieved - budget) <= slack,
+          s"$src achieved $achieved vs budget $budget (slack $slack)")
+      }
+    }
+    // epoch fan-out respects the cap (wp <= 1000 → repeats <= 10)
+    val maxRepeats = graft.ops.Mix.tokenBudgetMix(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    assert(maxRepeats <= 10L, s"repeat cap violated: $maxRepeats")
+  }
+
   test("corpusMixSummary reconciles with the exploded mix") {
     val mix = graft.ops.Mix.corpusMix(spark, sf)
     val fromMix = mix.groupBy("source")
