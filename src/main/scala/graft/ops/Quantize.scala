@@ -249,13 +249,20 @@ object Quantize {
     * plus `centroids` and `codebooks` sidecar tables — everything a
     * fresh session needs to probe. */
   def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
-      cells: Int = 16, m: Int = 16, ksub: Int = 32): Unit = {
+      cells: Int = 16, m: Int = 16, ksub: Int = 32,
+      twoLevelFrom: Int = 512): Unit = {
     val corpus = Similarity.normalized(spark, dir)
       .select("vec_id", "vec").localCheckpoint()
     val cents = Similarity.ivfCentroidsDf(corpus, cells).localCheckpoint()
     val books = pqCodebooks(corpus, m, ksub).localCheckpoint()
+    // past ~512 cells the single-level n·k assignment dominates the
+    // build; switch to the two-level probe (the semanticDedupClusters
+    // threshold — measured 5.8× at k=1788/200k vectors, see SCALE.md)
+    val assign = if (cells >= twoLevelFrom)
+      Similarity.assignCellsTwoLevel(corpus, cents)
+    else Similarity.assignCells(corpus, cents)
     corpus
-      .join(Similarity.assignCells(corpus, cents), "vec_id")
+      .join(assign, "vec_id")
       .join(pqEncode(corpus, packBooks(books)), "vec_id")
       .select(col("vec_id"), col("codes"), col("vec"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
