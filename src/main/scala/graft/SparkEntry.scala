@@ -153,6 +153,9 @@ object SparkEntry {
     // quality → shuffle → pack) as ONE hash-oracled artifact
     "q_training_shards" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.trainingShards(s, d)),
+    // the complete pipeline with the weighted-mixing stage composed in
+    "q_training_shards_mixed" -> ((s: SparkSession, d: String) =>
+      graft.ops.Corpus.trainingShardsMixed(s, d)),
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
@@ -272,6 +275,7 @@ object SparkEntry {
     "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
     "q_ann_pq_recall" -> graft.ops.Quantize.pqRecallSql,
     "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
+    "q_training_shards_mixed" -> graft.ops.Corpus.trainingShardsMixedSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
     "q_media_frames" -> Multimodal.frameSampleSummarySql
   )

@@ -73,6 +73,85 @@ object Corpus {
           s => s.getField("text"))).as("payload"))
   }
 
+  /** [[trainingShards]] with the WEIGHTED-MIXING stage composed in —
+    * the complete pipeline a real run ships: after governance and
+    * quality filtering, survivors expand through the deterministic
+    * per-source epoch weights ([[Mix.corpusMixFor]]: mix AFTER dedup,
+    * so upsampling never multiplies rows a later stage would drop),
+    * and the shuffle key salts in the epoch so repeats of a document
+    * scatter across different shards instead of clumping. Output rows
+    * are (shard_id, n_rows, shard_tokens, payload); still fully
+    * deterministic → hash-oracled. */
+  def trainingShardsMixed(spark: SparkSession, dir: String, seed: Int = 0,
+      budget: Long = 4096L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val survivors = docs.select("doc_id", "text", "source")
+      .join(Decontaminate.governedCorpus(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(TextStats.qualityFiltered(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val mixed = Mix.corpusMixFor(survivors)
+      .join(docs.select("doc_id", "text"), "doc_id")
+    val keyed = mixed.select(
+      concat(md5(concat(lit(s"graft:$seed:"), col("doc_id").cast("string"),
+          lit(":"), col("epoch").cast("string"))),
+        lit(":"), col("doc_id").cast("string"),
+        lit(":"), col("epoch").cast("string")).as("k"),
+      col("text"))
+    Pack.packIntoShards(keyed, "k", size(split(col("text"), " ")), budget)
+      .withColumn("doc_id",
+        element_at(split(col("k"), ":"), 2).cast("long"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("w").as("shard_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("k"), col("text")))),
+          s => s.getField("text"))).as("payload"))
+  }
+
+  val trainingShardsMixedSql: String =
+    s"""WITH surv AS (
+       |  SELECT d.doc_id, d.text, d.source FROM documents d
+       |  WHERE d.doc_id IN
+       |        (SELECT doc_id FROM (${Decontaminate.governedCorpusSql}) gov)
+       |    AND d.doc_id IN
+       |        (SELECT doc_id FROM (${TextStats.qualityFilteredSql}) q)),
+       |mw AS (
+       |  SELECT doc_id, text,
+       |         (CASE WHEN source = 'src0' THEN 250
+       |               WHEN source = 'src1' THEN 40
+       |               WHEN source = 'src2' THEN 0
+       |               ELSE 100 END) AS wp,
+       |         ${Mix.bucketSqlExpr} AS b
+       |  FROM surv),
+       |m AS (
+       |  SELECT doc_id, text,
+       |         CAST(unnest(range(wp // 100 +
+       |           CASE WHEN b < wp % 100 THEN 1 ELSE 0 END)) AS BIGINT)
+       |           AS epoch
+       |  FROM mw
+       |  WHERE wp // 100 + CASE WHEN b < wp % 100 THEN 1 ELSE 0 END > 0),
+       |h AS (
+       |  SELECT text,
+       |         md5('graft:0:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |             CAST(epoch AS VARCHAR)) || ':' ||
+       |           CAST(doc_id AS VARCHAR) || ':' ||
+       |           CAST(epoch AS VARCHAR) AS k,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+       |  FROM m),
+       |c AS (
+       |  SELECT k, text, w,
+       |         CAST(SUM(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+       |              AS BIGINT) AS cum_tokens
+       |  FROM h)
+       |SELECT (cum_tokens - w) // 4096 AS shard_id,
+       |       COUNT(*) AS n_rows,
+       |       CAST(SUM(w) AS BIGINT) AS shard_tokens,
+       |       string_agg(text, ' ' ORDER BY k) AS payload
+       |FROM c GROUP BY shard_id""".stripMargin
+
   val trainingShardsSql: String =
     s"""WITH surv AS (
        |  SELECT d.doc_id, d.text FROM documents d

@@ -29,7 +29,7 @@ object Mix {
     conv(substring(TextStats.fingerprint(text), 25, 8), 16, 10)
       .cast("long") % 100
 
-  private val bucketSqlExpr =
+  val bucketSqlExpr: String =
     "CAST(concat('0x', substr(md5(trim(regexp_replace(lower(text), " +
       "'[^a-z0-9]+', ' ', 'g'))), 25, 8)) AS BIGINT) % 100"
 
@@ -71,12 +71,21 @@ object Mix {
   def corpusMix(spark: SparkSession, dir: String,
       weightsPct: Map[String, Int] =
         Map("src0" -> 250, "src1" -> 40, "src2" -> 0),
+      defaultPct: Int = 100): DataFrame =
+    corpusMixFor(Tables.documents(spark, dir), weightsPct, defaultPct)
+
+  /** [[corpusMix]] over any (doc_id, text, source) frame — the form
+    * composed pipelines use (mix AFTER dedup/decontamination, so
+    * upsampling never multiplies rows a later stage would drop). */
+  def corpusMixFor(input: DataFrame,
+      weightsPct: Map[String, Int] =
+        Map("src0" -> 250, "src1" -> 40, "src2" -> 0),
       defaultPct: Int = 100): DataFrame = {
     val wp = weightsPct.foldLeft(lit(defaultPct)) {
       case (acc, (src, pct)) =>
         when(col("source") === src, lit(pct)).otherwise(acc)
     }
-    Tables.documents(spark, dir)
+    input
       .withColumn("repeats",
         (wp / 100).cast("long") +
           when(contentBucket(col("text")) < wp % 100, 1L).otherwise(0L))

@@ -259,6 +259,51 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
       sorted.indices.map(_.toLong))
   }
 
+  test("trainingShardsMixed: row/token totals reconcile with the " +
+    "mixed survivor set; repeats of a doc scatter across shards") {
+    val shards = graft.ops.Corpus.trainingShardsMixed(spark, sf).collect()
+    val docs = graft.core.Tables.documents(spark, sf)
+    val survivors = docs.select("doc_id", "text", "source")
+      .join(graft.ops.Decontaminate.governedCorpus(spark, sf)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(graft.ops.TextStats.qualityFiltered(spark, sf)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val mixed = graft.ops.Mix.corpusMixFor(survivors)
+      .join(docs.select("doc_id", "text"), "doc_id").collect()
+    assert(shards.map(_.getAs[Long]("n_rows")).sum === mixed.length)
+    val totalTokens = mixed
+      .map(_.getAs[String]("text").split(" ", -1).length.toLong).sum
+    assert(shards.map(_.getAs[Long]("shard_tokens")).sum === totalTokens)
+    shards.foreach { r =>
+      assert(r.getAs[String]("payload").split(" ", -1).length.toLong ===
+        r.getAs[Long]("shard_tokens"))
+    }
+    // the epoch salt scatters: at least one multi-epoch doc's repeats
+    // land in more than one shard (vacuous only if nothing upsampled,
+    // which the src0 weight of 2.5 prevents)
+    val multi = mixed.groupBy(_.getAs[Long]("doc_id"))
+      .filter(_._2.length > 1).keys.toSet
+    assert(multi.nonEmpty, "no upsampled docs — weights not applied?")
+    // scatter: multi-epoch docs' keys carry the epoch inside the md5,
+    // so repeats sort far apart — assert at least one doc's epochs land
+    // > n/4 positions apart in key order (shards follow key order)
+    val keys = graft.ops.Mix.corpusMixFor(survivors)
+      .select(col("doc_id"),
+        concat(md5(concat(lit("graft:0:"), col("doc_id").cast("string"),
+            lit(":"), col("epoch").cast("string"))),
+          lit(":"), col("doc_id").cast("string"),
+          lit(":"), col("epoch").cast("string")).as("k"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("k"))).toSeq
+    val ordered = keys.map(_._2).sorted.zipWithIndex.toMap
+    val spread = keys.groupBy(_._1).filter(_._2.length > 1).values.exists {
+      g =>
+        val pos = g.map(x => ordered(x._2))
+        pos.max - pos.min > keys.length / 4
+    }
+    assert(spread, "epoch-salted keys do not scatter repeats")
+  }
+
   // ----- deterministic corpus shuffle -----
 
   test("corpusShuffle is a permutation, matches the single-task global " +
