@@ -68,9 +68,16 @@ object Quantize {
     * argmin_c ‖x−c‖² ≡ argmax_c (x·c − ‖c‖²/2), so assignment later
     * costs one dot per candidate. All DataFrame compute; the result is
     * k = m·ksub tiny rows. */
-  def pqCodebooks(vectors: DataFrame, m: Int = 8, ksub: Int = 16)
-      : DataFrame = {
-    val sub = subvectors(vectors, m)
+  def pqCodebooks(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
+      trainSample: Int = 65536): DataFrame = {
+    // codebooks are statistics, not indexes: train on a bounded sample
+    // (the FAISS practice) — at 10⁹ vectors the Lloyd join below would
+    // otherwise shuffle n·m subvector rows for a 128-row result. The
+    // lowest-vec_id sample keeps training deterministic; 64k vectors
+    // estimate m·ksub ≤ a few thousand subspace centroids with huge
+    // margin.
+    val sample = vectors.orderBy(col("vec_id")).limit(trainSample)
+    val sub = subvectors(sample, m)
     // seeds: per subspace, the ksub lowest vec_ids (bounded window)
     val seeds = sub
       .withColumn("rn", row_number().over(
