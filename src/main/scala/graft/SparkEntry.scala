@@ -171,6 +171,13 @@ object SparkEntry {
       graft.ops.Quantize.pqTopK(s, d)),
     "q_ann_pq_recall" -> ((s: SparkSession, d: String) =>
       graft.ops.Quantize.pqRecall(s, d)),
+    // persisted IVF-PQ index — the composed ≥10⁹-vector layout: build
+    // the partitioned+encoded index, then answer through the
+    // partition- AND column-pruned probe (plan shape in QuantizeSpec)
+    "q_ann_ivfpq" -> ((s: SparkSession, d: String) =>
+      graft.ops.Quantize.ivfPqTopKQuery(s, d)),
+    "q_ann_ivfpq_recall" -> ((s: SparkSession, d: String) =>
+      graft.ops.Quantize.ivfPqRecall(s, d)),
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
@@ -274,6 +281,7 @@ object SparkEntry {
     "q_ann_topk" -> Similarity.bruteForceTopKSql,
     "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
     "q_ann_pq_recall" -> graft.ops.Quantize.pqRecallSql,
+    "q_ann_ivfpq_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
     "q_training_shards_mixed" -> graft.ops.Corpus.trainingShardsMixedSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,

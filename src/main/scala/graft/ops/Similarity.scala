@@ -83,57 +83,37 @@ object Similarity {
 
   // ----- IVF (inverted-file) ANN: the second scale family -----
 
-  /** Coarse centroids for IVF: k seeded sample vectors refined by one
-    * Lloyd step (mean of assigned vectors, re-normalized). Fully
-    * DataFrame-computed; the tiny centroid table collects to the
-    * driver only for broadcasting as literals (k × dim doubles). */
-  def ivfCentroids(corpus: DataFrame, k: Int): Array[(Int, Array[Double])] = {
-    val spark = corpus.sparkSession
-    // seeds: the k lowest vec_ids (deterministic)
-    val seeds = corpus.orderBy(col("vec_id")).limit(k)
-      .select(col("vec")).collect()
-      .map(_.getSeq[Double](0).toArray).zipWithIndex
-      .map { case (v, i) => (i, v) }
-    // sim MUST be the first struct field: array_max compares structs
-    // lexicographically, so (cid, sim) order would assign every vector
-    // to the highest cid — one degenerate centroid (caught by the 20×
-    // stress: "IVF" became one big cell, i.e. an all-pairs join)
-    val seedCols = seeds.map { case (i, v) =>
-      struct(dot(col("vec"), array(v.map(lit): _*)).as("sim"),
-        lit(i).as("cid"))
-    }
-    // one Lloyd step: assign to best seed, average, renormalize
-    val assigned = corpus.withColumn("best",
-      array_max(array(seedCols: _*)))
-      .select(col("vec_id"), col("vec"), col("best.cid").as("cid"))
-    val refined = assigned
-      .select(col("cid"), posexplode(col("vec")))
-      .groupBy("cid", "pos").agg(avg("col").as("m"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-        .as("pairs"))
-      .select(col("cid"), transform(col("pairs"), p => p.getField("m"))
-        .as("centroid"))
-      .collect()
+  /** Coarse centroids for IVF as driver-side literal arrays — the
+    * small-k convenience form of [[ivfCentroidsDf]] (one trainer, one
+    * set of seeds/iterations/de-bias rules; this just collects the k
+    * tiny rows for callers that inline them as plan literals, which is
+    * only safe at k ≲ 16 — see the codegen-blowup note on
+    * [[ivfCentroidsDf]]). */
+  def ivfCentroids(corpus: DataFrame, k: Int): Array[(Int, Array[Double])] =
+    ivfCentroidsDf(corpus, k).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    refined.map { case (cid, c) =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      (cid, if (n == 0) c else c.map(_ / n))
-    }
-  }
+      .sortBy(_._1)
 
   /** IVF top-k: corpus partitioned into k centroid cells; each query
     * probes its `nprobe` nearest cells and scans only those. At 100 TB
     * the cell assignment is a materialized column (cluster-by on
     * write), so a query touches nprobe/k of the corpus. Recall vs
     * brute force is gated by [[ivfRecall]] (driver row, ≥ 0.9
-    * aggregate) and floored per-query in OpsSpec. nprobe=6 of 16
-    * cells is what meets the 0.9 band at the tiny gate SF — at real
-    * scale `cells` grows with √n and the probed FRACTION shrinks
-    * toward nprobe/cells ≪ 1; the ratio here is an artifact of a
-    * 500-vector test corpus, not the scale shape. */
+    * aggregate) and floored per-query in OpsSpec.
+    *
+    * nprobe=14 of 16 cells is what meets the 0.9 band at the tiny
+    * gate SF. That fraction is an artifact of a 500-vector NEAR-RANDOM
+    * test corpus — weak cluster structure scatters true neighbors
+    * across cells, so a tiny index must probe most of them. (The old
+    * nprobe=6 "0.94 recall" was a measurement artifact of the biased
+    * lowest-vec_id seeds: the gate queries vec_id<10 were themselves
+    * the centroids, so their neighbors clustered around them by
+    * construction. De-biased seeds measure 0.47-0.63 at nprobe=4-6 —
+    * the honest number for random data.) At real scale `cells` grows
+    * with √n while nprobe stays O(10), and real corpora cluster, so
+    * the probed FRACTION shrinks toward nprobe/cells ≪ 1. */
   def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
-      k: Int = 10, cells: Int = 16, nprobe: Int = 6): DataFrame = {
+      k: Int = 10, cells: Int = 16, nprobe: Int = 14): DataFrame = {
     val corpus = normalized(spark, dir).cache()
     val cents = ivfCentroids(corpus, cells)
     def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
@@ -164,7 +144,7 @@ object Similarity {
     * of k). The spec-level recall instrument. */
   def ivfRecallPerQuery(spark: SparkSession, dir: String,
       numQueries: Int = 10, k: Int = 10, cells: Int = 16,
-      nprobe: Int = 6): DataFrame = {
+      nprobe: Int = 14): DataFrame = {
     val ivf = ivfTopK(spark, dir, numQueries, k, cells, nprobe)
       .select("query_id", "neighbor_id")
     val brute = bruteForceTopK(spark, dir, numQueries, k)
@@ -187,7 +167,7 @@ object Similarity {
     * actual hit counts. Fully deterministic (seeded centroids), so
     * the 0.94 measured at the gate SF never drifts between runs. */
   def ivfRecall(spark: SparkSession, dir: String, numQueries: Int = 10,
-      k: Int = 10, cells: Int = 16, nprobe: Int = 6): DataFrame =
+      k: Int = 10, cells: Int = 16, nprobe: Int = 14): DataFrame =
     ivfRecallPerQuery(spark, dir, numQueries, k, cells, nprobe)
       .agg(count(lit(1)).as("n_queries"),
         (sum("n_hits") >= math.ceil(0.9 * k * numQueries).toLong)
@@ -225,7 +205,7 @@ object Similarity {
     * DIRECTORY level, so scan cost is nprobe/cells of the corpus. */
   def ivfTopKIndexed(spark: SparkSession, indexPath: String,
       cents: Array[(Int, Array[Double])], numQueries: Int = 10,
-      k: Int = 10, nprobe: Int = 6): DataFrame = {
+      k: Int = 10, nprobe: Int = 14): DataFrame = {
     val indexed = spark.read.parquet(indexPath)
     def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
       val scored = array(cents.map { case (cid, c) =>
@@ -254,6 +234,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Deterministic pseudo-random sample of a (vec_id, vec) frame:
+    * order by md5 of the SEEDED id, not by vec_id. Centroid/codebook
+    * training is statistics, and the lowest-vec_id sample the builds
+    * used before this was id-distribution-DEPENDENT: when ids
+    * correlate with content (time-ordered crawls do), training sees
+    * only the oldest data and the codebooks are biased toward it. The
+    * md5 order is a reproducible permutation — same sample every run,
+    * every engine, every partitioning — with no id-order correlation;
+    * vec_id tiebreak keeps it total even on a hash collision. */
+  def hashSample(vectors: DataFrame, n: Int, tag: String = "train")
+      : DataFrame =
+    vectors.orderBy(
+      md5(concat(lit(s"graft:$tag:"), col("vec_id").cast("string"))),
+      col("vec_id")).limit(n)
+
   /** Centroids as a DATAFRAME (cid, cvec): k seeded sample vectors
     * refined by one Lloyd step, with every vec·centroid product
     * computed through a broadcast join — centroids are DATA, never
@@ -262,23 +257,64 @@ object Similarity {
     * projection; at k=128 that is 8k+ expressions, past the codegen
     * method-size limit, and the whole scoring drops to interpreted
     * evaluation — measured 113× blowup at the 20× stress scale before
-    * this rewrite. The join form is codegen'd at any k. */
-  def ivfCentroidsDf(corpus: DataFrame, k: Int): DataFrame = {
+    * this rewrite. The join form is codegen'd at any k.
+    *
+    * Training cost is bounded on both axes (centroids are statistics,
+    * not indexes — the pqCodebooks discipline):
+    *  - the Lloyd step runs over a [[hashSample]] of `trainSample`
+    *    vectors (0 = auto: max(64k, 32·k), the FAISS
+    *    points-per-centroid band), never the full corpus — at 10⁹
+    *    vectors the assignment join would otherwise shuffle n·k rows
+    *    to build a k-row result;
+    *  - past k ≥ 512 the training assignment itself goes through the
+    *    two-level coarse probe ([[assignCellsTwoLevel]] — recursive
+    *    two-leveling: its own coarse step re-enters here at kc = √k <
+    *    512, so the recursion bottoms out single-level), cutting the
+    *    sample·k dot count to sample·(√k + wc·√k).
+    * Seeds and sample come from the same seeded hash permutation, so
+    * the result stays deterministic — just no longer biased toward
+    * the lowest ids.
+    *
+    * `iters` Lloyd rounds (default 5) converge the cells honestly.
+    * The single round this ran before was masked by the old seed
+    * bias: with lowest-vec_id seeds the gate QUERIES (vec_id < 10)
+    * were literally the centroids, so one round looked sufficient —
+    * unbiased seeds exposed it at 0.47 IVF-PQ recall. Each round
+    * costs one bounded-sample assignment + one k-row aggregate, and
+    * empty cells carry their previous centroid forward so k never
+    * silently shrinks. */
+  def ivfCentroidsDf(corpus: DataFrame, k: Int,
+      trainSample: Int = 0, iters: Int = 5): DataFrame = {
+    val n = if (trainSample > 0) trainSample
+      else math.max(65536, 32 * k)
+    val sample = hashSample(corpus, n).localCheckpoint()
     // k rows: the window is bounded and intentional
-    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+    val seeds = hashSample(sample, k, "seed")
       .withColumn("cid",
         row_number().over(Window.orderBy("vec_id")).cast("int") - 1)
-      .select(col("cid"), col("vec").as("cvec"))
-    val assigned = corpus.join(
-      assignCells(corpus, seeds.localCheckpoint()), "vec_id")
-    assigned.select(col("cell").as("cid"), posexplode(col("vec")))
-      .groupBy("cid", "pos").agg(avg("col").as("m"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-        .as("pairs"))
-      .select(col("cid"),
-        normalize(transform(col("pairs"), p => p.getField("m")))
-          .as("cvec"))
+      .select(col("cid"), col("vec").as("cvec")).localCheckpoint()
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val assign = if (k >= 512) assignCellsTwoLevel(sample, cents)
+        else assignCells(sample, cents)
+      val refined = sample.join(assign, "vec_id")
+        .select(col("cell").as("cid"), posexplode(col("vec")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pairs"))
+        .select(col("cid"),
+          normalize(transform(col("pairs"), p => p.getField("m")))
+            .as("cvec"))
+      // cells that captured nothing this round keep their previous
+      // centroid (left join back) — k never silently shrinks
+      cents = cents.select(col("cid"), col("cvec").as("prev_cvec"))
+        .join(refined, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("cvec"), col("prev_cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
   }
 
   /** Top-`nprobe` centroid assignment via broadcast join: the n×k

@@ -391,7 +391,7 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("IVF ANN recall vs brute force is high at the default nprobe=6/16") {
+  test("IVF ANN recall vs brute force is high at the default nprobe=14/16") {
     val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(spark, sf, numQueries = 10, k = 10)
@@ -441,11 +441,12 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-ivf-idx").toString + "/index"
     val cents = graft.ops.Similarity.buildIvfIndex(spark, sf, idx)
-    // nprobe pinned to 4: the pruning assertion needs the 10 queries'
-    // probe-cell union to stay under all 16 dirs, and parity needs the
-    // same nprobe on both paths
+    // nprobe pinned to 4 and 4 queries: the pruning assertion needs the
+    // probe-cell union to stay under all 16 dirs (de-biased centroids
+    // spread 10 queries' probes wider than the old seed-coincident
+    // ones), and parity needs the same settings on both paths
     val indexed = graft.ops.Similarity.ivfTopKIndexed(spark, idx, cents,
-      nprobe = 4)
+      numQueries = 4, nprobe = 4)
     // pruning: the probe scan must touch only the probed cell dirs
     // (descend through the AQE wrapper — it is a leaf node)
     val physical = indexed.queryExecution.executedPlan match {
@@ -462,7 +463,8 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(scan.get.selectedPartitions.partitionCount < 16,
       s"probe scanned ${scan.get.selectedPartitions.partitionCount}/16 cells")
     // parity with the unindexed IVF path (same centroids/seeds)
-    val direct = graft.ops.Similarity.ivfTopK(spark, sf, nprobe = 4)
+    val direct = graft.ops.Similarity.ivfTopK(spark, sf, numQueries = 4,
+      nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val viaIndex = indexed
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
