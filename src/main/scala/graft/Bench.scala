@@ -109,14 +109,52 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"stream_avg_batch_sec":$avgBatchSec,"stream_first_batch_sec":$firstBatchSec,"stream_steady_batch_sec":$steadyBatchSec,"stream_batches":${batchDurations.size},"golden_replay_sec":$goldenSec,"golden_match":$goldenMatch,"sf":"$sfDir"}"""
+
+    // Round-over-round deltas, computed mechanically instead of by
+    // judge-side JSON surgery: ratio of this run's time to the
+    // previous full artifact's (same file we are about to overwrite),
+    // per common query, plus the common-query total ratio. > 1 = this
+    // run is slower. The previous artifact is our own single-line
+    // write, so a bounded regex parse of its "queries" object is safe.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_full_latest.json")
+    val prev: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(fullPath)
+      if (!java.nio.file.Files.isReadable(p)) Map.empty
+      else {
+        val text = java.nio.file.Files.readString(p)
+        // deltas are only meaningful against the SAME scale factor —
+        // a local sf0.01 iteration run must not "regress" vs the
+        // driver's sf0.1 artifact
+        val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text)
+          .exists(_.group(1) == sfDir)
+        if (!sameSf) Map.empty
+        else {
+          val obj = """"queries":\{([^}]*)\}""".r
+            .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+          """"([A-Za-z0-9_]+)":(-?[0-9.Ee+-]+)""".r.findAllMatchIn(obj)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    }
+    val deltas = results.collect {
+      case (name, t) if t > 0 && prev.getOrElse(name, -1.0) > 0 =>
+        name -> t / prev(name)
+    }
+    val deltaJson = deltas.sortBy(-_._2)
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }
+      .mkString("{", ",", "}")
+    val commonNow = deltas.map { case (n, _) => results.toMap.apply(n) }.sum
+    val commonPrev = deltas.map { case (n, _) => prev(n) }.sum
+    val totalDelta =
+      if (commonPrev > 0) f"${commonNow / commonPrev}%.3f" else "-1"
+
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"delta_vs_prev":$deltaJson,"delta_total_common":$totalDelta,"delta_common_queries":${deltas.size},"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"stream_avg_batch_sec":$avgBatchSec,"stream_first_batch_sec":$firstBatchSec,"stream_steady_batch_sec":$steadyBatchSec,"stream_batches":${batchDurations.size},"golden_replay_sec":$goldenSec,"golden_match":$goldenMatch,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated in round artifacts (BENCH_rNN.json
     // historically cut off mid-`queries`, hiding 34/88 timings) — so the
     // SAME line is also written untruncated to a committed file. The
     // round snapshot copies it to BENCH_full_rNN.json.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "BENCH_full_latest.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       line + "\n")
     spark.stop()

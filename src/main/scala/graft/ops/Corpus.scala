@@ -90,8 +90,13 @@ object Corpus {
         Seq("doc_id"), "left_semi")
       .join(TextStats.qualityFiltered(spark, dir).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    val mixed = Mix.corpusMixFor(survivors)
-      .join(docs.select("doc_id", "text"), "doc_id")
+    // the survivors scan already carried the text — ride it through
+    // the zero-shuffle explode instead of re-joining documents for it
+    // (the post-pack text re-attach below is the ONE documents join:
+    // the pack shuffle stays (key, weight)-slim either way, and
+    // joining back to the keyed frame instead would recompute — or
+    // force materializing — the whole governance lineage)
+    val mixed = Mix.corpusMixFor(survivors, carry = Seq("text"))
     val keyed = mixed.select(
       concat(md5(concat(lit(s"graft:$seed:"), col("doc_id").cast("string"),
           lit(":"), col("epoch").cast("string"))),

@@ -76,11 +76,15 @@ object Mix {
 
   /** [[corpusMix]] over any (doc_id, text, source) frame — the form
     * composed pipelines use (mix AFTER dedup/decontamination, so
-    * upsampling never multiplies rows a later stage would drop). */
+    * upsampling never multiplies rows a later stage would drop).
+    * `carry` names input columns to keep on the exploded rows: a
+    * composed pipeline that already scanned the text (the survivors
+    * frame) carries it through the zero-shuffle explode instead of
+    * re-joining the documents table afterwards to get it back. */
   def corpusMixFor(input: DataFrame,
       weightsPct: Map[String, Int] =
         Map("src0" -> 250, "src1" -> 40, "src2" -> 0),
-      defaultPct: Int = 100): DataFrame = {
+      defaultPct: Int = 100, carry: Seq[String] = Nil): DataFrame = {
     val wp = weightsPct.foldLeft(lit(defaultPct)) {
       case (acc, (src, pct)) =>
         when(col("source") === src, lit(pct)).otherwise(acc)
@@ -90,8 +94,8 @@ object Mix {
         (wp / 100).cast("long") +
           when(contentBucket(col("text")) < wp % 100, 1L).otherwise(0L))
       .where(col("repeats") > 0)
-      .select(col("doc_id"), col("source"),
-        explode(sequence(lit(0L), col("repeats") - 1)).as("epoch"))
+      .select(Seq(col("doc_id"), col("source")) ++ carry.map(col) :+
+        explode(sequence(lit(0L), col("repeats") - 1)).as("epoch"): _*)
   }
 
   val corpusMixSql: String =
@@ -175,8 +179,13 @@ object Mix {
       .agg(sum("n_tokens").as("src_tokens"))
       .withColumn("budget", budget.cast("long"))
       .select(col("source"),
-        least(expr("budget * 100 DIV src_tokens"), lit(maxEpochsPct))
-          .as("wp"))
+        // coalesce BEFORE least: Spark's least() skips NULLs, so a
+        // NULL ratio (src_tokens 0/NULL — impossible today since the
+        // whitespace split yields >=1 token/doc, but a latent trap)
+        // would silently become maxEpochsPct (max repeats) instead of
+        // dropping the source, diverging from the DuckDB twin
+        least(coalesce(expr("budget * 100 DIV src_tokens"), lit(0L)),
+          lit(maxEpochsPct)).as("wp"))
     docs.join(broadcast(weights), "source")
       .withColumn("repeats",
         expr("wp DIV 100") +
