@@ -109,6 +109,21 @@ object Stress100 {
     t("rep 1scan 20x     ")(force(graft.ops.Repetition.repetitionSignals(spark, out)))
     t("rep 2scan 20x     ")(force(repTwoScan(out)))
 
+    // the composed training-shards pipeline (the one artifact a
+    // training run actually ships) at 10× and 20× documents, with its
+    // dominant stages broken out so a superlinear stage can't hide in
+    // the composed wall-clock: governance (LSH dedup ∘ decontaminate)
+    // and quality are the survivor-set producers the composition
+    // semi-joins against; pack is the prefix-sum + payload concat.
+    t("governed 10x      ")(force(graft.ops.Decontaminate.governedCorpus(spark, s"$out/d10")))
+    t("quality 10x       ")(force(graft.ops.TextStats.qualityFiltered(spark, s"$out/d10")))
+    t("train shards 10x  ")(force(graft.ops.Corpus.trainingShards(spark, s"$out/d10")))
+    t("shards mixed 10x  ")(force(graft.ops.Corpus.trainingShardsMixed(spark, s"$out/d10")))
+    t("governed 20x      ")(force(graft.ops.Decontaminate.governedCorpus(spark, out)))
+    t("quality 20x       ")(force(graft.ops.TextStats.qualityFiltered(spark, out)))
+    t("train shards 20x  ")(force(graft.ops.Corpus.trainingShards(spark, out)))
+    t("shards mixed 20x  ")(force(graft.ops.Corpus.trainingShardsMixed(spark, out)))
+
     // embeddings at 20× (40k vectors): SemDeDup under the auto-scaled
     // cell count (occupancy held flat — the knob that keeps the
     // within-cell pair join linear overall; a FIXED cell count was

@@ -85,16 +85,57 @@ object Components {
     labels
   }
 
+  /** Exact-duplicate collapse before pair generation — the
+    * exact-dedup-first discipline applied INSIDE the clustering ops.
+    *
+    * Near-dup candidate stages (shingle equi-join, LSH band join) are
+    * quadratic in the size of each identical-text clique: a text
+    * repeated m times contributes m²/2 bucket pairs in EVERY bucket it
+    * lands in. Measured at the 20× stress corpus (duplicate
+    * multiplicity ~80 after replication): the exact-Jaccard pair stage
+    * alone was 196 s at 10× and the composed governance 906 s at 20× —
+    * 4.1× for 2× data, all of it the m² term.
+    *
+    * The collapse is output-invariant, not approximate:
+    *  - every near-dup decision (Jaccard, minhash, simhash) is a pure
+    *    function of the two raw texts, so testing one REPRESENTATIVE
+    *    per distinct text decides every member pair identically;
+    *  - connectivity through a duplicate is preserved by a star edge
+    *    duplicate→representative (identical texts are Jaccard-1
+    *    near-dups by definition, so they belong in one component);
+    *  - the component label is the min reachable doc_id, and each
+    *    clique's min-id member IS its representative, so labels —
+    *    hence survivor sets — are unchanged (hash-gated oracle rows
+    *    prove this every round).
+    *
+    * Shuffle discipline: the collapse shuffles (md5, doc_id) pairs
+    * only — text stays in the scan; representatives re-attach text by
+    * an id semi-join against the original frame.
+    *
+    * Returns (representative docs, star edges). */
+  private def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
+    val slim = docs.select(col("doc_id"), md5(col("text")).as("xfp"))
+    val reps = slim.groupBy("xfp").agg(min("doc_id").as("rep_id"))
+    val repDocs = docs.join(
+      reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val stars = slim.join(reps, "xfp")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("doc_id").as("dst"))
+    (repDocs, stars)
+  }
+
   /** Near-dup components over the EXACT n-gram Jaccard pairs — the
     * oracle form (deterministic; DuckDB computes the same closure with
     * a recursive CTE). Every document appears; singletons are their own
-    * component. */
+    * component. Pair generation runs on exact-dup representatives only
+    * ([[collapseExact]] — identical output, the m² clique term gone). */
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id").as("node"))
-    val edges = Dedup.ngramJaccardPairs(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val (reps, stars) = collapseExact(docs)
+    val edges = Dedup.ngramJaccardPairsFor(reps)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(docs, edges)
+    connectedComponents(docs.select(col("doc_id").as("node")),
+        edges.unionByName(stars))
       .select(col("node").as("doc_id"), col("component"))
   }
 
@@ -125,11 +166,12 @@ object Components {
     * pairs (rows-only — xxhash64 seeds aren't portable to the oracle;
     * equivalence to the exact-pair clustering is asserted in OpsSpec). */
   def lshDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id").as("node"))
-    val edges = Dedup.minhashLshPairs(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val (reps, stars) = collapseExact(docs)
+    val edges = Dedup.minhashLshPairsFor(reps)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(docs, edges)
+    connectedComponents(docs.select(col("doc_id").as("node")),
+        edges.unionByName(stars))
       .select(col("node").as("doc_id"), col("component"))
   }
 
@@ -139,11 +181,12 @@ object Components {
     * one composed query (the xxhash64 LSH clusters stay the fast
     * path; this twin differs only in the hash function). */
   def lshDedupClustersPortable(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id").as("node"))
-    val edges = Dedup.minhashLshPairsPortable(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val (reps, stars) = collapseExact(docs)
+    val edges = Dedup.minhashLshPairsPortableFor(reps)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(docs, edges)
+    connectedComponents(docs.select(col("doc_id").as("node")),
+        edges.unionByName(stars))
       .select(col("node").as("doc_id"), col("component"))
   }
 

@@ -111,8 +111,14 @@ object Dedup {
     * via shingle equi-join: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
     * Integer counts + one IEEE division ⇒ engine-deterministic. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+      tau: Double = 0.5): DataFrame =
+    ngramJaccardPairsFor(Tables.documents(spark, dir), n, tau)
+
+  /** [[ngramJaccardPairs]] over any (doc_id, text) frame — the form
+    * the clustering ops use after collapsing exact duplicates. */
+  def ngramJaccardPairsFor(docs: DataFrame, n: Int = 3,
       tau: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir), n).cache()
+    val sh = shingles(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -192,10 +198,16 @@ object Dedup {
     * bucket join — both sized by #docs × #bands, never by pairwise
     * structure. This is the dedup path that survives 100 TB. */
   def minhashLshPairs(spark: SparkSession, dir: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame =
+    minhashLshPairsFor(Tables.documents(spark, dir), n, numHashes, bands, tau)
+
+  /** [[minhashLshPairs]] over any (doc_id, text) frame — the form the
+    * clustering ops use after collapsing exact duplicates. */
+  def minhashLshPairsFor(docs: DataFrame, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     // cached: the banding self-join consumes the signatures twice
-    val sigs = minhashSignatures(Tables.documents(spark, dir), n, numHashes)
+    val sigs = minhashSignatures(docs, n, numHashes)
       .cache()
     val banded = sigs.select(col("doc_id"), col("minhash"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -286,6 +298,11 @@ object Dedup {
     * 64-hash path stays the production default (same shape, faster
     * hash, more hashes). */
   def minhashLshPairsPortable(spark: SparkSession, dir: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame =
+    minhashLshPairsPortableFor(Tables.documents(spark, dir), n, tau)
+
+  /** [[minhashLshPairsPortable]] over any (doc_id, text) frame. */
+  def minhashLshPairsPortableFor(docs: DataFrame,
       n: Int = 3, tau: Double = 0.5): DataFrame = {
     val numHashes = 16
     val bands = 4
@@ -293,7 +310,7 @@ object Dedup {
     def pHash(seed: Int, c: Column): Column =
       conv(substring(md5(concat(lit(s"$seed:"), c)), 25, 8), 16, 10)
         .cast("long")
-    val sh = shingles(Tables.documents(spark, dir), n)
+    val sh = shingles(docs, n)
     val minCols = (0 until numHashes).map(s =>
       min(pHash(s, col("shingle"))).as(s"mh_$s"))
     val sigs = sh.groupBy("doc_id")

@@ -144,4 +144,58 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         =!= 3600).count()
     assert(badLen === 0)
   }
+
+  test("streaming training-shards: replaying id-ordered document " +
+    "batches yields the same shard manifest as the one-shot batch run; " +
+    "re-runs are no-ops") {
+    val base = Files.createTempDirectory("graft-stream-shards").toString
+    val (src, work) = (s"$base/src", s"$base/work")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).cache()
+
+    // three "day partitions" in ascending doc_id order (arrival order
+    // = id order, so first-arrival dedup ≡ the batch min-id rule) —
+    // one parquet FILE each, the stream triggers per file
+    def dropChunk(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    dropChunk("b1", docs.where(col("doc_id") < 170))
+    dropChunk("b2", docs.where(col("doc_id") >= 170 && col("doc_id") < 340))
+    dropChunk("b3", docs.where(col("doc_id") >= 340))
+
+    graft.streaming.StreamShards.runIngestShards(spark, src,
+      graft.core.Schemas.documents, work)
+    val streamed = graft.streaming.StreamShards.currentShards(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+
+    // batch twin: the SAME composition in one shot — exact dedup of
+    // the whole corpus (empty history), then trainingShards over it
+    val batchWork = s"$base/batch"
+    graft.streaming.Ingest
+      .ingestBatch(docs, graft.streaming.Ingest.readStore(spark,
+        s"$base/nonexistent-store"))
+      .drop("fp")
+      .write.parquet(s"$batchWork/documents.parquet")
+    val expected = graft.ops.Corpus.trainingShards(spark, batchWork)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expected,
+      "streamed shard manifest diverged from the batch run")
+
+    // checkpoint makes a re-run with no new files a no-op: the
+    // accumulated corpus — and hence the manifest — is unchanged
+    graft.streaming.StreamShards.runIngestShards(spark, src,
+      graft.core.Schemas.documents, work)
+    val rerun = graft.streaming.StreamShards.currentShards(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(rerun === expected)
+    docs.unpersist()
+  }
 }
