@@ -268,9 +268,17 @@ object Quantize {
     * fresh session needs to probe. */
   def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
       cells: Int = 16, m: Int = 16, ksub: Int = 32,
+      twoLevelFrom: Int = 512): Unit =
+    buildIvfPqIndexFor(Similarity.normalized(spark, dir)
+      .select("vec_id", "vec"), indexPath, cells, m, ksub, twoLevelFrom)
+
+  /** [[buildIvfPqIndex]] over any (vec_id, vec) frame of unit vectors
+    * — the form the incremental path uses (build on the history,
+    * [[appendToIvfPqIndex]] the arrivals). */
+  def buildIvfPqIndexFor(vectors: DataFrame, indexPath: String,
+      cells: Int = 16, m: Int = 16, ksub: Int = 32,
       twoLevelFrom: Int = 512): Unit = {
-    val corpus = Similarity.normalized(spark, dir)
-      .select("vec_id", "vec").localCheckpoint()
+    val corpus = vectors.localCheckpoint()
     val cents = Similarity.ivfCentroidsDf(corpus, cells).localCheckpoint()
     val books = pqCodebooks(corpus, m, ksub).localCheckpoint()
     // past ~512 cells the single-level n·k assignment dominates the
@@ -287,6 +295,48 @@ object Quantize {
       .parquet(s"$indexPath/data")
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
     books.write.mode("overwrite").parquet(s"$indexPath/codebooks")
+  }
+
+  /** Append new vectors to a persisted IVF-PQ index WITHOUT
+    * retraining — the maintenance path that makes the flagship layout
+    * a living index instead of a batch artifact (and the natural
+    * `foreachBatch` body for a continuous embedding ingest): each
+    * arrival is assigned to its frozen nearest cell and PQ-encoded
+    * against the frozen codebooks, then lands in the cell
+    * directories. This is the FAISS operational model: index
+    * STRUCTURE (centroids, codebooks) trains once on history;
+    * arrivals stream in forever; distribution drift is handled by a
+    * periodic rebuild, not per-batch retraining (retraining per batch
+    * would re-encode the whole index — O(n) per arrival).
+    *
+    * Scale shape: assignment and encode are broadcast-only map-side
+    * projections over the batch (centroids as ONE array row, the
+    * [[ivfPqTopK]] probe pattern; codebooks via [[pqEncode]]) — the
+    * history is never read, and the only exchange is the
+    * cell-aligning repartition of the BATCH so each append adds at
+    * most one file per cell, not tasks × cells (the
+    * [[graft.streaming.Ingest.appendToStore]] discipline). Probe cost
+    * after an append is unchanged: the probe prunes by cell directory
+    * and new files simply join their cell. */
+  def appendToIvfPqIndex(spark: SparkSession, indexPath: String,
+      newVectors: DataFrame): Unit = {
+    val packed = packBooks(spark.read.parquet(s"$indexPath/codebooks"))
+      .localCheckpoint()
+    val centArr = spark.read.parquet(s"$indexPath/centroids")
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cc"))
+    val batch = newVectors.select("vec_id", "vec")
+    val assigned = batch.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("vec"),
+        (-array_max(transform(col("cc"),
+          c => struct(dot(col("vec"), c.getField("cvec")).as("sim"),
+            (-c.getField("cid")).cast("double").as("nc"))))
+          .getField("nc")).cast("int").as("cell"))
+    assigned
+      .join(pqEncode(batch, packed), "vec_id")
+      .repartition(col("cell"))
+      .select(col("vec_id"), col("codes"), col("vec"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/data")
   }
 
   /** Query a persisted IVF-PQ index: probe each query's `nprobe` best

@@ -282,7 +282,9 @@ object Similarity {
     * unbiased seeds exposed it at 0.47 IVF-PQ recall. Each round
     * costs one bounded-sample assignment + one k-row aggregate, and
     * empty cells carry their previous centroid forward so k never
-    * silently shrinks. */
+    * silently shrinks. Rounds stop early at the Lloyd fixed point
+    * (no vector changed cell ⇒ identical means forever after) —
+    * output-invariant, so `iters` is a cap, not a count. */
   def ivfCentroidsDf(corpus: DataFrame, k: Int,
       trainSample: Int = 0, iters: Int = 5): DataFrame = {
     val n = if (trainSample > 0) trainSample
@@ -294,9 +296,22 @@ object Similarity {
         row_number().over(Window.orderBy("vec_id")).cast("int") - 1)
       .select(col("cid"), col("vec").as("cvec")).localCheckpoint()
     var cents = seeds
-    for (_ <- 0 until iters) {
-      val assign = if (k >= 512) assignCellsTwoLevel(sample, cents)
-        else assignCells(sample, cents)
+    var prevAssign: DataFrame = null
+    var converged = false
+    for (_ <- 0 until iters if !converged) {
+      val assign = (if (k >= 512) assignCellsTwoLevel(sample, cents)
+        else assignCells(sample, cents)).localCheckpoint()
+      // early stop at the Lloyd fixed point: if no vector changed
+      // cell, recomputing the means reproduces the same centroids
+      // bit-for-bit (same assignment, same pinned sample partitions)
+      // — the remaining rounds are no-ops. The check is one id-only
+      // join + count per round; output-invariant by construction.
+      converged = prevAssign != null &&
+        assign.join(prevAssign
+            .withColumnRenamed("cell", "prev_cell"), "vec_id")
+          .where(col("cell") =!= col("prev_cell")).count() == 0
+      prevAssign = assign
+      if (!converged) {
       val refined = sample.join(assign, "vec_id")
         .select(col("cell").as("cid"), posexplode(col("vec")))
         .groupBy("cid", "pos").agg(avg("col").as("m"))
@@ -313,6 +328,7 @@ object Similarity {
         .select(col("cid"),
           coalesce(col("cvec"), col("prev_cvec")).as("cvec"))
         .localCheckpoint()
+      }
     }
     cents
   }

@@ -138,6 +138,61 @@ class QuantizeSpec extends AnyFunSuite with SharedSpark {
     assert(gate(0).getInt(1) === 1, "IVF-PQ aggregate recall below 0.9")
   }
 
+  test("incremental IVF-PQ append: frozen-structure appends keep the " +
+    "index complete, correctly encoded, and above the recall band") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-append").toString + "/index"
+    val history = corpus.where(col("vec_id") < 250)
+    // index structure (centroids + codebooks) trains on history only
+    Quantize.buildIvfPqIndexFor(history, idx)
+    // arrivals in two batches, as a foreachBatch ingest would deliver
+    Quantize.appendToIvfPqIndex(spark, idx,
+      corpus.where(col("vec_id") >= 250 && col("vec_id") < 375))
+    Quantize.appendToIvfPqIndex(spark, idx,
+      corpus.where(col("vec_id") >= 375))
+    val data = spark.read.parquet(s"$idx/data")
+    // complete: every corpus vector present exactly once
+    assert(data.count() === corpus.count())
+    assert(data.select("vec_id").distinct().count() === corpus.count())
+    // appended codes are EXACTLY what the frozen codebooks encode —
+    // append-time encoding matches an offline re-encode
+    val packed = Quantize.packBooks(
+      spark.read.parquet(s"$idx/codebooks")).localCheckpoint()
+    val reEncoded = Quantize.pqEncode(
+      corpus.where(col("vec_id") >= 250), packed)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    val stored = data.where(col("vec_id") >= 250)
+      .select("vec_id", "codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    assert(stored === reEncoded)
+    // appended rows live in their frozen nearest cell: spot-check via
+    // the persisted centroids
+    val cents = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val cellOf = data.where(col("vec_id") >= 250)
+      .select("vec_id", "cell", "vec")
+      .collect().map { r =>
+        val v = r.getSeq[Double](2).toArray
+        val best = cents.map { case (cid, c) =>
+          (c.zip(v).map { case (a, b) => a * b }.sum, cid)
+        }.maxBy { case (sim, cid) => (sim, -cid) }._2
+        (r.getInt(1), best)
+      }
+    cellOf.foreach { case (stored, expected) =>
+      assert(stored === expected, "appended row not in its nearest cell")
+    }
+    // the probe over the half-trained, twice-appended index still
+    // clears the recall band at the default nprobe
+    val queries = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val got = Quantize.ivfPqTopK(spark, idx, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"appended-index recall $recall below band")
+  }
+
   test("ADC ordering is meaningful before rerank: PQ top-k without " +
     "rerank headroom still overlaps the true top-k") {
     val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 5, k = 10)
