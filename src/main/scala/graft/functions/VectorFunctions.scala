@@ -72,6 +72,74 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Native Catalyst expression for PQ asymmetric-distance scoring:
+  * `adc_score(codes, lut) = Σⱼ lut[j][codes[j]]` over a per-row
+  * `array<int>` code vector and a (broadcast-joined) per-query
+  * `array<array<double>>` lookup table.
+  *
+  * Why custom: the equivalent built-in composition
+  * `aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)),
+  * 0d, _+_)` is the HOT LOOP of the PQ/IVF-PQ probe — it runs once
+  * per (query, candidate) — and higher-order functions run
+  * interpreted, allocate a zipped intermediate array per row, and
+  * bounds-check through `element_at`'s 1-based indirection. This
+  * generates a primitive loop of m indexed loads inside whole-stage
+  * codegen, the PQ analogue of [[DotProduct]].
+  *
+  * Null/length semantics: null if either side is null; scoring runs
+  * over the common prefix (callers guarantee m codes and m LUT rows,
+  * and `pqEncode` guarantees codes ∈ [0, ksub) — the per-subspace LUT
+  * width). */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"adc_score needs (array<int>, array<array<double>>), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), lut.numElements())
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      acc += lut.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $acc += $b.getArray($j).getDouble($a.getInt($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** Column-level vector math used by similarity / dedup operators. */
 object VectorFunctions {
 
@@ -82,6 +150,10 @@ object VectorFunctions {
   /** Codegen'd dense dot product (see [[DotProduct]]). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd PQ asymmetric-distance score (see [[AdcScore]]). */
+  def adcScore(codes: Column, lut: Column): Column =
+    Bridge.column(AdcScore(Bridge.expression(codes), Bridge.expression(lut)))
 
   def l2Norm(c: Column): Column = sqrt(dot(c, c))
 

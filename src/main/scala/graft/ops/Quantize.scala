@@ -33,8 +33,11 @@ import graft.functions.VectorFunctions._
   *    zero shuffle, scan-speed;
   *  - asymmetric-distance (ADC) scoring precomputes each query's
   *    m × ksub lookup table ONCE, then scores a candidate as m
-  *    `element_at` picks summed with `zip_with` — no per-candidate
-  *    dot products at all;
+  *    indexed loads through the codegen'd
+  *    [[graft.functions.AdcScore]] expression (the equivalent
+  *    aggregate/zip_with/element_at composition runs interpreted —
+  *    this is the per-(query, candidate) hot loop) — no
+  *    per-candidate dot products at all;
   *  - ADC is a candidate generator, not an oracle: the top
   *    k·`rerank` ADC candidates re-attach their true vectors and an
   *    exact cosine pass picks the final top-k (FAISS "refine"),
@@ -190,8 +193,7 @@ object Quantize {
           .as("lut"))
     val adc = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("codes"), col("lut"),
-          (c, l) => element_at(l, c + 1)), lit(0d), _ + _).as("adc"))
+        adcScore(col("codes"), col("lut")).as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
     val cand = adc.withColumn("rn", row_number().over(wAdc))
@@ -391,8 +393,7 @@ object Quantize {
       .join(broadcast(queries), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("codes"), col("lut"),
-          (c, l) => element_at(l, c + 1)), lit(0d), _ + _).as("adc"))
+        adcScore(col("codes"), col("lut")).as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
     val cand = adc.withColumn("rn", row_number().over(wAdc))

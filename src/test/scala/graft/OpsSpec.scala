@@ -35,6 +35,37 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("*(1) Project [dotproduct"), plan)
   }
 
+  test("AdcScore equals the aggregate/zip_with/element_at composition " +
+    "and handles nulls") {
+    val df = Seq(
+      (Array(0, 2, 1),
+        Array(Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0),
+          Array(7.0, 8.0, 9.0))),
+      (Array(1, 0, 0),
+        Array(Array(0.5, -1.0), Array(2.0, 3.0), Array(-4.0, 1.0)))
+    ).toDF("codes", "lut")
+    val got = df.select(VectorFunctions.adcScore(col("codes"), col("lut"))
+      .as("s")).as[Double].collect()
+    val viaHof = df.select(
+      aggregate(zip_with(col("codes"), col("lut"),
+        (c, l) => element_at(l, c + 1)), lit(0d), _ + _).as("s"))
+      .as[Double].collect()
+    assert(got.toSeq === viaHof.toSeq)
+    assert(got.toSeq === Seq(1.0 + 6.0 + 8.0, -1.0 + 2.0 - 4.0))
+    val withNull = df.select(VectorFunctions.adcScore(
+      when(lit(false), col("codes")), col("lut"))).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+
+  test("AdcScore stays inside whole-stage codegen") {
+    val df = spark.range(4).select(
+      array((col("id") % 2).cast("int"), lit(0)).as("codes"),
+      array(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("lut"))
+    val plan = df.select(VectorFunctions.adcScore(col("codes"), col("lut"))
+      .as("s")).queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [adcscore"), plan)
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq(Tuple1(Array(3.0, 4.0))).toDF("v")
     val c = df.select(VectorFunctions.cosine(col("v"), col("v")))
