@@ -476,7 +476,11 @@ object Similarity {
       if (cells > 0) cells
       else math.min(4096, math.max(16,
         (nprobe * math.sqrt(corpus.count().toDouble)).toLong)).toInt
-    val cents = ivfCentroidsDf(corpus, k).localCheckpoint()
+    // 2 Lloyd rounds, not the ANN default 5: cells here only GENERATE
+    // candidates (exact cosine verifies every pair), so rough locality
+    // is enough — pair precision/recall vs the exact clustering stay
+    // 1.0 (PipelineOpsSpec), and the build saves 3 assignment rounds
+    val cents = ivfCentroidsDf(corpus, k, iters = 2).localCheckpoint()
     // multi-probe candidates: each vector lists its nprobe nearest
     // cells; a pair is a candidate if the probe sets intersect. The
     // bucket self-join and the distinct move ids only (the
