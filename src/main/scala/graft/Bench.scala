@@ -118,14 +118,21 @@ object Bench {
     // write, so a bounded regex parse of its "queries" object is safe.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_full_latest.json")
-    val prev: Map[String, Double] = {
-      val p = java.nio.file.Paths.get(fullPath)
+    // deltas are only meaningful against the SAME scale factor — and a
+    // local sf0.01 iteration run must never CLOBBER the driver's sf0.1
+    // baseline either (that would silently empty the next driver
+    // delta). So each SF keeps its own sidecar latest file
+    // (BENCH_full_latest_sf0.01.json, …) used for prev-lookup and
+    // always rewritten; the un-suffixed fullPath is the driver
+    // contract and is only overwritten by a run at the same SF it
+    // already holds (or when absent/unreadable).
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val sfPath = fullPath.replaceAll("\\.json$", s"_$sfBase.json")
+    def readQueries(path: String): Map[String, Double] = {
+      val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.isReadable(p)) Map.empty
       else {
         val text = java.nio.file.Files.readString(p)
-        // deltas are only meaningful against the SAME scale factor —
-        // a local sf0.01 iteration run must not "regress" vs the
-        // driver's sf0.1 artifact
         val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text)
           .exists(_.group(1) == sfDir)
         if (!sameSf) Map.empty
@@ -136,6 +143,10 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       }
+    }
+    val prev: Map[String, Double] = {
+      val side = readQueries(sfPath)
+      if (side.nonEmpty) side else readQueries(fullPath)
     }
     val deltas = results.collect {
       case (name, t) if t > 0 && prev.getOrElse(name, -1.0) > 0 =>
@@ -155,8 +166,20 @@ object Bench {
     // historically cut off mid-`queries`, hiding 34/88 timings) — so the
     // SAME line is also written untruncated to a committed file. The
     // round snapshot copies it to BENCH_full_rNN.json.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(sfPath),
       line + "\n")
+    // only take over the driver-contract file when it is absent or
+    // already holds this SF — a different-SF baseline stays intact
+    val fp = java.nio.file.Paths.get(fullPath)
+    val fullHoldsOtherSf = java.nio.file.Files.isReadable(fp) &&
+      """"sf":"([^"]*)"""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(fp))
+        .exists(_.group(1) != sfDir)
+    // SPARK_GRAFT_BENCH_TAKEOVER=1 forces the write (e.g. after the
+    // canonical SF itself changes and the old baseline must retire)
+    if (!fullHoldsOtherSf ||
+        sys.env.get("SPARK_GRAFT_BENCH_TAKEOVER").contains("1"))
+      java.nio.file.Files.writeString(fp, line + "\n")
     spark.stop()
   }
 }

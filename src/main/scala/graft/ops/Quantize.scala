@@ -64,7 +64,8 @@ object Quantize {
   }
 
   /** Per-subspace codebooks: for each of the `m` subspaces, `ksub`
-    * centroids seeded from the lowest vec_ids (deterministic) and
+    * centroids seeded from a seeded-hash sample (deterministic,
+    * id-distribution-independent) and
     * refined by one Lloyd step (plain means — PQ centroids live in the
     * subspace, they are NOT renormalized). Output one row per (sub,
     * code) with the centroid and its precomputed half squared norm:
