@@ -112,10 +112,12 @@ object SparkEntry {
       Dedup.simhashPairs(s, d)),
     "q_simhash_portable" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairsPortable(s, d)),
-    // term statistics (TF-IDF family)
+    // term statistics (TF-IDF family) + BM25 retrieval
     "q_term_stats" -> (graft.ops.Terms.termStats _),
     "q_top_terms" -> ((s: SparkSession, d: String) =>
       graft.ops.Terms.topTermsPerDoc(s, d)),
+    "q_bm25_topk" -> ((s: SparkSession, d: String) =>
+      graft.ops.Terms.bm25TopK(s, d)),
     // data mixing: sampling / split / leakage
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.stratifiedSample(s, d)),
@@ -261,6 +263,7 @@ object SparkEntry {
     "q_corpus_clean" -> graft.ops.Components.cleanCorpusSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,
     "q_top_terms" -> graft.ops.Terms.topTermsPerDocSql,
+    "q_bm25_topk" -> graft.ops.Terms.bm25TopKSql,
     "q_sample_stratified" -> graft.ops.Mix.stratifiedSampleSql,
     "q_train_test_split" -> graft.ops.Mix.trainTestSplitSql,
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,

@@ -75,4 +75,109 @@ object Terms {
       |           ORDER BY CAST(tf.tf AS DOUBLE) / d.df DESC, tf.term) AS rank
       |  FROM tf JOIN d ON tf.term = d.term)
       |WHERE rank <= 5""".stripMargin
+
+  /** BM25 top-k retrieval — ranked keyword search over the corpus, the
+    * data-SELECTION primitive of a training pipeline (pull the
+    * documents most relevant to a probe set; rank candidates for
+    * human review; build retrieval-scored quality signals).
+    *
+    * The score is Okapi BM25 (Robertson et al., TREC-3) at the
+    * textbook k1 = 1.2, b = 0.75, with the same portability move as
+    * [[topTermsPerDoc]]'s rational idf: both the idf and the length
+    * normalization are cleared to ONE ratio of exact integers per
+    * (query, term, doc) —
+    *   idf       = (N − df + ½)/(df + ½)       (log-free Robertson form)
+    *   tf-norm   = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * multiplied out over avgdl = S/N (S = total tokens) and scaled by
+    * 2·10·N to clear every fraction:
+    *   score = [(2N − 2df + 1) · 22 · S · tf]
+    *         / [(2df + 1) · (10·S·tf + 3·S + 9·N·dl)]
+    * Numerator and denominator are exact DECIMAL(38,0) products (no
+    * rounding at any width the gate reaches), so the ONE double
+    * division is bit-identical on every IEEE engine — no
+    * transcendentals, hash-exact vs DuckDB. Queries are derived from
+    * the corpus itself (document-frequency ranks 11-20, paired into
+    * five 2-term queries) so the gate needs no side fixture; TWO
+    * terms per query means the per-doc score sum is a single
+    * commutative IEEE addition — aggregation order cannot move the
+    * hash.
+    *
+    * Scale shape: tf/df/dl are the [[termFrequencies]] explode +
+    * partial-agg pattern (the shuffle carries distinct (doc, term)
+    * rows, never tokens); the 10-row query set and the 1-row (N, S)
+    * statistics broadcast onto the tf stream; ranking windows by
+    * query_id over candidate docs only. Nothing funnels a
+    * corpus-sized stream through one task. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val tf = termFrequencies(Tables.documents(spark, dir))
+      .localCheckpoint() // reused 3× (dl, df, scoring scan): one pass
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum("dl").cast("long").as("s"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w20 = Window.orderBy(col("df").desc, col("term"))
+    // top-20 terms arrive via TakeOrderedAndProject (distributed);
+    // the row_number window then ranks only those 20 rows
+    val queries = dfreq.orderBy(col("df").desc, col("term")).limit(20)
+      .withColumn("r", row_number().over(w20))
+      .where(col("r") > 10)
+      .select(expr("CAST((r - 11) DIV 2 AS INT)").as("query_id"),
+        col("term"))
+    val scored = broadcast(queries)
+      .join(tf, "term")
+      .join(broadcast(dfreq.join(broadcast(queries), "term")
+        .select("term", "df")), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        expr("""CAST((2 * CAST(n AS DECIMAL(38,0)) - 2 * df + 1) * 22
+                     * CAST(s AS DECIMAL(38,0)) * tf AS DOUBLE)
+                / CAST((2 * CAST(df AS DECIMAL(38,0)) + 1)
+                     * (10 * CAST(s AS DECIMAL(38,0)) * tf
+                        + 3 * CAST(s AS DECIMAL(38,0))
+                        + 9 * CAST(n AS DECIMAL(38,0)) * dl) AS DOUBLE)""")
+          .as("sc"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.groupBy("query_id", "doc_id").agg(sum("sc").as("score"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+
+  val bm25TopKSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t.term, COUNT(*) AS tf
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY doc_id),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |                 CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+      |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |ranked AS (SELECT term,
+      |             ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+      |           FROM d),
+      |queries AS (SELECT CAST((r - 11) // 2 AS INT) AS query_id, term
+      |            FROM ranked WHERE r BETWEEN 11 AND 20),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         CAST((2 * CAST(s.n AS DECIMAL(38,0)) - 2 * d.df + 1) * 22
+      |              * CAST(s.s AS DECIMAL(38,0)) * tf.tf AS DOUBLE)
+      |       / CAST((2 * CAST(d.df AS DECIMAL(38,0)) + 1)
+      |              * (10 * CAST(s.s AS DECIMAL(38,0)) * tf.tf
+      |                 + 3 * CAST(s.s AS DECIMAL(38,0))
+      |                 + 9 * CAST(s.n AS DECIMAL(38,0)) * dl.dl)
+      |              AS DOUBLE) AS sc
+      |  FROM queries q
+      |  JOIN tf ON tf.term = q.term
+      |  JOIN d ON d.term = q.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT query_id, doc_id, SUM(sc) AS score,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY SUM(sc) DESC, doc_id) AS rank
+      |  FROM scored GROUP BY query_id, doc_id)
+      |WHERE rank <= 10""".stripMargin
 }

@@ -597,4 +597,64 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(idx.nonEmpty)
     assert(idx.forall(_ % 4 === 0))
   }
+
+  // ----- BM25 retrieval -----
+
+  test("bm25TopK matches a naive in-memory BM25 on the same corpus") {
+    // independent oracle: recompute the integer-cleared BM25 from the
+    // raw text in plain Scala and compare ranks + scores exactly
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tf = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map(t => (id, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dl = tf.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val dfreq = tf.keys.toSeq.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val n = docs.length.toLong
+    val s = dl.values.sum
+    val queryTerms = dfreq.toSeq.sortBy { case (t, df) => (-df, t) }
+      .slice(10, 20).map(_._1)
+    val expected = queryTerms.grouped(2).zipWithIndex.flatMap {
+      case (terms, qid) =>
+        docs.map(_._1).flatMap { id =>
+          val sc = terms.flatMap { t =>
+            tf.get((id, t)).map { f =>
+              val df = dfreq(t)
+              ((2 * n - 2 * df + 1).toDouble * 22 * s * f) /
+                ((2 * df + 1).toDouble *
+                  (10 * s * f + 3 * s + 9 * n * dl(id)))
+            }
+          }
+          if (sc.isEmpty) None else Some((id, sc.sum))
+        }.sortBy { case (id, sc) => (-sc, id) }.take(10).zipWithIndex
+          .map { case ((id, sc), i) => (qid, id, sc, i + 1) }
+    }.toSeq
+    val got = graft.ops.Terms.bm25TopK(spark, sf)
+      .orderBy("query_id", "rank")
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) ===
+      expected.map(r => (r._1, r._2, r._4)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-12, s"score drift: $g vs $e") }
+  }
+
+  test("bm25TopK is deterministic and ranks are dense per query") {
+    val a = graft.ops.Terms.bm25TopK(spark, sf).collect()
+    val b = graft.ops.Terms.bm25TopK(spark, sf).collect()
+    assert(a.map(_.toSeq).sortBy(_.toString).toSeq ===
+      b.map(_.toSeq).sortBy(_.toString).toSeq)
+    val byQ = a.groupBy(_.getInt(0))
+    assert(byQ.keySet === Set(0, 1, 2, 3, 4))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
+      val ordered = rows.sortBy(_.getInt(3))
+        .map(r => (r.getDouble(2), r.getLong(1))).toSeq
+      assert(ordered.sliding(2).forall {
+        case Seq((s1, d1), (s2, d2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+        case _ => true
+      })
+    }
+  }
 }
