@@ -118,6 +118,10 @@ object SparkEntry {
       graft.ops.Terms.topTermsPerDoc(s, d)),
     "q_bm25_topk" -> ((s: SparkSession, d: String) =>
       graft.ops.Terms.bm25TopK(s, d)),
+    // persisted term-bucketed postings index; same oracle as the flat
+    // path (identical results through the pruned probe)
+    "q_bm25_indexed" -> ((s: SparkSession, d: String) =>
+      graft.ops.Terms.bm25IndexedTopKQuery(s, d)),
     // data mixing: sampling / split / leakage
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.stratifiedSample(s, d)),
@@ -264,6 +268,7 @@ object SparkEntry {
     "q_term_stats" -> graft.ops.Terms.termStatsSql,
     "q_top_terms" -> graft.ops.Terms.topTermsPerDocSql,
     "q_bm25_topk" -> graft.ops.Terms.bm25TopKSql,
+    "q_bm25_indexed" -> graft.ops.Terms.bm25TopKSql,
     "q_sample_stratified" -> graft.ops.Mix.stratifiedSampleSql,
     "q_train_test_split" -> graft.ops.Mix.trainTestSplitSql,
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,

@@ -108,6 +108,41 @@ object Terms {
     * statistics broadcast onto the tf stream; ranking windows by
     * query_id over candidate docs only. Nothing funnels a
     * corpus-sized stream through one task. */
+  /** The integer-cleared score of the doc above, over columns
+    * (n, s, df, tf, dl) — exact DECIMAL(38,0) products, one IEEE
+    * double division. */
+  private val bm25ScoreExpr =
+    """CAST((2 * CAST(n AS DECIMAL(38,0)) - 2 * df + 1) * 22
+            * CAST(s AS DECIMAL(38,0)) * tf AS DOUBLE)
+       / CAST((2 * CAST(df AS DECIMAL(38,0)) + 1)
+            * (10 * CAST(s AS DECIMAL(38,0)) * tf
+               + 3 * CAST(s AS DECIMAL(38,0))
+               + 9 * CAST(n AS DECIMAL(38,0)) * dl) AS DOUBLE)"""
+
+  /** The gate's corpus-derived query set: document-frequency ranks
+    * 11-20 of `dfreq`, paired into five 2-term queries. Top-20 terms
+    * arrive via TakeOrderedAndProject (distributed); the row_number
+    * window then ranks only those 20 rows. */
+  private def dfRankQueries(dfreq: DataFrame): DataFrame = {
+    val w20 = Window.orderBy(col("df").desc, col("term"))
+    dfreq.orderBy(col("df").desc, col("term")).limit(20)
+      .withColumn("r", row_number().over(w20))
+      .where(col("r") > 10)
+      .select(expr("CAST((r - 11) DIV 2 AS INT)").as("query_id"),
+        col("term"))
+  }
+
+  /** Per-(query, doc) score sum + per-query dense top-k ranking over a
+    * (query_id, doc_id, sc) stream. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.groupBy("query_id", "doc_id").agg(sum("sc").as("score"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val tf = termFrequencies(Tables.documents(spark, dir))
       .localCheckpoint() // reused 3× (dl, df, scoring scan): one pass
@@ -115,34 +150,99 @@ object Terms {
     val stats = dl.agg(count(lit(1)).cast("long").as("n"),
       sum("dl").cast("long").as("s"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w20 = Window.orderBy(col("df").desc, col("term"))
-    // top-20 terms arrive via TakeOrderedAndProject (distributed);
-    // the row_number window then ranks only those 20 rows
-    val queries = dfreq.orderBy(col("df").desc, col("term")).limit(20)
-      .withColumn("r", row_number().over(w20))
-      .where(col("r") > 10)
-      .select(expr("CAST((r - 11) DIV 2 AS INT)").as("query_id"),
-        col("term"))
+    val queries = dfRankQueries(dfreq)
     val scored = broadcast(queries)
       .join(tf, "term")
       .join(broadcast(dfreq.join(broadcast(queries), "term")
         .select("term", "df")), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        expr("""CAST((2 * CAST(n AS DECIMAL(38,0)) - 2 * df + 1) * 22
-                     * CAST(s AS DECIMAL(38,0)) * tf AS DOUBLE)
-                / CAST((2 * CAST(df AS DECIMAL(38,0)) + 1)
-                     * (10 * CAST(s AS DECIMAL(38,0)) * tf
-                        + 3 * CAST(s AS DECIMAL(38,0))
-                        + 9 * CAST(n AS DECIMAL(38,0)) * dl) AS DOUBLE)""")
-          .as("sc"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.groupBy("query_id", "doc_id").agg(sum("sc").as("score"))
-      .withColumn("rank", row_number().over(wRank))
-      .where(col("rank") <= k)
-      .select("query_id", "doc_id", "score", "rank")
+      .select(col("query_id"), col("doc_id"), expr(bm25ScoreExpr).as("sc"))
+    rankTopK(scored, k)
+  }
+
+  /** Persist a term-partitioned BM25 index — the search-engine analog
+    * of the IVF-PQ layout (`graft.ops.Quantize`): posting lists live
+    * in the DIRECTORY of their term's hash bucket, so a probe reads
+    * only the query terms' buckets (partition pruning skips the rest
+    * of the vocabulary entirely) instead of re-scanning the corpus
+    * per query batch. At 10⁹ documents the postings table is the
+    * corpus-sized artifact; a 10-term query touches ≤ 10 of
+    * `nBuckets` directories — megabytes, not the corpus.
+    *
+    * Layout under `indexPath`: `postings/bucket=N/` (term, doc_id,
+    * tf), `doclen` (doc_id, dl) and a 1-row `stats` (n, s, n_buckets)
+    * sidecar — everything a fresh session needs to score. Per-term
+    * df needs NO sidecar: every posting of a term lives in its
+    * bucket, so the pruned scan still counts the exact global df.
+    * The cell-aligning repartition keeps the write at ≤ one file per
+    * bucket (the appendToStore discipline). Refresh is a rebuild:
+    * postings are idempotent derived data, and the build is one
+    * explode + partial-agg pass over the corpus. */
+  def buildBm25Index(spark: SparkSession, dir: String, indexPath: String,
+      nBuckets: Int = 64): Unit = {
+    val tf = termFrequencies(Tables.documents(spark, dir))
+      .localCheckpoint()
+    tf.withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexPath/postings")
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$indexPath/doclen")
+    dl.agg(count(lit(1)).cast("long").as("n"),
+        sum("dl").cast("long").as("s"),
+        lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
+  /** Probe a persisted BM25 index with a (query_id, term) query set:
+    * the query terms' buckets are pure hashes computed on the bounded
+    * query frame (the probe-cells pattern of `Quantize.ivfPqTopK`),
+    * and the postings scan prunes to those directories via an INSET
+    * partition filter (plan-asserted in OpsSpec). Exact df comes from
+    * the pruned buckets alone; scores are identical to [[bm25TopK]]
+    * by construction, so the indexed gate query shares the flat
+    * path's DuckDB oracle. The doclen join is AQE-broadcast at gate
+    * scale and a doc_id-keyed shuffle join of candidates at corpus
+    * scale. */
+  def bm25IndexedTopK(spark: SparkSession, indexPath: String,
+      queriesIn: DataFrame, k: Int = 10): DataFrame = {
+    val stats = spark.read.parquet(s"$indexPath/stats").localCheckpoint()
+    val nBuckets = stats.select("n_buckets").head().getInt(0)
+    val q = queriesIn.localCheckpoint() // bounded: a query set is small
+    val buckets = q.select(
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+          .cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val posts = spark.read.parquet(s"$indexPath/postings")
+      .where(col("bucket").isin(buckets: _*))
+    val hits = posts.join(broadcast(q.select("term").distinct()), "term")
+    val dfreq = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = broadcast(q)
+      .join(hits, "term")
+      .join(broadcast(dfreq), "term")
+      .join(spark.read.parquet(s"$indexPath/doclen"), "doc_id")
+      .crossJoin(broadcast(stats.select("n", "s")))
+      .select(col("query_id"), col("doc_id"), expr(bm25ScoreExpr).as("sc"))
+    rankTopK(scored, k)
+  }
+
+  /** Build-and-probe form for the driver gate (`q_bm25_indexed`):
+    * builds the bucketed index under a scratch directory, derives the
+    * same df-rank query set from the index's own postings, and
+    * answers through the pruned probe — the scratch build is the
+    * honest cost, as with `Quantize.ivfPqTopKQuery`. Results equal
+    * [[bm25TopK]] row for row, so the driver hashes this path against
+    * the identical DuckDB oracle. */
+  def bm25IndexedTopKQuery(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bm25-gate").toString + "/index"
+    buildBm25Index(spark, dir, idx)
+    val dfreq = spark.read.parquet(s"$idx/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    bm25IndexedTopK(spark, idx, dfRankQueries(dfreq), k)
   }
 
   val bm25TopKSql: String =

@@ -640,6 +640,52 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       assert(math.abs(g._3 - e._3) < 1e-12, s"score drift: $g vs $e") }
   }
 
+  test("persisted BM25 index: pruned probe equals the flat path exactly") {
+    val flat = graft.ops.Terms.bm25TopK(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val indexed = graft.ops.Terms.bm25IndexedTopKQuery(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(indexed === flat)
+  }
+
+  test("persisted BM25 index: postings scans are partition-pruned to " +
+    "the query terms' buckets") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString + "/index"
+    graft.ops.Terms.buildBm25Index(spark, sf, idx, nBuckets = 64)
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    val topk = graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+    // the exact bucket set, recomputed the same way the probe does
+    val probedBuckets = queries
+      .select(pmod(xxhash64(col("term")), lit(64L)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSet
+    val physical = topk.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val postingScans = physical.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("/index/postings")) => f
+    }
+    assert(postingScans.nonEmpty, "no postings scan found")
+    postingScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"unpruned postings scan (reads the whole vocabulary): ${s.nodeName}")
+      assert(s.selectedPartitions.partitionCount <= probedBuckets.size,
+        s"probe scanned ${s.selectedPartitions.partitionCount} buckets, " +
+          s"only ${probedBuckets.size} hold query terms")
+    }
+    // non-vacuous: 3 terms hit at most 3 of 64 buckets
+    assert(probedBuckets.size < 64)
+    // and the pruned probe still answers: both queries produce rows
+    val got = topk.collect()
+    assert(got.map(_.getInt(0)).toSet === Set(0, 1))
+  }
+
   test("bm25TopK is deterministic and ranks are dense per query") {
     val a = graft.ops.Terms.bm25TopK(spark, sf).collect()
     val b = graft.ops.Terms.bm25TopK(spark, sf).collect()
