@@ -68,6 +68,20 @@ object Stress100 {
     t("repetition 100k   ")(force(graft.ops.Repetition.repetitionSignals(spark, out)))
     t("shuffle 100k docs ")(force(graft.ops.Pack.corpusShuffle(spark, out)))
 
+    // BM25: index build (one tf pass + bucketed write) vs the pruned
+    // probe — the probe must NOT scale with the corpus scan (it reads
+    // only the query terms' buckets); the flat path rescans per batch
+    t("bm25 build 100k   ")(
+      graft.ops.Terms.buildBm25Index(spark, out, s"$out/bm25index"))
+    // query-set derivation (a vocabulary scan) happens OUTSIDE the
+    // probe timer — the probe number isolates the bucket-pruned path
+    val bmQueries = graft.ops.Terms.dfRankQueries(
+      spark.read.parquet(s"$out/bm25index/postings")
+        .groupBy("term").agg(count(lit(1)).as("df"))).localCheckpoint()
+    t("bm25 probe 100k   ")(force(graft.ops.Terms.bm25IndexedTopK(
+      spark, s"$out/bm25index", bmQueries)))
+    t("bm25 flat 100k    ")(force(graft.ops.Terms.bm25TopK(spark, out)))
+
     // repetition crossover: the shipped single-scan (kind, gram) shape
     // vs the superseded TWO-SCAN shape (unigram pass + bigram pass +
     // doc-level join) it replaced — the rewrite benched ~1.3× slower

@@ -123,7 +123,7 @@ object Terms {
     * 11-20 of `dfreq`, paired into five 2-term queries. Top-20 terms
     * arrive via TakeOrderedAndProject (distributed); the row_number
     * window then ranks only those 20 rows. */
-  private def dfRankQueries(dfreq: DataFrame): DataFrame = {
+  private[graft] def dfRankQueries(dfreq: DataFrame): DataFrame = {
     val w20 = Window.orderBy(col("df").desc, col("term"))
     dfreq.orderBy(col("df").desc, col("term")).limit(20)
       .withColumn("r", row_number().over(w20))
@@ -180,9 +180,15 @@ object Terms {
     * postings are idempotent derived data, and the build is one
     * explode + partial-agg pass over the corpus. */
   def buildBm25Index(spark: SparkSession, dir: String, indexPath: String,
+      nBuckets: Int = 64): Unit =
+    buildBm25IndexFor(Tables.documents(spark, dir), indexPath, nBuckets)
+
+  /** [[buildBm25Index]] over any (doc_id, text) frame — the form the
+    * incremental path uses (build on the history,
+    * [[appendToBm25Index]] the arrivals). */
+  def buildBm25IndexFor(docs: DataFrame, indexPath: String,
       nBuckets: Int = 64): Unit = {
-    val tf = termFrequencies(Tables.documents(spark, dir))
-      .localCheckpoint()
+    val tf = termFrequencies(docs).localCheckpoint()
     tf.withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
       .repartition(col("bucket"))
@@ -193,6 +199,44 @@ object Terms {
     dl.agg(count(lit(1)).cast("long").as("n"),
         sum("dl").cast("long").as("s"),
         lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
+  /** Append new documents to a persisted BM25 index WITHOUT touching
+    * history: the batch's postings land in their terms' bucket
+    * directories (cell-aligned, ≤ one file per bucket per batch), its
+    * doc lengths append to the sidecar, and the 1-row corpus stats
+    * update additively (exact integers — no drift, ever). Because
+    * per-term df is DERIVED from the pruned postings scan rather than
+    * stored, an appended index answers probes with exactly the scores
+    * a from-scratch rebuild would produce — bit-for-bit, not
+    * approximately (spec-asserted) — which is what makes this the
+    * natural `foreachBatch` body for continuous document ingest.
+    * Caller contract (the `Ingest.appendToStore` discipline): batch
+    * doc_ids are new — re-appending a document double-counts its
+    * postings. Unlike IVF-PQ there is no trained structure to go
+    * stale: term→bucket is a pure hash, so there is NO periodic
+    * rebuild concern at all. */
+  def appendToBm25Index(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame): Unit = {
+    // checkpoint breaks lineage to the stats file before it is
+    // overwritten below (the compactStore read-before-replace rule)
+    val stats = spark.read.parquet(s"$indexPath/stats").localCheckpoint()
+    val nBuckets = stats.select("n_buckets").head().getInt(0)
+    val tf = termFrequencies(newDocs).localCheckpoint()
+    tf.withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexPath/postings")
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+      .localCheckpoint()
+    dl.write.mode("append").parquet(s"$indexPath/doclen")
+    val batch = dl.agg(count(lit(1)).cast("long").as("bn"),
+      coalesce(sum("dl").cast("long"), lit(0L)).as("bs"))
+    stats.crossJoin(batch)
+      .select((col("n") + col("bn")).as("n"),
+        (col("s") + col("bs")).as("s"), col("n_buckets"))
       .write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 

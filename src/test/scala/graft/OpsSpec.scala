@@ -686,6 +686,35 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(got.map(_.getInt(0)).toSet === Set(0, 1))
   }
 
+  test("BM25 index append: half-build + append equals the full build " +
+    "bit-for-bit") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25-append").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    graft.ops.Terms.buildBm25IndexFor(docs, s"$base/full")
+    graft.ops.Terms.buildBm25IndexFor(
+      docs.where(col("doc_id") % 2 === 0), s"$base/inc")
+    graft.ops.Terms.appendToBm25Index(spark, s"$base/inc",
+      docs.where(col("doc_id") % 2 === 1))
+    // sidecar stats must agree exactly (additive integers)
+    val sFull = spark.read.parquet(s"$base/full/stats").collect()
+      .map(_.toSeq).toSeq
+    val sInc = spark.read.parquet(s"$base/inc/stats").collect()
+      .map(_.toSeq).toSeq
+    assert(sInc === sFull)
+    // and a probe through the appended index is bit-identical to one
+    // through the from-scratch rebuild (derived df, exact stats)
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    val a = graft.ops.Terms.bm25IndexedTopK(spark, s"$base/full", queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = graft.ops.Terms.bm25IndexedTopK(spark, s"$base/inc", queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(b === a)
+    assert(a.nonEmpty)
+  }
+
   test("bm25TopK is deterministic and ranks are dense per query") {
     val a = graft.ops.Terms.bm25TopK(spark, sf).collect()
     val b = graft.ops.Terms.bm25TopK(spark, sf).collect()
