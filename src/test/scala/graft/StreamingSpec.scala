@@ -198,4 +198,59 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(rerun === expected)
     docs.unpersist()
   }
+
+  test("streamed BM25 indexing probes bit-identically to the batch " +
+    "build; re-runs and re-delivered batches are no-ops") {
+    val base = Files.createTempDirectory("graft-stream-bm25").toString
+    val (src, work) = (s"$base/src", s"$base/work")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    def dropChunk(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    dropChunk("b1", docs.where(col("doc_id") < 170))
+    dropChunk("b2", docs.where(col("doc_id") >= 170 && col("doc_id") < 340))
+    dropChunk("b3", docs.where(col("doc_id") >= 340))
+
+    val docSchema = org.apache.spark.sql.types.StructType(
+      graft.core.Schemas.documents.filter(f =>
+        f.name == "doc_id" || f.name == "text"))
+    graft.streaming.StreamIndex.runIngestBm25(spark, src, docSchema, work)
+
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    val batchIdx = s"$base/batchindex"
+    graft.ops.Terms.buildBm25IndexFor(docs, batchIdx)
+    val expected = graft.ops.Terms
+      .bm25IndexedTopK(spark, batchIdx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val streamed = graft.ops.Terms
+      .bm25IndexedTopK(spark, s"$work/bm25index", queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === expected,
+      "streamed index probe diverged from the batch build")
+
+    // checkpoint no-op: a re-run with no new files changes nothing
+    graft.streaming.StreamIndex.runIngestBm25(spark, src, docSchema, work)
+    val statsBefore = spark.read.parquet(s"$work/bm25index/stats")
+      .collect().map(_.toSeq).toSeq
+    // re-delivered batch (id at the applied marker) must no-op too —
+    // an append here would double-count every b3 posting
+    graft.streaming.StreamIndex.applyBm25Batch(spark, s"$work/bm25index",
+      docs.where(col("doc_id") >= 340), batchId = 2L)
+    val statsAfter = spark.read.parquet(s"$work/bm25index/stats")
+      .collect().map(_.toSeq).toSeq
+    assert(statsAfter === statsBefore)
+    val replayed = graft.ops.Terms
+      .bm25IndexedTopK(spark, s"$work/bm25index", queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(replayed === expected)
+    docs.unpersist()
+  }
 }
