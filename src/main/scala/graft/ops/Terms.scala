@@ -240,6 +240,41 @@ object Terms {
       .write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
+  /** Compact the postings of a persisted BM25 index back to ≤ one
+    * file per bucket. Streamed appends ([[appendToBm25Index]],
+    * `streaming.StreamIndex`) add one file per bucket per batch;
+    * pruning is unaffected but probe cost grows with file COUNT
+    * (task, open and footer overhead), so a long-running index
+    * compacts on a cadence — the
+    * [[graft.streaming.Ingest.compactStore]] discipline: the
+    * compacted copy is durably written to a sibling tmp dir BEFORE
+    * the two-rename swap, an interrupted previous swap is detected
+    * loudly instead of papered over, and the rewrite is
+    * content-invariant (postings are just re-filed, so probes are
+    * bit-identical before and after — spec-asserted). Sidecars are
+    * untouched. */
+  def compactBm25Index(spark: SparkSession, indexPath: String): Unit = {
+    val posts = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    val fs = posts.getFileSystem(spark.sessionState.newHadoopConf())
+    val qual = fs.makeQualified(posts)
+    val tmp = new org.apache.hadoop.fs.Path(
+      qual.getParent, qual.getName + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      qual.getParent, qual.getName + ".old")
+    require(!fs.exists(old),
+      s"compactBm25Index: $old exists — a previous compaction swap was " +
+        "interrupted; recover (restore or delete the .old copy) by hand")
+    fs.delete(tmp, true)
+    spark.read.parquet(qual.toString)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    require(fs.rename(qual, old),
+      s"compactBm25Index: failed to move $qual aside")
+    require(fs.rename(tmp, qual),
+      s"compactBm25Index: failed to move compacted postings into place")
+    fs.delete(old, true)
+  }
+
   /** Probe a persisted BM25 index with a (query_id, term) query set:
     * the query terms' buckets are pure hashes computed on the bounded
     * query frame (the probe-cells pattern of `Quantize.ivfPqTopK`),

@@ -715,6 +715,45 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(a.nonEmpty)
   }
 
+  test("BM25 index compaction: one file per bucket, bit-identical " +
+    "probes, interrupted swaps detected") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25-compact").toString
+    val idx = s"$base/index"
+    val docs = graft.core.Tables.documents(spark, sf)
+    graft.ops.Terms.buildBm25IndexFor(
+      docs.where(col("doc_id") % 3 === 0), idx)
+    graft.ops.Terms.appendToBm25Index(spark, idx,
+      docs.where(col("doc_id") % 3 === 1))
+    graft.ops.Terms.appendToBm25Index(spark, idx,
+      docs.where(col("doc_id") % 3 === 2))
+    def bucketFiles(): Map[String, Int] = {
+      val root = new java.io.File(s"$idx/postings")
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    val before = graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(bucketFiles().values.max > 1,
+      "appends should have left multi-file buckets")
+    graft.ops.Terms.compactBm25Index(spark, idx)
+    assert(bucketFiles().values.max === 1)
+    val after = graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after === before)
+    // interrupted swap: a leftover .old copy must fail loudly
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$idx/postings.old"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Terms.compactBm25Index(spark, idx)
+    }
+    assert(e.getMessage.contains("interrupted"))
+  }
+
   test("bm25TopK is deterministic and ranks are dense per query") {
     val a = graft.ops.Terms.bm25TopK(spark, sf).collect()
     val b = graft.ops.Terms.bm25TopK(spark, sf).collect()
