@@ -146,6 +146,8 @@ object SparkEntry {
       graft.ops.Pack.corpusShuffle(s, d)),
     // chunking + repetition quality signals
     "q_chunk_docs" -> (graft.ops.Chunk.chunkDocs _),
+    // chunk-grain exact dedup (cross-document boilerplate removal)
+    "q_chunk_dedup" -> (graft.ops.Chunk.chunkDedup _),
     "q_repetition" -> (graft.ops.Repetition.repetitionSignals _),
     // benchmark decontamination + the composed governance corpus
     // (dedup survivors ∘ decontaminate)
@@ -281,6 +283,7 @@ object SparkEntry {
     "q_pack_payloads" -> graft.ops.Pack.packedPayloadsSql,
     "q_corpus_shuffle" -> graft.ops.Pack.corpusShuffleSql,
     "q_chunk_docs" -> graft.ops.Chunk.chunkDocsSql,
+    "q_chunk_dedup" -> graft.ops.Chunk.chunkDedupSql,
     "q_repetition" -> graft.ops.Repetition.repetitionSignalsSql,
     "q_contamination_report" -> graft.ops.Decontaminate.contaminatedSql,
     "q_decontaminated_corpus" ->

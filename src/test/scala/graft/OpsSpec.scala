@@ -598,6 +598,26 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(idx.forall(_ % 4 === 0))
   }
 
+  test("chunkDedup: survivors are exactly the distinct chunk texts and " +
+    "every duplicate points at a same-text survivor") {
+    val chunks = graft.ops.Chunk.chunkDocs(spark, sf)
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2))).toMap
+    val deduped = graft.ops.Chunk.chunkDedup(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)), r.getInt(4)))
+    assert(deduped.length === chunks.size)
+    val survivors = deduped.filter(_._3 === 1).map(_._1).toSet
+    assert(survivors.size === chunks.values.toSet.size)
+    deduped.foreach { case (id, rep, surv) =>
+      assert(chunks(rep) === chunks(id), s"rep text differs for $id")
+      assert(survivors.contains(rep), s"rep of $id is not a survivor")
+      if (surv === 1) assert(rep === id)
+      // survivor is the lexicographic min of its text group
+      assert(rep._1 < id._1 || (rep._1 == id._1 && rep._2 <= id._2))
+    }
+  }
+
   // ----- BM25 retrieval -----
 
   test("bm25TopK matches a naive in-memory BM25 on the same corpus") {
