@@ -65,6 +65,7 @@ object Stress100 {
       .write.mode("overwrite").parquet(s"$out/documents.parquet"))
     t("lsh clusters 100k ")(force(graft.ops.Components.lshDedupClusters(spark, out)))
     t("chunk 100k docs   ")(force(graft.ops.Chunk.chunkDocs(spark, out)))
+    t("chunk dedup 100k  ")(force(graft.ops.Chunk.chunkDedup(spark, out)))
     t("repetition 100k   ")(force(graft.ops.Repetition.repetitionSignals(spark, out)))
     t("shuffle 100k docs ")(force(graft.ops.Pack.corpusShuffle(spark, out)))
 
