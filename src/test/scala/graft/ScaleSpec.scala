@@ -160,6 +160,29 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
       s"chunking must not shuffle:\n$plan")
   }
 
+  test("chunk dedup shuffles fingerprints and ids only — chunk text " +
+    "stays inside the scan") {
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements; unwrap the adaptive root to see them
+    val plan = graft.ops.Chunk.chunkDedup(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected the fp window exchange:\n$plan")
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name).toSet
+      assert(!cols.exists(_.contains("chunk_text")),
+        s"chunk text crosses the wire: $cols")
+      assert(cols.subsetOf(Set("fp", "doc_id", "chunk_id")),
+        s"unexpected shuffle payload (want fp/ids only): $cols")
+    }
+  }
+
   test("repetition signals aggregate with map-side partials") {
     val plan = graft.ops.Repetition.repetitionSignals(spark, sf)
       .queryExecution.executedPlan.toString
