@@ -164,6 +164,10 @@ object SparkEntry {
     // the complete pipeline with the weighted-mixing stage composed in
     "q_training_shards_mixed" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.trainingShardsMixed(s, d)),
+    // the pipeline with CHUNK-GRAIN boilerplate removal composed in
+    // (non-overlapping chunks → cross-doc exact dedup → chunk packing)
+    "q_training_shards_chunked" -> ((s: SparkSession, d: String) =>
+      graft.ops.Corpus.trainingShardsChunked(s, d)),
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
@@ -295,6 +299,7 @@ object SparkEntry {
     "q_ann_ivfpq_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
     "q_training_shards_mixed" -> graft.ops.Corpus.trainingShardsMixedSql,
+    "q_training_shards_chunked" -> graft.ops.Corpus.trainingShardsChunkedSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
     "q_media_frames" -> Multimodal.frameSampleSummarySql
   )

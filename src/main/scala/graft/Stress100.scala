@@ -138,6 +138,8 @@ object Stress100 {
     t("quality 20x       ")(force(graft.ops.TextStats.qualityFiltered(spark, out)))
     t("train shards 20x  ")(force(graft.ops.Corpus.trainingShards(spark, out)))
     t("shards mixed 20x  ")(force(graft.ops.Corpus.trainingShardsMixed(spark, out)))
+    t("shards chunked 10x")(force(graft.ops.Corpus.trainingShardsChunked(spark, s"$out/d10")))
+    t("shards chunked 20x")(force(graft.ops.Corpus.trainingShardsChunked(spark, out)))
 
     // embeddings at 20× (40k vectors): SemDeDup under the auto-scaled
     // cell count (occupancy held flat — the knob that keeps the

@@ -73,6 +73,121 @@ object Corpus {
           s => s.getField("text"))).as("payload"))
   }
 
+  /** [[trainingShards]] with CHUNK-GRAIN boilerplate removal composed
+    * in — the stage document-grain dedup provably misses: identical
+    * paragraphs (shared headers, license blocks, templated passages)
+    * embedded in otherwise-distinct documents. After governance and
+    * quality filtering, survivor text is split into NON-overlapping
+    * `window`-token chunks (stride = window, so surviving chunks
+    * re-concatenate losslessly — an overlapping stride would duplicate
+    * boundary tokens in the payload), identical chunk text across the
+    * whole surviving corpus keeps only the lexicographic-min
+    * (doc, chunk) ([[Chunk.chunkDedup]] semantics), and the SURVIVING
+    * CHUNKS are packed directly.
+    *
+    * Packing at chunk grain (not re-concatenating per doc first) is
+    * the scale move: the per-doc rebuild would cost an extra full
+    * text shuffle keyed by doc_id before the pack even starts. Here
+    * the pipeline pays exactly the shuffles [[trainingShards]] pays —
+    * the slim (key, weight) prefix-sum pass and the final shard
+    * concat — plus one fingerprint-only exchange for the dedup
+    * decision (md5 + ids, chunk text never leaves its scan). A doc's
+    * surviving chunks stay adjacent and in chunk order inside the
+    * shard: the sort key is md5(seed:doc_id) : zero-padded doc_id :
+    * zero-padded chunk_id, so the permutation is per-DOCUMENT and the
+    * chunk_id suffix keeps intra-doc order. Text re-attaches once, by
+    * (doc_id, chunk_id) parsed back out of the key, against a fresh
+    * chunking of the raw table — chunking is pure scan-grain codegen
+    * (cheaper than caching the governed lineage), and any (doc, chunk)
+    * emitted by the pack is already a survivor so governance need not
+    * recompute. Deterministic end to end → hash-oracled. */
+  def trainingShardsChunked(spark: SparkSession, dir: String, seed: Int = 0,
+      budget: Long = 4096L, window: Int = 64): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val survivors = docs.select("doc_id", "text")
+      .join(Decontaminate.governedCorpus(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(TextStats.qualityFiltered(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val chunks = Chunk.chunkTokens(survivors, window, stride = window)
+    // chunk-grain dedup decision: the only exchange carries
+    // (fp, doc_id, chunk_id) — the text column is dropped before it
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("doc_id"), col("chunk_id"))
+    val kept = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        md5(col("chunk_text")).as("fp"),
+        col("n_chunk_tokens").cast("long").as("w0"))
+      .withColumn("rn", row_number().over(wspec))
+      .filter(col("rn") === 1)
+    val keyed = kept.select(
+      concat(md5(concat(lit(s"graft:$seed:"), col("doc_id").cast("string"))),
+        lit(":"), lpad(col("doc_id").cast("string"), 12, "0"),
+        lit(":"), lpad(col("chunk_id").cast("string"), 6, "0")).as("k"),
+      col("w0"))
+    Pack.packIntoShards(keyed, "k", col("w0"), budget)
+      .withColumn("doc_id",
+        element_at(split(col("k"), ":"), 2).cast("long"))
+      .withColumn("chunk_id",
+        element_at(split(col("k"), ":"), 3).cast("long"))
+      .join(Chunk.chunkTokens(docs, window, stride = window)
+        .select("doc_id", "chunk_id", "chunk_text"),
+        Seq("doc_id", "chunk_id"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("w").as("shard_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("k"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("payload"))
+  }
+
+  val trainingShardsChunkedSql: String =
+    s"""WITH surv AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  WHERE d.doc_id IN
+       |        (SELECT doc_id FROM (${Decontaminate.governedCorpusSql}) gov)
+       |    AND d.doc_id IN
+       |        (SELECT doc_id FROM (${TextStats.qualityFilteredSql}) q)),
+       |t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM surv),
+       |c AS (
+       |  SELECT doc_id, toks, u.i AS chunk_id
+       |  FROM t, UNNEST(range(0, 1 + CASE WHEN n > 64
+       |                                   THEN (n - 64 + 63) // 64
+       |                                   ELSE 0 END)) AS u(i)),
+       |ch AS (
+       |  SELECT doc_id, chunk_id,
+       |         array_to_string(toks[chunk_id * 64 + 1 : chunk_id * 64 + 64],
+       |                         ' ') AS chunk_text,
+       |         CAST(len(toks[chunk_id * 64 + 1 : chunk_id * 64 + 64])
+       |              AS BIGINT) AS w
+       |  FROM c),
+       |kept AS (
+       |  SELECT doc_id, chunk_id, chunk_text, w
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+       |                     ORDER BY doc_id, chunk_id) AS rn
+       |        FROM ch)
+       |  WHERE rn = 1),
+       |h AS (
+       |  SELECT chunk_text, w,
+       |         md5('graft:0:' || CAST(doc_id AS VARCHAR)) || ':' ||
+       |           lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+       |           lpad(CAST(chunk_id AS VARCHAR), 6, '0') AS k
+       |  FROM kept),
+       |cum AS (
+       |  SELECT k, chunk_text, w,
+       |         CAST(SUM(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+       |              AS BIGINT) AS cum_tokens
+       |  FROM h)
+       |SELECT (cum_tokens - w) // 4096 AS shard_id,
+       |       COUNT(*) AS n_chunks,
+       |       CAST(SUM(w) AS BIGINT) AS shard_tokens,
+       |       string_agg(chunk_text, ' ' ORDER BY k) AS payload
+       |FROM cum GROUP BY shard_id""".stripMargin
+
   /** [[trainingShards]] with the WEIGHTED-MIXING stage composed in —
     * the complete pipeline a real run ships: after governance and
     * quality filtering, survivors expand through the deterministic
@@ -90,20 +205,27 @@ object Corpus {
         Seq("doc_id"), "left_semi")
       .join(TextStats.qualityFiltered(spark, dir).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    // the survivors scan already carried the text — ride it through
-    // the zero-shuffle explode instead of re-joining documents for it
-    // (the post-pack text re-attach below is the ONE documents join:
-    // the pack shuffle stays (key, weight)-slim either way, and
-    // joining back to the keyed frame instead would recompute — or
-    // force materializing — the whole governance lineage)
-    val mixed = Mix.corpusMixFor(survivors, carry = Seq("text"))
+    // text is consumed entirely inside the survivors scan — the mix
+    // bucket and the token weight are computed in that projection and
+    // only (doc_id, w, epoch) rides the explode. The post-pack
+    // re-attach below is then the ONE touch of documents text in the
+    // whole query (it was two: text used to be carried through the
+    // explode for the weight, dropped by the pack, and re-joined).
+    // Joining the packed output back to the keyed frame on k instead
+    // would avoid the doc_id parse but recompute — or force
+    // materializing, at corpus-text size × epochs — the governance
+    // lineage; the slim-carry keeps both joins off the table.
+    val mixed = Mix.corpusMixFor(
+      survivors.withColumn("w",
+        size(split(col("text"), " ")).cast("long")),
+      carry = Seq("w"))
     val keyed = mixed.select(
       concat(md5(concat(lit(s"graft:$seed:"), col("doc_id").cast("string"),
           lit(":"), col("epoch").cast("string"))),
         lit(":"), col("doc_id").cast("string"),
         lit(":"), col("epoch").cast("string")).as("k"),
-      col("text"))
-    Pack.packIntoShards(keyed, "k", size(split(col("text"), " ")), budget)
+      col("w"))
+    Pack.packIntoShards(keyed, "k", col("w"), budget)
       .withColumn("doc_id",
         element_at(split(col("k"), ":"), 2).cast("long"))
       .join(docs.select("doc_id", "text"), "doc_id")

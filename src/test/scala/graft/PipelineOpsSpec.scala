@@ -304,6 +304,129 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(spread, "epoch-salted keys do not scatter repeats")
   }
 
+  test("trainingShardsChunked matches a naive in-memory recompute " +
+    "(chunk, cross-doc dedup, pack) and the dedup stage is exercised") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // survivor set recomputed independently (same semi-joins)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val survivors = docs.select("doc_id", "text")
+      .join(graft.ops.Decontaminate.governedCorpus(spark, sf)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(graft.ops.TextStats.qualityFiltered(spark, sf)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // naive model: non-overlapping chunks per survivor. Window 16, not
+    // the registered default 64: on this synthetic corpus the docs
+    // sharing 64-token boilerplate are near-dups of each other, so the
+    // upstream DOCUMENT-grain dedup already collapsed them and the
+    // chunk stage would be vacuous (nothing removed). At window 16 two
+    // duplicate chunks survive governance — the stage provably fires.
+    val w = 16
+    val chunks = survivors.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val iMax = if (toks.length > w) (toks.length - w + w - 1) / w else 0
+      (0 to iMax).map { i =>
+        (id, i.toLong, toks.slice(i * w, math.min(i * w + w, toks.length))
+          .mkString(" "))
+      }
+    }
+    // cross-doc exact dedup at chunk grain: min (doc, chunk) per text
+    val kept = chunks.groupBy(_._3).map { case (_, g) =>
+      g.minBy(c => (c._1, c._2))
+    }.toSeq
+    assert(kept.size < chunks.length,
+      "no duplicate chunks in the survivor corpus — the dedup stage " +
+        "is vacuous at this grain; pick a window that exercises it")
+    // pack: md5-permuted doc order, chunk order within doc
+    val keyed = kept.map { case (id, cid, text) =>
+      val k = md5hex(s"graft:0:$id") + ":" + f"$id%012d" + ":" + f"$cid%06d"
+      (k, text, text.split(" ", -1).length.toLong)
+    }.sortBy(_._1)
+    val cum = keyed.scanLeft(0L)(_ + _._3).tail
+    val naive = keyed.zip(cum).map { case ((k, text, tw), c) =>
+      ((c - tw) / 4096L, (k, text, tw))
+    }.groupBy(_._1).map { case (sid, g) =>
+      val inOrder = g.map(_._2).sortBy(_._1)
+      (sid, (inOrder.length.toLong, inOrder.map(_._3).sum,
+        inOrder.map(_._2).mkString(" ")))
+    }
+    val got = graft.ops.Corpus.trainingShardsChunked(spark, sf, window = w)
+      .collect()
+      .map(r => (r.getAs[Long]("shard_id"),
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("shard_tokens"),
+          r.getAs[String]("payload")))).toMap
+    assert(got.keySet === naive.keySet)
+    naive.foreach { case (sid, exp) =>
+      assert(got(sid) === exp, s"shard $sid diverges from naive model")
+    }
+  }
+
+  test("trainingShardsChunked: no exchange in the dedup decision " +
+    "carries chunk text, and text never rides the prefix-sum shuffle") {
+    // the only text-bearing shuffles allowed in the whole plan are the
+    // final shard groupBy and the (doc_id, chunk_id) re-attach join —
+    // the fp-window dedup decision and the pack range pass are slim.
+    // The pack pass hides behind packIntoShards' bounded cache, so the
+    // collector descends into AQE roots and cached subplans.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def allExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => allExchanges(a.executedPlan)
+      case i: InMemoryTableScanExec => allExchanges(i.relation.cachedPlan)
+      // an already-executed AQE subtree (the pack cache materialized
+      // during construction) wraps its exchanges in query stages
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allExchanges(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allExchanges(r.child)
+      case e: ShuffleExchangeExec =>
+        e +: e.children.flatMap(allExchanges)
+      case other => other.children.flatMap(allExchanges)
+    }
+    val plan = graft.ops.Corpus.trainingShardsChunked(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = allExchanges(plan)
+    assert(exchanges.nonEmpty, s"no exchanges found:\n$plan")
+    val textBearing = exchanges.filter(
+      _.output.exists(a => a.name.contains("chunk_text") || a.name == "text"))
+    // anything keyed by fp (dedup decision) or range-partitioned by
+    // the pack key must not carry text
+    exchanges.foreach { e =>
+      val key = e.outputPartitioning.toString
+      val slim = key.contains("fp#") || (key.contains("rangepartitioning") &&
+        key.contains("k#"))
+      if (slim)
+        assert(!e.output.exists(a =>
+          a.name.contains("chunk_text") || a.name == "text" ||
+            a.name == "toks"),
+          s"text crosses a slim-keyed exchange: ${e.output.map(_.name)}")
+    }
+    // and the dedup decision exchange (keyed by fp) must exist + be slim
+    val fpEx = exchanges.filter(_.outputPartitioning.toString.contains("fp#"))
+    assert(fpEx.nonEmpty, "fp-window dedup exchange not found; " +
+      s"exchanges seen: ${exchanges.map(e =>
+        e.outputPartitioning.toString + " -> " + e.output.map(_.name))}; " +
+      s"leaf classes: ${(plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).collectLeaves().map(_.getClass.getName)}")
+    fpEx.foreach { e =>
+      assert(e.output.map(_.name).toSet
+        .subsetOf(Set("fp", "doc_id", "chunk_id", "w0")),
+        s"dedup exchange payload not slim: ${e.output.map(_.name)}")
+    }
+    // text-bearing exchanges exist only at the re-attach join and the
+    // shard groupBy — both keyed by ids, never fp or the range key
+    assert(textBearing.forall { e =>
+      val k = e.outputPartitioning.toString
+      k.contains("doc_id#") || k.contains("shard_id#")
+    }, "text rides an exchange other than re-attach/shard-groupBy")
+  }
+
   // ----- deterministic corpus shuffle -----
 
   test("corpusShuffle is a permutation, matches the single-task global " +
