@@ -152,13 +152,18 @@ object Bench {
       case (name, t) if t > 0 && prev.getOrElse(name, -1.0) > 0 =>
         name -> t / prev(name)
     }
+    // Locale.ROOT, never the f-interpolator: under a comma-decimal
+    // default locale (de_DE) "%.3f" emits "1,003" and the JSON line —
+    // and the next run's regex parse of it — silently breaks
+    def f3(r: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))
     val deltaJson = deltas.sortBy(-_._2)
-      .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }
+      .map { case (k, r) => "\"" + k + "\":" + f3(r) }
       .mkString("{", ",", "}")
     val commonNow = deltas.map { case (n, _) => results.toMap.apply(n) }.sum
     val commonPrev = deltas.map { case (n, _) => prev(n) }.sum
     val totalDelta =
-      if (commonPrev > 0) f"${commonNow / commonPrev}%.3f" else "-1"
+      if (commonPrev > 0) f3(commonNow / commonPrev) else "-1"
 
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"delta_vs_prev":$deltaJson,"delta_total_common":$totalDelta,"delta_common_queries":${deltas.size},"stream_rows_per_sec":$rowsPerSec,"stream_sec":$streamSec,"stream_avg_batch_sec":$avgBatchSec,"stream_first_batch_sec":$firstBatchSec,"stream_steady_batch_sec":$steadyBatchSec,"stream_batches":${batchDurations.size},"golden_replay_sec":$goldenSec,"golden_match":$goldenMatch,"sf":"$sfDir"}"""
     println(line)

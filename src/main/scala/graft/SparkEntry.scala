@@ -122,6 +122,10 @@ object SparkEntry {
     // path (identical results through the pruned probe)
     "q_bm25_indexed" -> ((s: SparkSession, d: String) =>
       graft.ops.Terms.bm25IndexedTopKQuery(s, d)),
+    // the MAINTENANCE path gate: half-build + per-batch append +
+    // probe, bit-identical to the flat path → same oracle
+    "q_bm25_appended" -> ((s: SparkSession, d: String) =>
+      graft.ops.Terms.bm25AppendedTopKQuery(s, d)),
     // data mixing: sampling / split / leakage
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.stratifiedSample(s, d)),
@@ -190,6 +194,13 @@ object SparkEntry {
       graft.ops.Quantize.ivfPqTopKQuery(s, d)),
     "q_ann_ivfpq_recall" -> ((s: SparkSession, d: String) =>
       graft.ops.Quantize.ivfPqRecall(s, d)),
+    // incremental IVF-PQ: structure trained on half the corpus, the
+    // other half appended frozen-structure, probed over the union;
+    // recall twin drives the hash-exact driver gate
+    "q_ann_ivfpq_incr" -> ((s: SparkSession, d: String) =>
+      graft.ops.Quantize.ivfPqIncrTopKQuery(s, d)),
+    "q_ann_ivfpq_incr_recall" -> ((s: SparkSession, d: String) =>
+      graft.ops.Quantize.ivfPqIncrRecall(s, d)),
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
@@ -275,6 +286,7 @@ object SparkEntry {
     "q_top_terms" -> graft.ops.Terms.topTermsPerDocSql,
     "q_bm25_topk" -> graft.ops.Terms.bm25TopKSql,
     "q_bm25_indexed" -> graft.ops.Terms.bm25TopKSql,
+    "q_bm25_appended" -> graft.ops.Terms.bm25TopKSql,
     "q_sample_stratified" -> graft.ops.Mix.stratifiedSampleSql,
     "q_train_test_split" -> graft.ops.Mix.trainTestSplitSql,
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,
@@ -297,6 +309,7 @@ object SparkEntry {
     "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
     "q_ann_pq_recall" -> graft.ops.Quantize.pqRecallSql,
     "q_ann_ivfpq_recall" -> graft.ops.Quantize.ivfPqRecallSql,
+    "q_ann_ivfpq_incr_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
     "q_training_shards_mixed" -> graft.ops.Corpus.trainingShardsMixedSql,
     "q_training_shards_chunked" -> graft.ops.Corpus.trainingShardsChunkedSql,

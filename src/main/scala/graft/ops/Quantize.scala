@@ -435,11 +435,56 @@ object Quantize {
   def ivfPqTopKQuery(spark: SparkSession, dir: String,
       numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
       rerank: Int = 20): DataFrame = {
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft-ivfpq-gate").toString + "/index"
-    buildIvfPqIndex(spark, dir, idx)
+    // one scratch build per (session, SF): q_ann_ivfpq and its recall
+    // twin probe the SAME index — the build cost stays in the bench
+    // exactly once, and /tmp holds one copy, removed at JVM exit
+    val idx = Scratch.cached(spark, s"ivfpq-gate:$dir", "graft-ivfpq-gate") {
+      p => buildIvfPqIndex(spark, dir, p) }
     ivfPqTopK(spark, idx, gateQueries(spark, dir, numQueries),
       k, nprobe, rerank)
+  }
+
+  /** Build-append-probe form for the driver gate (`q_ann_ivfpq_incr`):
+    * index STRUCTURE (centroids, codebooks) trains on half the
+    * corpus (even vec_ids), the other half arrives through
+    * [[appendToIvfPqIndex]] — frozen-structure assignment + encode,
+    * history untouched — and the probe answers over the union. The
+    * recall twin gates the result against the TRUE top-k, so the
+    * maintenance path has a driver-checked correctness row instead of
+    * only a spec. */
+  def ivfPqIncrTopKQuery(spark: SparkSession, dir: String,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      rerank: Int = 20): DataFrame = {
+    val idx = Scratch.cached(spark, s"ivfpq-incr:$dir", "graft-ivfpq-incr") {
+      p =>
+        val vecs = Similarity.normalized(spark, dir).select("vec_id", "vec")
+        buildIvfPqIndexFor(vecs.where(col("vec_id") % 2 === 0), p)
+        appendToIvfPqIndex(spark, p, vecs.where(col("vec_id") % 2 === 1))
+    }
+    ivfPqTopK(spark, idx, gateQueries(spark, dir, numQueries),
+      k, nprobe, rerank)
+  }
+
+  /** Driver-gate recall row for the INCREMENTAL index path
+    * (`q_ann_ivfpq_incr_recall`): the [[ivfPqRecall]] thresholded
+    * aggregate over [[ivfPqIncrTopKQuery]] — hash-exact against the
+    * same constant oracle, turning "append then probe still finds the
+    * true neighbors" into a hard driver assertion. */
+  def ivfPqIncrRecall(spark: SparkSession, dir: String,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      rerank: Int = 20): DataFrame = {
+    val got = ivfPqIncrTopKQuery(spark, dir, numQueries, k, nprobe, rerank)
+      .select("query_id", "neighbor_id")
+    val brute = Similarity.bruteForceTopK(spark, dir, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val hits = got.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum("n_hits") >= math.ceil(0.9 * k * numQueries).toLong)
+          .cast("int").as("recall_ge_90"))
   }
 
   /** Per-query hit counts of the persisted-index probe vs the TRUE

@@ -170,74 +170,113 @@ object Terms {
     * corpus-sized artifact; a 10-term query touches ≤ 10 of
     * `nBuckets` directories — megabytes, not the corpus.
     *
-    * Layout under `indexPath`: `postings/bucket=N/` (term, doc_id,
-    * tf), `doclen` (doc_id, dl) and a 1-row `stats` (n, s, n_buckets)
-    * sidecar — everything a fresh session needs to score. Per-term
-    * df needs NO sidecar: every posting of a term lives in its
-    * bucket, so the pruned scan still counts the exact global df.
-    * The cell-aligning repartition keeps the write at ≤ one file per
-    * bucket (the appendToStore discipline). Refresh is a rebuild:
-    * postings are idempotent derived data, and the build is one
-    * explode + partial-agg pass over the corpus. */
+    * Layout under `indexPath`: `postings/bucket=N/batch=M/` (term,
+    * doc_id, tf), `doclen/batch=M/` (doc_id, dl) and per-batch
+    * `stats/batch=M/` DELTA rows (n, s, n_buckets) — everything a
+    * fresh session needs to score; corpus totals are the SUM of the
+    * stats deltas (exact integers, order-free), read through
+    * [[readBm25Stats]]. Per-term df needs NO sidecar: every posting
+    * of a term lives in its bucket, so the pruned scan still counts
+    * the exact global df.
+    *
+    * The `batch` sub-partition is what makes maintenance EXACTLY-ONCE
+    * rather than at-least-once: every append targets its own batch
+    * partition with dynamic partition overwrite, so re-running a
+    * batch (a crashed stream re-delivering, an operator retrying)
+    * REPLACES that batch's contribution instead of double-counting it
+    * — no read-modify-write anywhere (the old 1-row additive stats
+    * update was exactly such a window). The stats table stays one
+    * tiny row per batch; pruning is unaffected (bucket remains the
+    * leading partition key); file-count growth is what
+    * [[compactBm25Index]] is for. The cell-aligning repartition keeps
+    * each append at ≤ one file per bucket (the appendToStore
+    * discipline). */
   def buildBm25Index(spark: SparkSession, dir: String, indexPath: String,
       nBuckets: Int = 64): Unit =
     buildBm25IndexFor(Tables.documents(spark, dir), indexPath, nBuckets)
 
   /** [[buildBm25Index]] over any (doc_id, text) frame — the form the
     * incremental path uses (build on the history,
-    * [[appendToBm25Index]] the arrivals). */
+    * [[appendToBm25Index]] the arrivals). The build writes batch 0;
+    * overwrite is static (a rebuild replaces every batch). */
   def buildBm25IndexFor(docs: DataFrame, indexPath: String,
       nBuckets: Int = 64): Unit = {
     val tf = termFrequencies(docs).localCheckpoint()
     tf.withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("batch", lit(0L))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("bucket", "batch")
       .parquet(s"$indexPath/postings")
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
-    dl.write.mode("overwrite").parquet(s"$indexPath/doclen")
+    dl.withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$indexPath/doclen")
     dl.agg(count(lit(1)).cast("long").as("n"),
         sum("dl").cast("long").as("s"),
         lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$indexPath/stats")
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$indexPath/stats")
   }
+
+  /** Corpus totals + layout constants of a persisted index: ONE row
+    * (n, s, n_buckets, max_batch) summed over the per-batch stats
+    * deltas — exact integer addition, so totals are identical however
+    * many batches contributed. */
+  def readBm25Stats(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/stats")
+      .agg(sum("n").cast("long").as("n"), sum("s").cast("long").as("s"),
+        max("n_buckets").as("n_buckets"),
+        max("batch").cast("long").as("max_batch"))
 
   /** Append new documents to a persisted BM25 index WITHOUT touching
     * history: the batch's postings land in their terms' bucket
-    * directories (cell-aligned, ≤ one file per bucket per batch), its
-    * doc lengths append to the sidecar, and the 1-row corpus stats
-    * update additively (exact integers — no drift, ever). Because
-    * per-term df is DERIVED from the pruned postings scan rather than
-    * stored, an appended index answers probes with exactly the scores
+    * directories under the batch's OWN partition (cell-aligned, ≤ one
+    * file per bucket per batch), its doc lengths and its 1-row stats
+    * DELTA land in the same batch partition. Because per-term df is
+    * DERIVED from the pruned postings scan and totals are the sum of
+    * deltas, an appended index answers probes with exactly the scores
     * a from-scratch rebuild would produce — bit-for-bit, not
-    * approximately (spec-asserted) — which is what makes this the
-    * natural `foreachBatch` body for continuous document ingest.
-    * Caller contract (the `Ingest.appendToStore` discipline): batch
-    * doc_ids are new — re-appending a document double-counts its
-    * postings. Unlike IVF-PQ there is no trained structure to go
-    * stale: term→bucket is a pure hash, so there is NO periodic
-    * rebuild concern at all. */
+    * approximately (spec-asserted).
+    *
+    * `batchId` < 0 (the default) allocates max_batch + 1 — a plain
+    * batch append. A NON-NEGATIVE `batchId` is the exactly-once
+    * handle for streaming callers (`streaming.StreamIndex`): all
+    * three writes use dynamic partition overwrite on `batch`, so
+    * re-applying an id REPLACES that batch's earlier (possibly torn)
+    * contribution instead of double-counting it — re-delivery and
+    * crash-retry are idempotent by layout, with no marker needed for
+    * correctness. Caller contract unchanged: batch doc_ids are new
+    * relative to OTHER batches. Unlike IVF-PQ there is no trained
+    * structure to go stale: term→bucket is a pure hash, so there is
+    * NO periodic rebuild concern at all. */
   def appendToBm25Index(spark: SparkSession, indexPath: String,
-      newDocs: DataFrame): Unit = {
-    // checkpoint breaks lineage to the stats file before it is
-    // overwritten below (the compactStore read-before-replace rule)
-    val stats = spark.read.parquet(s"$indexPath/stats").localCheckpoint()
-    val nBuckets = stats.select("n_buckets").head().getInt(0)
+      newDocs: DataFrame, batchId: Long = -1L): Unit = {
+    val head = readBm25Stats(spark, indexPath).head()
+    val nBuckets = head.getAs[Int]("n_buckets")
+    val id = if (batchId >= 0L) batchId else head.getAs[Long]("max_batch") + 1L
     val tf = termFrequencies(newDocs).localCheckpoint()
     tf.withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("batch", lit(id))
       .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("bucket", "batch")
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$indexPath/postings")
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
       .localCheckpoint()
-    dl.write.mode("append").parquet(s"$indexPath/doclen")
-    val batch = dl.agg(count(lit(1)).cast("long").as("bn"),
-      coalesce(sum("dl").cast("long"), lit(0L)).as("bs"))
-    stats.crossJoin(batch)
-      .select((col("n") + col("bn")).as("n"),
-        (col("s") + col("bs")).as("s"), col("n_buckets"))
-      .write.mode("overwrite").parquet(s"$indexPath/stats")
+    dl.withColumn("batch", lit(id))
+      .write.mode("overwrite").partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/doclen")
+    dl.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum("dl").cast("long"), lit(0L)).as("s"),
+        lit(nBuckets).as("n_buckets"))
+      .withColumn("batch", lit(id))
+      .write.mode("overwrite").partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/stats")
   }
 
   /** Compact the postings of a persisted BM25 index back to ≤ one
@@ -265,9 +304,17 @@ object Terms {
       s"compactBm25Index: $old exists — a previous compaction swap was " +
         "interrupted; recover (restore or delete the .old copy) by hand")
     fs.delete(tmp, true)
+    // fold every batch into the CURRENT max batch id: keeping the max
+    // (never a fresh id) means a later append still allocates above
+    // it, and a stream's re-delivery of an already-folded batch is
+    // prevented by the caller's applied-marker skip, which is written
+    // before any compaction runs (streaming.StreamIndex ordering)
+    val maxBatch = readBm25Stats(spark, indexPath)
+      .head().getAs[Long]("max_batch")
     spark.read.parquet(qual.toString)
+      .drop("batch").withColumn("batch", lit(maxBatch))
       .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(tmp.toString)
+      .write.partitionBy("bucket", "batch").parquet(tmp.toString)
     require(fs.rename(qual, old),
       s"compactBm25Index: failed to move $qual aside")
     require(fs.rename(tmp, qual),
@@ -287,7 +334,7 @@ object Terms {
     * scale. */
   def bm25IndexedTopK(spark: SparkSession, indexPath: String,
       queriesIn: DataFrame, k: Int = 10): DataFrame = {
-    val stats = spark.read.parquet(s"$indexPath/stats").localCheckpoint()
+    val stats = readBm25Stats(spark, indexPath).localCheckpoint()
     val nBuckets = stats.select("n_buckets").head().getInt(0)
     val q = queriesIn.localCheckpoint() // bounded: a query set is small
     val buckets = q.select(
@@ -316,9 +363,29 @@ object Terms {
     * the identical DuckDB oracle. */
   def bm25IndexedTopKQuery(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft-bm25-gate").toString + "/index"
-    buildBm25Index(spark, dir, idx)
+    val idx = Scratch.cached(spark, s"bm25-gate:$dir", "graft-bm25-gate") {
+      p => buildBm25Index(spark, dir, p) }
+    val dfreq = spark.read.parquet(s"$idx/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    bm25IndexedTopK(spark, idx, dfRankQueries(dfreq), k)
+  }
+
+  /** Build-append-probe form for the driver gate (`q_bm25_appended`):
+    * builds the index on HALF the corpus (even doc_ids), appends the
+    * other half through [[appendToBm25Index]], and probes — the
+    * maintenance path (frozen layout, per-batch delta stats, derived
+    * df) exercised end to end against the SAME DuckDB oracle as the
+    * flat [[bm25TopK]]: the probe is bit-identical to a full build by
+    * construction, so a hash mismatch here means the append path
+    * diverged. */
+  def bm25AppendedTopKQuery(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val idx = Scratch.cached(spark, s"bm25-incr:$dir", "graft-bm25-incr") {
+      p =>
+        val docs = Tables.documents(spark, dir).select("doc_id", "text")
+        buildBm25IndexFor(docs.where(col("doc_id") % 2 === 0), p)
+        appendToBm25Index(spark, p, docs.where(col("doc_id") % 2 === 1))
+    }
     val dfreq = spark.read.parquet(s"$idx/postings")
       .groupBy("term").agg(count(lit(1)).as("df"))
     bm25IndexedTopK(spark, idx, dfRankQueries(dfreq), k)

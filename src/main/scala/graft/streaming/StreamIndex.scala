@@ -20,13 +20,16 @@ import graft.ops.Terms
   *
   * Exactly-once: Structured Streaming may re-deliver the last
   * COMPLETED batch after a restart (the checkpoint records offsets
-  * before `foreachBatch` returns); an already-applied batch must not
-  * double-count its postings. The `applied` sidecar (1 row: the last
-  * applied batch id, written after the apply) makes that re-delivery
-  * a no-op. A crash strictly inside an append leaves the same
-  * torn-files boundary every file-based sink has — the
-  * [[Ingest]]-store answer (write postings, then sidecars, marker
-  * last) bounds the damage to one re-appendable batch. */
+  * before `foreachBatch` returns). Idempotency is BY LAYOUT, not by
+  * marker: every write of `Terms.appendToBm25Index` targets the
+  * batch's own partition with dynamic overwrite, so re-applying an id
+  * REPLACES its earlier (possibly torn) contribution — a crash at ANY
+  * point inside the apply, marker included, re-runs to the identical
+  * index. The `applied` sidecar (1 row: the last applied batch id,
+  * written after the apply) is a skip OPTIMIZATION for the common
+  * no-crash re-delivery — and the one ordering that matters for it:
+  * compaction (which folds batch partitions together) runs only AFTER
+  * the marker, so a batch that compaction folded can never re-apply. */
 object StreamIndex {
 
   private def lastApplied(spark: SparkSession, indexPath: String): Long =
@@ -35,15 +38,21 @@ object StreamIndex {
 
   /** Apply one micro-batch of (doc_id, text) documents to the index
     * at `indexPath`: the first batch builds (overwrite — naturally
-    * idempotent), later batches append; a batch id at or below the
-    * applied marker no-ops. */
+    * idempotent), later batches append under their batch id (see
+    * class doc); a batch id at or below the applied marker no-ops. */
   def applyBm25Batch(spark: SparkSession, indexPath: String,
       batch: DataFrame, batchId: Long, nBuckets: Int = 64): Unit = {
     if (batchId <= lastApplied(spark, indexPath)) return
-    val hasIndex = java.nio.file.Files
-      .exists(java.nio.file.Paths.get(s"$indexPath/stats"))
+    // Hadoop FS, not java.nio: the index may live on any Hadoop-
+    // compatible filesystem (hdfs://, s3a://) where a local-path
+    // existence check is always false — which would silently rebuild
+    // in overwrite mode every batch, replacing the accumulated index
+    // with just the current batch
+    val stats = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
+    val hasIndex = stats
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(stats)
     if (!hasIndex) Terms.buildBm25IndexFor(batch, indexPath, nBuckets)
-    else Terms.appendToBm25Index(spark, indexPath, batch)
+    else Terms.appendToBm25Index(spark, indexPath, batch, batchId)
     spark.range(1).select(lit(batchId).as("last_batch"))
       .write.mode("overwrite").parquet(s"$indexPath/applied")
   }
@@ -51,17 +60,26 @@ object StreamIndex {
   /** Drive indexing over every file currently in `srcDir` (resuming
     * from the checkpoint), one micro-batch per file so the
     * append path is exercised across batches. The index lands under
-    * `workDir/bm25index`. */
+    * `workDir/bm25index`. `compactEvery` > 0 folds the accumulated
+    * per-batch posting files back to one file per bucket every N
+    * batches INSIDE the stream (after the batch's applied marker —
+    * see class doc), so a long-running ingest holds file count flat
+    * instead of deferring maintenance to an out-of-band job; probes
+    * are bit-identical across the fold (spec-asserted mid-stream). */
   def runIngestBm25(spark: SparkSession, srcDir: String,
-      schema: StructType, workDir: String, nBuckets: Int = 64): Unit = {
+      schema: StructType, workDir: String, nBuckets: Int = 64,
+      compactEvery: Int = 0): Unit = {
     val indexPath = s"$workDir/bm25index"
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBm25Batch(batch.sparkSession, indexPath,
-          batch.select("doc_id", "text"), id, nBuckets)
+        val s = batch.sparkSession
+        applyBm25Batch(s, indexPath, batch.select("doc_id", "text"),
+          id, nBuckets)
+        if (compactEvery > 0 && id % compactEvery == (compactEvery - 1))
+          Terms.compactBm25Index(s, indexPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -716,12 +716,18 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       docs.where(col("doc_id") % 2 === 0), s"$base/inc")
     graft.ops.Terms.appendToBm25Index(spark, s"$base/inc",
       docs.where(col("doc_id") % 2 === 1))
-    // sidecar stats must agree exactly (additive integers)
-    val sFull = spark.read.parquet(s"$base/full/stats").collect()
-      .map(_.toSeq).toSeq
-    val sInc = spark.read.parquet(s"$base/inc/stats").collect()
-      .map(_.toSeq).toSeq
+    // aggregated stats must agree exactly (sum of per-batch deltas ==
+    // the one-shot totals; exact integers)
+    val sFull = graft.ops.Terms.readBm25Stats(spark, s"$base/full")
+      .select("n", "s", "n_buckets").collect().map(_.toSeq).toSeq
+    val sInc = graft.ops.Terms.readBm25Stats(spark, s"$base/inc")
+      .select("n", "s", "n_buckets").collect().map(_.toSeq).toSeq
     assert(sInc === sFull)
+    // and the append landed as its own batch partition (the
+    // exactly-once unit): batches 0 and 1 both present
+    assert(spark.read.parquet(s"$base/inc/stats")
+      .select(col("batch").cast("long")).collect().map(_.getLong(0))
+      .toSet === Set(0L, 1L))
     // and a probe through the appended index is bit-identical to one
     // through the from-scratch rebuild (derived df, exact stats)
     import spark.implicits._
@@ -733,6 +739,46 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(b === a)
     assert(a.nonEmpty)
+  }
+
+  test("BM25 index append is exactly-once per batch id: re-applying " +
+    "a batch (crash-retry, stream re-delivery) replaces, never " +
+    "double-counts") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25-redeliver").toString
+    val idx = s"$base/index"
+    val docs = graft.core.Tables.documents(spark, sf)
+    graft.ops.Terms.buildBm25IndexFor(
+      docs.where(col("doc_id") % 2 === 0), idx)
+    val late = docs.where(col("doc_id") % 2 === 1)
+    graft.ops.Terms.appendToBm25Index(spark, idx, late, batchId = 1L)
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    val stats1 = graft.ops.Terms.readBm25Stats(spark, idx)
+      .collect().map(_.toSeq).toSeq
+    val probe1 = graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // the window the old layout double-counted: the SAME batch applies
+    // again (marker lost in a crash, or an operator retry) — dynamic
+    // overwrite of the batch partition must make it a no-op
+    graft.ops.Terms.appendToBm25Index(spark, idx, late, batchId = 1L)
+    val stats2 = graft.ops.Terms.readBm25Stats(spark, idx)
+      .collect().map(_.toSeq).toSeq
+    val probe2 = graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(stats2 === stats1, "re-applied batch changed corpus stats")
+    assert(probe2 === probe1, "re-applied batch changed probe results")
+    // and a PARTIAL earlier attempt is also healed: re-apply with a
+    // subset first (simulating a torn write), then the full batch —
+    // the final state must equal the clean one
+    graft.ops.Terms.appendToBm25Index(spark, idx,
+      late.where(col("doc_id") < 100), batchId = 1L)
+    graft.ops.Terms.appendToBm25Index(spark, idx, late, batchId = 1L)
+    assert(graft.ops.Terms.readBm25Stats(spark, idx)
+      .collect().map(_.toSeq).toSeq === stats1)
+    assert(graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq === probe1)
   }
 
   test("BM25 index compaction: one file per bucket, bit-identical " +
@@ -748,10 +794,14 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     graft.ops.Terms.appendToBm25Index(spark, idx,
       docs.where(col("doc_id") % 3 === 2))
     def bucketFiles(): Map[String, Int] = {
+      // count parquet files recursively per bucket dir: appends nest
+      // them under per-batch partitions (bucket=N/batch=M/)
+      def countParquet(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(countParquet).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
       val root = new java.io.File(s"$idx/postings")
       root.listFiles().filter(_.getName.startsWith("bucket="))
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+        .map(d => d.getName -> countParquet(d)).toMap
     }
     import spark.implicits._
     val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))

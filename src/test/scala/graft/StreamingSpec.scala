@@ -253,4 +253,54 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(replayed === expected)
     docs.unpersist()
   }
+
+  test("streamed BM25 indexing with IN-STREAM compaction: probes stay " +
+    "bit-identical to the batch build across a mid-stream fold") {
+    val base = Files.createTempDirectory("graft-stream-bm25c").toString
+    val (src, work) = (s"$base/src", s"$base/work")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    def dropChunk(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    dropChunk("b1", docs.where(col("doc_id") < 120))
+    dropChunk("b2", docs.where(col("doc_id") >= 120 && col("doc_id") < 240))
+    dropChunk("b3", docs.where(col("doc_id") >= 240 && col("doc_id") < 360))
+    dropChunk("b4", docs.where(col("doc_id") >= 360))
+    val docSchema = org.apache.spark.sql.types.StructType(
+      graft.core.Schemas.documents.filter(f =>
+        f.name == "doc_id" || f.name == "text"))
+    // compact every 2 batches: the fold runs MID-stream (after batch
+    // 1 and 3), with appends continuing on top of folded postings
+    graft.streaming.StreamIndex.runIngestBm25(spark, src, docSchema, work,
+      compactEvery = 2)
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    val batchIdx = s"$base/batchindex"
+    graft.ops.Terms.buildBm25IndexFor(docs, batchIdx)
+    val expected = graft.ops.Terms
+      .bm25IndexedTopK(spark, batchIdx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val streamed = graft.ops.Terms
+      .bm25IndexedTopK(spark, s"$work/bm25index", queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === expected,
+      "probe diverged across in-stream compaction")
+    // the last fold (after batch 3) left one file per non-empty bucket
+    def countParquet(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(countParquet).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val root = new java.io.File(s"$work/bm25index/postings")
+    val perBucket = root.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(countParquet)
+    assert(perBucket.nonEmpty && perBucket.max === 1,
+      s"compaction left multi-file buckets: ${perBucket.max}")
+    docs.unpersist()
+  }
 }
