@@ -45,13 +45,26 @@ import graft.ops.TextStats
   * without losing the bucketing metadata — `ops.Compaction`'s plain
   * coalesce would. Run it on the usual small-file cadence.
   *
-  * Write-order semantics (documented, not hidden): corpus first, then
-  * store. A crash between the two can re-append one batch's
-  * survivors on retry — at-least-once at the batch boundary, healed
-  * by any downstream exact dedup; flipping the order would instead
-  * LOSE that batch. A transactional table format (Delta) is the
-  * production fix; parquet-only, this is the honest trade. Re-running
-  * the whole pipeline over already-ingested files is a no-op by the
+  * Batch-boundary semantics: EXACTLY-ONCE, via stage-then-commit
+  * ([[applyIngestBatch]]). The old order (append corpus, then append
+  * store) left a window where a crash between the two writes made a
+  * re-delivered batch re-append its survivors — permanent duplicate
+  * documents in the corpus, invisible to the fp store and inherited
+  * by every derived artifact (the StreamShards manifest packs them).
+  * Now each batch's survivors are STAGED to a sibling directory
+  * (overwrite — a torn stage just re-stages), fingerprints append to
+  * the store only after the stage is complete (so a partial fp append
+  * can never change what the batch's survivors ARE), and the batch
+  * COMMITS by one atomic rename of the staged directory into the
+  * corpus as its `ingest_batch=N` partition. Re-delivery at any crash
+  * point re-runs to the identical state: a committed batch no-ops on
+  * the partition-exists check; an uncommitted one re-uses its
+  * completed stage (never recomputing survivors against a store that
+  * may already hold some of its fps) or rebuilds a torn stage from
+  * the unchanged store. The only repeatable side effect is a
+  * re-appended fp file — duplicates in a SET, harmless to the
+  * anti-join and swept by [[compactStore]]'s distinct. Re-running the
+  * whole pipeline over already-ingested files is a no-op by the
   * checkpoint, and re-delivering old CONTENT is a no-op by the
   * fp store (both tested in IngestSpec). */
 object Ingest {
@@ -288,7 +301,10 @@ object Ingest {
     // covers legacy non-bucketed stores without registering them
     // bucketed, and gives the rewrite an unknown input partitioning so
     // the bucket-aligning repartition in appendToStore is never elided.
-    val snapshot = spark.read.schema(storeSchema).parquet(storeDir)
+    // distinct: retried ingest commits may have appended a batch's
+    // fps twice (harmless to the anti-join — the store is a set);
+    // compaction is where the duplicates get swept
+    val snapshot = spark.read.schema(storeSchema).parquet(storeDir).distinct()
 
     // 1. Write the compacted buckets to a sibling temp dir, durable
     //    before any delete. The temp table exists only to carry the
@@ -317,6 +333,48 @@ object Ingest {
         s"(previous store preserved at $oldPath)")
     fs.delete(oldPath, true)
     ensureStore(spark, storeDir, n)
+    ()
+  }
+
+  /** Apply one ingest micro-batch EXACTLY-ONCE (see class doc):
+    * stage survivors → append fingerprints → commit by atomic rename
+    * into `corpusDir/ingest_batch=<batchId>`. Safe to call again with
+    * the same id after a crash at any point; a fully committed batch
+    * returns immediately. */
+  def applyIngestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, corpusDir: String, storeDir: String,
+      storeBuckets: Int = 0): Unit = {
+    val fs = fileSystem(spark, corpusDir)
+    val corpusQ = qualified(spark, corpusDir)
+    val commitDir = new Path(corpusQ, s"ingest_batch=$batchId")
+    if (fs.exists(commitDir)) return // fully applied earlier
+    val stageDir = new Path(
+      new Path(corpusQ.getParent, corpusQ.getName + ".staging"),
+      batchId.toString)
+    // a COMPLETE stage (_SUCCESS) is authoritative: survivors must
+    // not be recomputed once any fp of this batch may have reached
+    // the store, or the anti-join would drop those docs and the
+    // commit would lose them
+    if (!fs.exists(new Path(stageDir, "_SUCCESS"))) {
+      ingestBatch(batch, readStore(spark, storeDir))
+        .drop("fp")
+        .write.mode("overwrite").parquet(stageDir.toString)
+    }
+    // explicit schema: an empty stage directory (all-duplicate batch)
+    // has no part files to infer from
+    val staged = spark.read.schema(batch.schema).parquet(stageDir.toString)
+    appendToStore(spark, storeDir,
+      staged.select(TextStats.fingerprint(col("text")).as("fp")),
+      storeBuckets)
+    fs.mkdirs(corpusQ)
+    require(fs.rename(stageDir, commitDir),
+      s"ingest commit failed: could not rename $stageDir to $commitDir")
+    // the rename is a RAW FileSystem mutation — unlike a Spark write it
+    // bypasses the session's metadata/cache invalidation, so without
+    // this refresh a same-session reader of the corpus (the per-batch
+    // manifest recompute in StreamShards, or anything that cached a
+    // scan of it) keeps serving the pre-commit file listing
+    spark.catalog.refreshByPath(corpusDir)
     ()
   }
 
@@ -359,14 +417,9 @@ object Ingest {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val survivors = ingestBatch(batch, readStore(s, storeDir))
-          .localCheckpoint() // both writes below consume it once
-        survivors.drop("fp")
-          .write.mode("append").parquet(corpusDir)
-        appendToStore(s, storeDir, survivors.select("fp"), storeBuckets)
-        ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyIngestBatch(batch.sparkSession, batch, id, corpusDir,
+          storeDir, storeBuckets)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -60,14 +60,13 @@ object StreamShards {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
-        val survivors = Ingest
-          .ingestBatch(batch, Ingest.readStore(s, storeDir))
-          .localCheckpoint() // both writes below consume it once
-        survivors.drop("fp")
-          .write.mode("append").parquet(corpusDir)
-        Ingest.appendToStore(s, storeDir, survivors.select("fp"),
+        // exactly-once corpus + store update (stage → fp append →
+        // atomic commit rename; see Ingest.applyIngestBatch) — a
+        // re-delivered batch can no longer double-append survivors
+        // into the corpus the manifest packs
+        Ingest.applyIngestBatch(s, batch, id, corpusDir, storeDir,
           storeBuckets)
         // derived state, always recomputable — safe to refresh last
         // (a crash before this write just leaves the previous

@@ -95,6 +95,54 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     docs.unpersist()
   }
 
+  test("applyIngestBatch is exactly-once: re-delivery no-ops, and a " +
+    "crash between fp append and commit neither loses nor duplicates " +
+    "the batch") {
+    val base = Files.createTempDirectory("graft-ingest-once").toString
+    val (corpus, store) = (s"$base/corpus", s"$base/store")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").cache()
+    val b0 = docs.where(col("doc_id") < 200)
+    val b1 = docs.where(col("doc_id") >= 200 && col("doc_id") < 400)
+    Ingest.applyIngestBatch(spark, b0, 0L, corpus, store)
+    val after0 = spark.read.schema(b0.schema).parquet(corpus).count()
+    assert(after0 === b0.withColumn("fp", TextStats.fingerprint(col("text")))
+      .select("fp").distinct().count())
+
+    // plain re-delivery of a COMMITTED batch: full no-op
+    Ingest.applyIngestBatch(spark, b0, 0L, corpus, store)
+    assert(spark.read.schema(b0.schema).parquet(corpus).count() === after0)
+
+    // the old bug's window, simulated: batch 1 is staged and its fps
+    // reach the store, but the commit rename never happens (crash).
+    // On re-delivery the survivors must still land in the corpus —
+    // once — even though the anti-join against the store would now
+    // discard every one of them.
+    val survivors1 = Ingest.ingestBatch(b1, Ingest.readStore(spark, store))
+      .localCheckpoint()
+    val stage = new org.apache.hadoop.fs.Path(s"$base/corpus.staging/1")
+    survivors1.drop("fp")
+      .write.mode("overwrite").parquet(stage.toString)
+    Ingest.appendToStore(spark, store, survivors1.select("fp"))
+    // re-delivery after the simulated crash
+    Ingest.applyIngestBatch(spark, b1, 1L, corpus, store)
+    val got = spark.read.schema(b1.schema).parquet(corpus)
+    val expected = after0 + survivors1.count()
+    assert(got.count() === expected,
+      "batch lost or duplicated across the fp-append/commit window")
+    // survivors appear exactly once (no doc_id twice)
+    assert(got.select("doc_id").distinct().count() === got.count())
+    // and a further re-delivery is a no-op
+    Ingest.applyIngestBatch(spark, b1, 1L, corpus, store)
+    assert(spark.read.schema(b1.schema).parquet(corpus).count() === expected)
+    // the store may hold duplicate fps from the retried append — a
+    // set, compacted clean
+    Ingest.compactStore(spark, store)
+    val fps = spark.read.parquet(store)
+    assert(fps.count() === fps.distinct().count())
+    docs.unpersist()
+  }
+
   test("bucketed fp store: anti-join shuffles only the batch side; " +
     "compaction keeps content and bucketing") {
     val base = Files.createTempDirectory("graft-store").toString
