@@ -126,6 +126,11 @@ object SparkEntry {
     // probe, bit-identical to the flat path → same oracle
     "q_bm25_appended" -> ((s: SparkSession, d: String) =>
       graft.ops.Terms.bm25AppendedTopKQuery(s, d)),
+    // textbook (Lucene log-idf) Okapi variant — transcendental, so
+    // rows-only here; rank agreement with the oracled rational form
+    // is spec-asserted (exact on single-term queries)
+    "q_bm25_topk_logidf" -> ((s: SparkSession, d: String) =>
+      graft.ops.Terms.bm25TopKLogIdf(s, d)),
     // data mixing: sampling / split / leakage
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.stratifiedSample(s, d)),

@@ -111,13 +111,26 @@ object Terms {
   /** The integer-cleared score of the doc above, over columns
     * (n, s, df, tf, dl) — exact DECIMAL(38,0) products, one IEEE
     * double division. */
-  private val bm25ScoreExpr =
+  private[graft] val bm25ScoreExpr =
     """CAST((2 * CAST(n AS DECIMAL(38,0)) - 2 * df + 1) * 22
             * CAST(s AS DECIMAL(38,0)) * tf AS DOUBLE)
        / CAST((2 * CAST(df AS DECIMAL(38,0)) + 1)
             * (10 * CAST(s AS DECIMAL(38,0)) * tf
                + 3 * CAST(s AS DECIMAL(38,0))
                + 9 * CAST(n AS DECIMAL(38,0)) * dl) AS DOUBLE)"""
+
+  /** Log-idf Okapi score over the same columns: Lucene's
+    * `ln(1 + (N − df + ½)/(df + ½))` idf × the k1=1.2, b=0.75 tf-norm
+    * (avgdl = s/n, so dl/avgdl = dl·n/s). The +1 keeps the idf
+    * positive for df > N/2 — the raw Robertson log goes NEGATIVE for
+    * majority terms and actively reverses their rankings, which is
+    * why every production BM25 ships the guarded form. One ln per
+    * (query, term, doc) — not cross-engine bit-exact, hence the
+    * non-oracled variant. */
+  private[graft] val bm25LogIdfScoreExpr =
+    """ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+       * (tf * 2.2)
+       / (tf + 1.2 * (0.25 + 0.75 * dl * CAST(n AS DOUBLE) / s))"""
 
   /** The gate's corpus-derived query set: document-frequency ranks
     * 11-20 of `dfreq`, paired into five 2-term queries. Top-20 terms
@@ -143,23 +156,48 @@ object Terms {
       .select("query_id", "doc_id", "score", "rank")
   }
 
-  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** The shared flat-retrieval pipeline: corpus-derived query set
+    * joined onto the tf stream with df/dl/stats attached, scored by
+    * `scoreExpr` over (n, s, df, tf, dl), ranked per query. Both idf
+    * variants are this plan with a different one-line score. */
+  private[graft] def bm25TopKWith(spark: SparkSession, dir: String, k: Int,
+      scoreExpr: String, queriesIn: Option[DataFrame] = None): DataFrame = {
     val tf = termFrequencies(Tables.documents(spark, dir))
       .localCheckpoint() // reused 3× (dl, df, scoring scan): one pass
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("long").as("n"),
       sum("dl").cast("long").as("s"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val queries = dfRankQueries(dfreq)
+    val queries = queriesIn.getOrElse(dfRankQueries(dfreq))
     val scored = broadcast(queries)
       .join(tf, "term")
       .join(broadcast(dfreq.join(broadcast(queries), "term")
         .select("term", "df")), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"), expr(bm25ScoreExpr).as("sc"))
+      .select(col("query_id"), col("doc_id"), expr(scoreExpr).as("sc"))
     rankTopK(scored, k)
   }
+
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25TopKWith(spark, dir, k, bm25ScoreExpr)
+
+  /** Textbook log-idf Okapi BM25 — the same pipeline as [[bm25TopK]]
+    * with the Lucene-guarded Robertson idf
+    * `ln(1 + (N − df + ½)/(df + ½))` instead of the shipped log-free
+    * rational form. PER TERM the two are rank-equivalent (x ↦ ln(1+x)
+    * is a positive monotone map of the rational idf), so single-term
+    * queries return IDENTICAL rankings unconditionally; over a
+    * multi-term SUM they can diverge when the terms' df magnitudes
+    * differ sharply, because ln compresses the idf spread. Users who
+    * expect textbook Okapi ranks should use this form; it is not
+    * hash-oracled (transcendentals are not bit-exact across engines —
+    * the reason the rational form is the default), but OpsSpec
+    * asserts exact rank agreement with [[bm25TopK]] on single-term
+    * queries and bounds the divergence on the multi-term gate set. */
+  def bm25TopKLogIdf(spark: SparkSession, dir: String, k: Int = 10)
+      : DataFrame =
+    bm25TopKWith(spark, dir, k, bm25LogIdfScoreExpr)
 
   /** Persist a term-partitioned BM25 index — the search-engine analog
     * of the IVF-PQ layout (`graft.ops.Quantize`): posting lists live

@@ -660,6 +660,47 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       assert(math.abs(g._3 - e._3) < 1e-12, s"score drift: $g vs $e") }
   }
 
+  test("log-idf BM25 variant: exact rank agreement on single-term " +
+    "queries; high top-k overlap on the multi-term gate set") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // ten single-term queries = the gate's query terms, one per query:
+    // per term the two idfs are positive monotone rescalings of the
+    // same tf-norm, so ranks MUST be identical
+    val dfreq = graft.ops.Terms
+      .termFrequencies(graft.core.Tables.documents(spark, sf))
+      .groupBy("term").agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("df"))
+    val singles = graft.ops.Terms.dfRankQueries(dfreq)
+      .withColumn("query_id",
+        (col("query_id") * 2 +
+          org.apache.spark.sql.functions
+            .row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id").orderBy("term")) - 1).cast("int"))
+    def ranks(scoreExpr: String, qs: Option[org.apache.spark.sql.DataFrame]) =
+      graft.ops.Terms.bm25TopKWith(spark, sf, 10, scoreExpr, qs)
+        .select("query_id", "doc_id", "rank")
+        .as[(Int, Long, Int)].collect().toSet
+    val qs = Some(singles.localCheckpoint())
+    assert(ranks(graft.ops.Terms.bm25ScoreExpr, qs) ===
+      ranks(graft.ops.Terms.bm25LogIdfScoreExpr, qs),
+      "single-term rankings must be identical across idf variants")
+
+    // multi-term gate queries: ln compresses the idf spread, so exact
+    // equality is NOT guaranteed — assert the top-10 SETS stay close
+    // (≥ 8/10 per query), which is the user-facing promise README makes
+    val ratTop = graft.ops.Terms.bm25TopK(spark, sf)
+      .select("query_id", "doc_id").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val logTop = graft.ops.Terms.bm25TopKLogIdf(spark, sf)
+      .select("query_id", "doc_id").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ratTop.keySet === logTop.keySet)
+    ratTop.foreach { case (q, ids) =>
+      val overlap = (ids & logTop(q)).size
+      assert(overlap >= 8, s"query $q: top-10 overlap $overlap < 8")
+    }
+  }
+
   test("persisted BM25 index: pruned probe equals the flat path exactly") {
     val flat = graft.ops.Terms.bm25TopK(spark, sf).collect()
       .map(_.toSeq).sortBy(_.toString).toSeq
