@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Components, Similarity}
+
+/** SemDeDup scale attribution up to 1M vectors — the follow-up to the
+  * r7 finding that the k-means BUILD term was the 200k bottleneck:
+  * with the build solved (54.8 s), the next superlinear candidates
+  * are (a) identical-vector cliques in the within-cell pair join
+  * (m copies of one vector are m²/2 pairs in every probed cell) and
+  * (b) the Θ(n^1.5) candidate volume itself once n hits 10⁶. This
+  * harness times each stage of [[Similarity.semanticDedupClusters]]
+  * separately and prints pair VOLUMES, over two corpus shapes:
+  *
+  *  - `dup`: plain replication — every vector has m exact copies,
+  *    the worst-case clique input that the exact-duplicate collapse
+  *    must neutralize (post-collapse the rep corpus is the 2k base).
+  *  - `flip`: seeded sign-flip replication — each copy's embedding
+  *    has a per-rep deterministic sign pattern applied, which
+  *    preserves the norm but decorrelates copies, so the corpus has
+  *    n DISTINCT vectors and the collapse is an honest no-op. This
+  *    is the shape that exercises true n-scale: cells ≈ 4√n,
+  *    occupancy ≈ √n·nprobe/4, pair volume Θ(n^1.5).
+  *
+  * Run: `sbt "runMain graft.StressSem [dup|flip:mult ...]"`
+  * (default: dup:100 flip:100 flip:500 = the r7 200k worst case,
+  * the comparable 200k distinct case, and the 1M target).
+  */
+object StressSem {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val cases = (if (args.nonEmpty) args.toSeq
+      else Seq("dup:100", "flip:100", "flip:500"))
+      .map { c => val Array(s, m) = c.split(":"); (s, m.toInt) }
+
+    def t[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stresssem] $l ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    for ((style, m) <- cases) {
+      val out = s"/tmp/stresssem_${style}_x$m"
+      val n = 2000L * m
+      println(s"[stresssem] ===== $style x$m = ${n / 1000}k vectors =====")
+      val base = graft.core.Tables.embeddings(spark, dir)
+        .crossJoin(spark.range(m).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
+      val replicated =
+        if (style == "dup") base.drop("rep")
+        else base.withColumn("embedding",
+            // per-rep sign pattern from xxhash64(rep): norm-preserving,
+            // deterministic, distinct w.h.p. across reps — distinct
+            // VECTORS at full n, near-dup structure not inflated
+            expr("""transform(embedding, (x, i) ->
+                     IF((shiftright(xxhash64(rep), pmod(i, 63)) & 1) = 1,
+                        -x, x))"""))
+          .drop("rep")
+      t(f"build ${n / 1000}%4dk embeds ")(replicated
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet"))
+
+      // the stages of semanticDedupClusters, timed separately (same
+      // defaults: tau=0.4, nprobe=4, auto cells, 2 Lloyd rounds)
+      val corpusAll = Similarity.normalized(spark, out).cache()
+      t("normalize + count  ")(corpusAll.count())
+      val (corpus, stars) = t("exact collapse     ") {
+        val reps = corpusAll.groupBy("vec").agg(min("vec_id").as("rep_id"))
+        val c = corpusAll.join(reps.select(col("rep_id").as("vec_id")),
+          Seq("vec_id"), "left_semi").localCheckpoint()
+        val st = corpusAll.select(col("vec_id"), col("vec"))
+          .join(reps, "vec")
+          .where(col("vec_id") =!= col("rep_id"))
+          .select(col("rep_id").as("src"), col("vec_id").as("dst"))
+          .localCheckpoint()
+        (c, st)
+      }
+      val count = corpus.count()
+      println(s"[stresssem] distinct vectors   $count")
+      val k = math.min(4096, math.max(16,
+        (4 * math.sqrt(count.toDouble)).toLong)).toInt
+      val cents = t(s"centroids k=$k ")(
+        Similarity.ivfCentroidsDf(corpus, k, iters = 2).localCheckpoint())
+      val buckets = t("assign 2level      ")(
+        (if (k >= 512) Similarity.assignCellsTwoLevel(corpus, cents, 4)
+         else Similarity.assignCells(corpus, cents, 4))
+          .localCheckpoint())
+      // pair verification INSIDE the cell join (the shipped shape):
+      // vectors ride one cell-keyed exchange, each pair's dot runs
+      // exactly once, at its smallest shared probe cell
+      val pairs = t("pair verify in-join") {
+        val probes = buckets.groupBy("vec_id")
+          .agg(sort_array(collect_list(col("cell"))).as("cells"))
+          .join(corpus.select("vec_id", "vec"), "vec_id")
+        val sided = probes.select(col("vec_id"), col("vec"), col("cells"),
+          explode(col("cells")).as("cell"))
+        sided.as("a")
+          .join(sided.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .where(col("a.cell") ===
+              array_min(array_intersect(col("a.cells"), col("b.cells"))) &&
+            graft.functions.VectorFunctions
+              .dot(col("a.vec"), col("b.vec")) >= 0.4)
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+          .localCheckpoint()
+      }
+      println(s"[stresssem] verified pairs     ${pairs.count()}")
+      t("connected comps    ")(
+        Components.connectedComponents(
+            corpusAll.select(col("vec_id").as("node")),
+            pairs.unionByName(stars))
+          .write.mode("overwrite").format("noop").save())
+      corpusAll.unpersist()
+
+      // the composed flow end to end — the number SCALE.md quotes
+      t("FULL semantic dedup")(
+        Similarity.semanticDedupClusters(spark, out)
+          .write.mode("overwrite").format("noop").save())
+    }
+    spark.stop()
+  }
+}

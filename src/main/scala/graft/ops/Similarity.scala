@@ -459,19 +459,50 @@ object Similarity {
     * assignment term down again; the single-level shape here is the
     * right default below that.
     *
-    * Shuffle discipline: the bucket self-join and the candidate
-    * distinct move ids only; vectors re-attach afterwards with the
-    * strategy left to AQE, then id-only pairs feed CC. Cross-cell
-    * near-dup pairs are missed by construction (that is the
-    * recall/cost trade; nprobe buys recall — measured 1.0 at
-    * nprobe=4); recall and pair precision vs the exact-pair clustering
-    * are asserted in PipelineOpsSpec. Rows-only at the driver gate:
-    * centroid averaging is float arithmetic, not bit-portable across
-    * engines. */
+    * Shuffle discipline: identical vectors collapse to one
+    * representative BEFORE candidate generation (see the inline
+    * comment — the m²-per-clique fix, output-invariant), and
+    * verification runs INSIDE the cell self-join: each vector rides
+    * the one cell-keyed exchange nprobe times carrying its probe-cell
+    * set, each pair's dot computes exactly once (at the smallest
+    * shared probe cell), and only verified id pairs come out — no
+    * candidate materialization, no distinct, which is what survives
+    * the Θ(n^1.5) candidate volume at 10⁶+ vectors (measured at 1M,
+    * SCALE.md). Cross-cell near-dup pairs are missed by construction
+    * (that is the recall/cost trade; nprobe buys recall — measured
+    * 1.0 at nprobe=4); recall and pair precision vs the exact-pair
+    * clustering are asserted in PipelineOpsSpec. Rows-only at the
+    * driver gate: centroid averaging is float arithmetic, not
+    * bit-portable across engines. */
   def semanticDedupClusters(spark: SparkSession, dir: String,
       tau: Double = 0.4, cells: Int = 0, nprobe: Int = 4,
       twoLevelFrom: Int = 512): DataFrame = {
-    val corpus = normalized(spark, dir).cache()
+    val corpusAll = normalized(spark, dir).cache()
+    // exact-duplicate collapse before candidate generation — the
+    // [[Components.collapseExact]] discipline applied to VECTORS.
+    // Identical embeddings (the same content embedded twice — routine
+    // at corpus scale) are cosine-1 pairs, always ≥ tau, so every
+    // member of an identical-vector group belongs to its
+    // representative's cluster and every neighbor decision for a
+    // member is the same pure function of the two vectors as for the
+    // rep: clustering reps only and adding rep→member star edges is
+    // output-invariant. Without it the within-cell candidate join is
+    // quadratic per clique — m copies of one vector contribute m²/2
+    // pairs in EVERY probed cell (measured: the m² term dominated the
+    // 1M-vector stress before this collapse, see SCALE.md). Grouping
+    // is by the vector VALUE (collision-proof, one (vec, id) shuffle
+    // of the same volume the normalize pass already moves); at 10⁹
+    // vectors swap the key for a 128-bit content hash.
+    val reps = corpusAll.groupBy("vec")
+      .agg(min("vec_id").as("rep_id"))
+    val corpus = corpusAll.join(
+        reps.select(col("rep_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .cache()
+    val stars = corpusAll.select(col("vec_id"), col("vec"))
+      .join(reps, "vec")
+      .where(col("vec_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("vec_id").as("dst"))
     val k =
       if (cells > 0) cells
       else math.min(4096, math.max(16,
@@ -482,10 +513,7 @@ object Similarity {
     // 1.0 (PipelineOpsSpec), and the build saves 3 assignment rounds
     val cents = ivfCentroidsDf(corpus, k, iters = 2).localCheckpoint()
     // multi-probe candidates: each vector lists its nprobe nearest
-    // cells; a pair is a candidate if the probe sets intersect. The
-    // bucket self-join and the distinct move ids only (the
-    // lshNearDupPairs shuffle discipline); vectors re-attach after,
-    // strategy left to AQE.
+    // cells; a pair is a candidate if the probe sets intersect.
     // past ~512 cells the single-level n·k assignment term dominates;
     // switch to the two-level probe (recall-neutral at the default
     // coarseProbe, measured at the 20× stress — see SCALE.md). The
@@ -495,27 +523,44 @@ object Similarity {
         assignCellsTwoLevel(corpus, cents, nprobe)
       else assignCells(corpus, cents, nprobe))
       .localCheckpoint()
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
+    // Verify INSIDE the cell join, exactly once per pair — the shape
+    // that survives the Θ(n^1.5) candidate volume. Materializing
+    // candidate ids first (the old shape: self-join → distinct →
+    // re-attach both vectors by id) moves every candidate through a
+    // distinct exchange and then ships TWO full vectors per surviving
+    // candidate row through id-keyed joins — at 10⁶ vectors that is
+    // ~2·10⁹ pair rows and terabytes of vector traffic. Here each
+    // vector rides the ONE cell-keyed exchange (nprobe copies of
+    // (vec, probe-set)), the dot product runs inside the join, and
+    // only pairs ≥ tau come out. The probe-set column (nprobe ints)
+    // makes each pair verify at its SMALLEST shared cell only, so no
+    // distinct is needed and no dot is computed twice.
+    val probes = buckets.groupBy("vec_id")
+      .agg(sort_array(collect_list(col("cell"))).as("cells"))
+      .join(corpus.select("vec_id", "vec"), "vec_id")
+    val sided = probes.select(col("vec_id"), col("vec"), col("cells"),
+      explode(col("cells")).as("cell"))
+    val pairs = sided.as("a")
+      .join(sided.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    val pairs = candidates
-      .join(corpus.select(col("vec_id").as("vec_a"),
-        col("vec").as("va")), "vec_a")
-      .join(corpus.select(col("vec_id").as("vec_b"),
-        col("vec").as("vb")), "vec_b")
-      .where(dot(col("va"), col("vb")) >= tau)
-      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .where(col("a.cell") ===
+          array_min(array_intersect(col("a.cells"), col("b.cells"))) &&
+        dot(col("a.vec"), col("b.vec")) >= tau)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    // every vector is a node; duplicate members connect through their
+    // rep's star edge, so component labels (min reachable id) — hence
+    // survivor sets — are what the uncollapsed flow would produce
     val clusters = Components.connectedComponents(
-        corpus.select(col("vec_id").as("node")), pairs)
+        corpusAll.select(col("vec_id").as("node")),
+        pairs.unionByName(stars))
       .select(col("node").as("vec_id"), col("component").as("cluster"))
     // connectedComponents ran its driver loop above and checkpointed
-    // every round, so nothing downstream reads the corpus cache — drop
-    // it here rather than letting cached vector partitions pile up
-    // across calls in a long-lived session
+    // every round, so nothing downstream reads the corpus caches —
+    // drop them here rather than letting cached vector partitions
+    // pile up across calls in a long-lived session
     corpus.unpersist()
+    corpusAll.unpersist()
     clusters
   }
 

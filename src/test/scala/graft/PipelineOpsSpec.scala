@@ -191,6 +191,33 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(surv === sem.values.toSet.size)
   }
 
+  test("exact-duplicate vector collapse is output-invariant: a " +
+    "corpus with replicated embeddings clusters every copy with its " +
+    "base vector's cluster") {
+    // 3 exact copies of every embedding, ids offset so rep-0 keeps the
+    // base id (the collapse representative) — the worst-case clique
+    // input the collapse exists for
+    val base = Similarity.semanticDedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semdup").toString
+    graft.core.Tables.embeddings(spark, sf)
+      .crossJoin(spark.range(3).toDF("rep"))
+      .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
+      .drop("rep")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val dup = Similarity.semanticDedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup.size === base.size * 3)
+    // every copy lands in its base vector's cluster: copies connect to
+    // their rep via star edges, reps reproduce the base clustering
+    // (same representative ids, same centroids, same verified pairs)
+    dup.foreach { case (id, cluster) =>
+      assert(cluster === base(id % 1000000000L),
+        s"copy $id clustered to $cluster, base expects ${base(id % 1000000000L)}")
+    }
+  }
+
   test("two-level cell assignment with full coarse probe is EXACTLY " +
     "single-level assignment") {
     val corpus = Similarity.normalized(spark, sf)
