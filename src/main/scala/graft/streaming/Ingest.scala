@@ -99,16 +99,16 @@ object Ingest {
     s"graft_fp_store_$md5"
   }
 
-  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+  private[streaming] def fileSystem(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Scheme-qualified absolute form of `dir` — the canonical identity
     * of the store (relative paths and scheme-less spellings collapse
     * to the same table name). */
-  private def qualified(spark: SparkSession, dir: String): Path =
+  private[streaming] def qualified(spark: SparkSession, dir: String): Path =
     fileSystem(spark, dir).makeQualified(new Path(dir))
 
-  private def pathExists(spark: SparkSession, dir: String): Boolean =
+  private[streaming] def pathExists(spark: SparkSession, dir: String): Boolean =
     fileSystem(spark, dir).exists(new Path(dir))
 
   private def swapSiblings(spark: SparkSession, storeDir: String): (Path, Path) = {

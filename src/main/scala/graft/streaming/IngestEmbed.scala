@@ -1,0 +1,187 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.VectorFunctions.{dot, normalize, toDoubleVec}
+import graft.ops.{Components, Similarity}
+
+/** Continuous EMBEDDING ingest with online semantic dedup — the
+  * vector analogue of [[Ingest]]'s text flow, completing the
+  * streaming story across the stack (text dedup: [[Ingest]];
+  * training shards: [[StreamShards]]; BM25 index: [[StreamIndex]];
+  * embeddings: here). The steady-state 100 TB shape: embeddings
+  * arrive in micro-batches, each batch is semantically deduped
+  * against the KEPT history through a persisted cell-partitioned
+  * vector index — never a rescan of history vectors outside the
+  * probed cells — and survivors append to both the kept corpus and
+  * the index.
+  *
+  * Online semantics (documented, deterministic, spec-tested):
+  *  1. vs HISTORY — a batch vector matching any kept historical
+  *     vector at cosine ≥ tau (within its nprobe probed cells) is
+  *     dropped. Exact duplicates are cosine-1, so re-delivered
+  *     CONTENT always dies here.
+  *  2. WITHIN BATCH — the remainder is clustered batch-locally
+  *     (the [[Similarity.semanticDedupClusters]] cell-bucketed
+  *     pair verify + connected components, against the FROZEN
+  *     centroids) and one survivor (min vec_id) is kept per
+  *     cluster.
+  * This is ONLINE dedup, not a recompute of the one-shot batch
+  * clustering: a chain a–b–c where b arrived (and was dropped)
+  * earlier does not merge a and c later — first-arrival semantics,
+  * the same trade every streaming dedup makes ([[Ingest]]'s
+  * fp store keeps first arrivals too).
+  *
+  * Index layout under `workDir/vindex`: `centroids/` — the frozen
+  * (cid, cvec) table, trained ONCE on the first batch's vectors
+  * (bounded [[Similarity.hashSample]]; drift is a periodic-rebuild
+  * concern, the FAISS operational model, exactly as
+  * `Quantize.appendToIvfPqIndex` documents); `data/cell=C/batch=N/`
+  * — kept NORMALIZED vectors in their nearest frozen cell,
+  * per-batch partitions written with dynamic overwrite so
+  * re-applying a batch REPLACES its contribution (the
+  * `appendToBm25Index` idempotence-by-layout move). Probes prune to
+  * the batch's cells at the directory level; probe cost scales with
+  * occupancy of the probed cells, not history size.
+  *
+  * Batch-boundary semantics: EXACTLY-ONCE via the
+  * [[Ingest.applyIngestBatch]] stage-then-commit discipline — stage
+  * survivors (a complete stage is authoritative: survivors are
+  * never recomputed once the index may hold any of this batch's
+  * vectors, or the history probe would drop them and the commit
+  * would lose the batch), append the index under batch=N (dynamic
+  * overwrite ⇒ re-delivery replaces, never double-counts), then
+  * commit by one atomic rename into `ingest_batch=N`, followed by a
+  * metadata-cache refresh (the rename bypasses Spark's own write
+  * invalidation). */
+object IngestEmbed {
+
+  private def corpusPath(workDir: String) = s"$workDir/embeddings.parquet"
+  private def centsPath(workDir: String) = s"$workDir/vindex/centroids"
+  private def dataPath(workDir: String) = s"$workDir/vindex/data"
+
+  /** (vec_id, vec) with unit-normalized double vectors, from any
+    * frame with an `embedding: array<float>` column. */
+  def normalizedFor(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"),
+      normalize(toDoubleVec(col("embedding"))).as("vec"))
+
+  /** Apply one embedding micro-batch exactly-once (see class doc). */
+  def applyEmbedBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, workDir: String, tau: Double = 0.4,
+      nprobe: Int = 4): Unit = {
+    val corpusQ = Ingest.qualified(spark, corpusPath(workDir))
+    val fs = Ingest.fileSystem(spark, workDir)
+    val commitDir = new Path(corpusQ, s"ingest_batch=$batchId")
+    if (fs.exists(commitDir)) return // fully applied earlier
+    val stageDir = new Path(
+      new Path(corpusQ.getParent, corpusQ.getName + ".staging"),
+      batchId.toString)
+
+    if (!fs.exists(new Path(stageDir, "_SUCCESS"))) {
+      val vecs = normalizedFor(batch).localCheckpoint()
+      // frozen centroids: trained on the FIRST batch (overwrite ⇒ a
+      // re-delivered first batch retrains identically — the build is
+      // deterministic), read back for every later one
+      if (!Ingest.pathExists(spark, centsPath(workDir))) {
+        val k = math.min(4096, math.max(16,
+          (nprobe * math.sqrt(vecs.count().toDouble)).toLong)).toInt
+        Similarity.ivfCentroidsDf(vecs, k, iters = 2)
+          .write.mode("overwrite").parquet(centsPath(workDir))
+      }
+      val cents = spark.read.parquet(centsPath(workDir)).localCheckpoint()
+      val assigned = Similarity.assignCells(vecs, cents, nprobe)
+        .localCheckpoint()
+
+      // 1. vs history: any kept vector at cosine ≥ tau in a probed
+      //    cell kills the batch vector. Probe cells are a bounded
+      //    driver list (≤ cell count) → directory-level pruning, the
+      //    ivfTopKIndexed pattern.
+      val fresh =
+        if (Ingest.pathExists(spark, dataPath(workDir))) {
+          val probeCells = assigned.select("cell").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val hist = spark.read.parquet(dataPath(workDir))
+            .where(col("cell").isin(probeCells: _*))
+            .select(col("cell"), col("vec").as("hvec"))
+          val dropped = assigned
+            .join(vecs, "vec_id")
+            .join(hist, "cell")
+            .where(dot(col("vec"), col("hvec")) >= tau)
+            .select("vec_id").distinct()
+          vecs.join(dropped, Seq("vec_id"), "left_anti")
+        } else vecs
+
+      // 2. within batch: cell-bucketed pair verify (each pair once,
+      //    at its smallest shared probe cell) + CC, min-id survivor
+      val freshAssigned = assigned
+        .join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
+      val sided = freshAssigned.groupBy("vec_id")
+        .agg(sort_array(collect_list(col("cell"))).as("cells"))
+        .join(fresh, "vec_id")
+        .select(col("vec_id"), col("vec"), col("cells"),
+          explode(col("cells")).as("cell"))
+      val pairs = sided.as("a")
+        .join(sided.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .where(col("a.cell") ===
+            array_min(array_intersect(col("a.cells"), col("b.cells"))) &&
+          dot(col("a.vec"), col("b.vec")) >= tau)
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      val survivors = Components.connectedComponents(
+          fresh.select(col("vec_id").as("node")), pairs)
+        .groupBy("component").agg(min("node").as("vec_id"))
+        .select("vec_id")
+      batch.join(survivors, Seq("vec_id"), "left_semi")
+        .write.mode("overwrite").parquet(stageDir.toString)
+    }
+
+    // index append AFTER the stage is complete, BEFORE the commit:
+    // batch=N dynamic overwrite makes a re-applied id replace (not
+    // double-count) its earlier, possibly torn, contribution
+    val staged = spark.read.schema(batch.schema)
+      .parquet(stageDir.toString)
+    val cents = spark.read.parquet(centsPath(workDir)).localCheckpoint()
+    Similarity.assignCells(normalizedFor(staged), cents, nprobe = 1)
+      .join(normalizedFor(staged), "vec_id")
+      .withColumn("batch", lit(batchId))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(dataPath(workDir))
+
+    fs.mkdirs(corpusQ)
+    require(fs.rename(stageDir, commitDir),
+      s"embed ingest commit failed: could not rename $stageDir to $commitDir")
+    spark.catalog.refreshByPath(corpusPath(workDir))
+    ()
+  }
+
+  /** Drive the embedding ingest over every file currently in
+    * `srcDir` (resuming from the checkpoint), one micro-batch per
+    * file so cross-batch dedup is exercised. */
+  def runIngestEmbeddings(spark: SparkSession, srcDir: String,
+      schema: StructType, workDir: String, tau: Double = 0.4,
+      nprobe: Int = 4): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyEmbedBatch(batch.sparkSession, batch, id, workDir,
+          tau = tau, nprobe = nprobe)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The kept (semantically deduped) embedding corpus. */
+  def keptEmbeddings(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(corpusPath(workDir))
+}

@@ -303,4 +303,74 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       s"compaction left multi-file buckets: ${perBucket.max}")
     docs.unpersist()
   }
+
+  test("streaming embedding ingest: stream ≡ sequential batch " +
+    "application, re-delivered content keeps nothing, re-runs and " +
+    "re-applied ids are no-ops") {
+    val base = Files.createTempDirectory("graft-embed-ingest").toString
+    val (src, work) = (s"$base/src", s"$base/work")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val em = Tables.embeddings(spark, sf).cache()
+    def dropChunk(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    val n = em.count()
+    dropChunk("b1", em.where(col("vec_id") < n / 3))
+    dropChunk("b2", em.where(col("vec_id") >= n / 3 && col("vec_id") < 2 * n / 3))
+    dropChunk("b3", em.where(col("vec_id") >= 2 * n / 3))
+
+    graft.streaming.IngestEmbed.runIngestEmbeddings(spark, src,
+      graft.core.Schemas.embeddings, work)
+    val kept = graft.streaming.IngestEmbed.keptEmbeddings(spark, work)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < n,
+      s"expected dedup to drop something: kept ${kept.size} of $n")
+
+    // twin: the SAME batches applied sequentially (no stream) must
+    // produce the identical kept set — the stream machinery adds
+    // nothing but checkpointing
+    val twin = s"$base/twin"
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark,
+      em.where(col("vec_id") < n / 3), 0L, twin)
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark,
+      em.where(col("vec_id") >= n / 3 && col("vec_id") < 2 * n / 3), 1L, twin)
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark,
+      em.where(col("vec_id") >= 2 * n / 3), 2L, twin)
+    val keptTwin = graft.streaming.IngestEmbed.keptEmbeddings(spark, twin)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === keptTwin, "stream diverged from sequential batches")
+
+    // re-applying a committed id is a full no-op
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark,
+      em.where(col("vec_id") < n / 3), 0L, twin)
+    assert(graft.streaming.IngestEmbed.keptEmbeddings(spark, twin)
+      .count() === keptTwin.size.toLong)
+
+    // checkpoint makes a re-run with no new files a no-op
+    graft.streaming.IngestEmbed.runIngestEmbeddings(spark, src,
+      graft.core.Schemas.embeddings, work)
+    assert(graft.streaming.IngestEmbed.keptEmbeddings(spark, work)
+      .count() === kept.size.toLong)
+
+    // re-delivered CONTENT (same vectors, new ids) is cosine-1 against
+    // kept history — the new batch keeps NOTHING
+    dropChunk("b4", em.where(col("vec_id") < n / 3)
+      .withColumn("vec_id", col("vec_id") + 1000000000L))
+    graft.streaming.IngestEmbed.runIngestEmbeddings(spark, src,
+      graft.core.Schemas.embeddings, work)
+    val keptAfter = graft.streaming.IngestEmbed.keptEmbeddings(spark, work)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptAfter === kept,
+      "re-delivered embedding content was not fully deduped")
+
+    // the index grew only with kept vectors, cell-partitioned
+    val idx = spark.read.parquet(s"$work/vindex/data")
+    assert(idx.count() === kept.size.toLong)
+    assert(idx.columns.contains("cell"))
+    em.unpersist()
+  }
 }
