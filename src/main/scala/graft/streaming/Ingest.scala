@@ -409,10 +409,17 @@ object Ingest {
     * from `checkpointDir`; one micro-batch per file so cross-batch
     * dedup is exercised). Appends survivors to `corpusDir` and their
     * fingerprints to the bucketed store at `storeDir` (created at
-    * `storeBuckets` on first run; must match thereafter). */
+    * `storeBuckets` on first run; must match thereafter).
+    * `compactEvery` > 0 folds the store's accumulated per-batch files
+    * back to one per bucket every that-many batches (the
+    * `StreamIndex.runIngestBm25` cadence discipline) — a long-running
+    * ingest otherwise grows one file per bucket per batch forever.
+    * Safe at any point: compaction is content-invariant (a distinct
+    * over a set) and runs AFTER the batch commits, so a crash inside
+    * it leaves a committed batch plus an uncompacted store. */
   def runIngest(spark: SparkSession, srcDir: String, schema: StructType,
       corpusDir: String, storeDir: String, checkpointDir: String,
-      storeBuckets: Int = 0): Unit = {
+      storeBuckets: Int = 0, compactEvery: Int = 0): Unit = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
@@ -420,6 +427,8 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyIngestBatch(batch.sparkSession, batch, id, corpusDir,
           storeDir, storeBuckets)
+        if (compactEvery > 0 && id % compactEvery == (compactEvery - 1))
+          compactStore(batch.sparkSession, storeDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()

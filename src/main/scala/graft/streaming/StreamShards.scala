@@ -50,10 +50,14 @@ object StreamShards {
   /** Drive ingest over every file currently in `srcDir` (resuming
     * from the checkpoint), then refresh the shard manifest after each
     * micro-batch. One micro-batch per file, as in [[Ingest.runIngest]],
-    * so cross-batch dedup is exercised. */
+    * so cross-batch dedup is exercised. `chunked = true` swaps the
+    * manifest recompute to [[Corpus.trainingShardsChunked]] — the
+    * boilerplate-removing chunk-grain pipeline — with identical
+    * streaming semantics (the manifest is derived state either way). */
   def runIngestShards(spark: SparkSession, srcDir: String,
       schema: StructType, workDir: String, seed: Int = 0,
-      budget: Long = 4096L, storeBuckets: Int = 0): Unit = {
+      budget: Long = 4096L, storeBuckets: Int = 0,
+      chunked: Boolean = false): Unit = {
     val corpusDir = s"$workDir/documents.parquet"
     val storeDir = s"$workDir/fp_store"
     val stream = spark.readStream.schema(schema)
@@ -71,7 +75,8 @@ object StreamShards {
         // derived state, always recomputable — safe to refresh last
         // (a crash before this write just leaves the previous
         // manifest, which the next batch's refresh supersedes)
-        Corpus.trainingShards(s, workDir, seed, budget)
+        (if (chunked) Corpus.trainingShardsChunked(s, workDir, seed, budget)
+         else Corpus.trainingShards(s, workDir, seed, budget))
           .write.mode("overwrite").parquet(s"$workDir/shards.parquet")
         ()
       }

@@ -95,6 +95,42 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     docs.unpersist()
   }
 
+  test("runIngest with an in-stream compaction cadence: results are " +
+    "identical to the uncompacted run and the store ends compact") {
+    val base = Files.createTempDirectory("graft-ingest-compact").toString
+    val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).cache()
+    val chunks = Seq(
+      docs.where(col("doc_id") < 170),
+      docs.where(col("doc_id") >= 170 && col("doc_id") < 340),
+      docs.where(col("doc_id") >= 340))
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.parquet(s"$src/b$i")
+      val dir = new java.io.File(s"$src/b$i")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/b$i.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    // compacted mid-stream (fold after batch 1) vs never compacted
+    Ingest.runIngest(spark, src, Schemas.documents, s"$base/corpusC",
+      s"$base/storeC", ckpt, storeBuckets = 4, compactEvery = 2)
+    Ingest.runIngest(spark, src, Schemas.documents, s"$base/corpusP",
+      s"$base/storeP", s"$base/ckpt2", storeBuckets = 4)
+    val cc = spark.read.schema(Schemas.documents).parquet(s"$base/corpusC")
+      .select("doc_id")
+    val cp = spark.read.schema(Schemas.documents).parquet(s"$base/corpusP")
+      .select("doc_id")
+    assert(cc.exceptAll(cp).count() === 0)
+    assert(cp.exceptAll(cc).count() === 0)
+    val fc = Ingest.readStore(spark, s"$base/storeC").collect()
+      .map(_.getString(0)).toSet
+    val fp2 = Ingest.readStore(spark, s"$base/storeP").collect()
+      .map(_.getString(0)).toSet
+    assert(fc === fp2, "compaction changed the fingerprint set")
+    docs.unpersist()
+  }
+
   test("applyIngestBatch is exactly-once: re-delivery no-ops, and a " +
     "crash between fp append and commit neither loses nor duplicates " +
     "the batch") {

@@ -304,6 +304,39 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     docs.unpersist()
   }
 
+  test("streaming training-shards with chunk-grain dedup: the chunked " +
+    "manifest matches the one-shot batch run") {
+    val base = Files.createTempDirectory("graft-stream-chunked").toString
+    val (src, work) = (s"$base/src", s"$base/work")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).cache()
+    def dropChunk(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    dropChunk("b1", docs.where(col("doc_id") < 250))
+    dropChunk("b2", docs.where(col("doc_id") >= 250))
+    graft.streaming.StreamShards.runIngestShards(spark, src,
+      graft.core.Schemas.documents, work, chunked = true)
+    val streamed = graft.streaming.StreamShards.currentShards(spark, work)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val batchWork = s"$base/batch"
+    graft.streaming.Ingest
+      .ingestBatch(docs, graft.streaming.Ingest.readStore(spark,
+        s"$base/nostore"))
+      .drop("fp")
+      .write.parquet(s"$batchWork/documents.parquet")
+    val expected = graft.ops.Corpus.trainingShardsChunked(spark, batchWork)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === expected,
+      "chunked streamed manifest diverged from the batch run")
+    docs.unpersist()
+  }
+
   test("streaming embedding ingest: stream ≡ sequential batch " +
     "application, re-delivered content keeps nothing, re-runs and " +
     "re-applied ids are no-ops") {
