@@ -126,6 +126,11 @@ object SparkEntry {
     // probe, bit-identical to the flat path → same oracle
     "q_bm25_appended" -> ((s: SparkSession, d: String) =>
       graft.ops.Terms.bm25AppendedTopKQuery(s, d)),
+    // the TAKEDOWN path gate: full build + tombstone delete + probe,
+    // bit-identical to a rebuild on the surviving corpus → the same
+    // oracle restricted to surviving documents
+    "q_bm25_deleted" -> ((s: SparkSession, d: String) =>
+      graft.ops.Terms.bm25DeletedTopKQuery(s, d)),
     // textbook (Lucene log-idf) Okapi variant — transcendental, so
     // rows-only here; rank agreement with the oracled rational form
     // is spec-asserted (exact on single-term queries)
@@ -206,6 +211,10 @@ object SparkEntry {
       graft.ops.Quantize.ivfPqIncrTopKQuery(s, d)),
     "q_ann_ivfpq_incr_recall" -> ((s: SparkSession, d: String) =>
       graft.ops.Quantize.ivfPqIncrRecall(s, d)),
+    // delete path: tombstoned vectors never surface, recall holds
+    // over the SURVIVING corpus — both asserted in one hash-gated row
+    "q_ann_ivfpq_deleted" -> ((s: SparkSession, d: String) =>
+      graft.ops.Quantize.ivfPqDeletedRecall(s, d)),
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
@@ -292,6 +301,7 @@ object SparkEntry {
     "q_bm25_topk" -> graft.ops.Terms.bm25TopKSql,
     "q_bm25_indexed" -> graft.ops.Terms.bm25TopKSql,
     "q_bm25_appended" -> graft.ops.Terms.bm25TopKSql,
+    "q_bm25_deleted" -> graft.ops.Terms.bm25DeletedTopKSql,
     "q_sample_stratified" -> graft.ops.Mix.stratifiedSampleSql,
     "q_train_test_split" -> graft.ops.Mix.trainTestSplitSql,
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,
@@ -315,6 +325,7 @@ object SparkEntry {
     "q_ann_pq_recall" -> graft.ops.Quantize.pqRecallSql,
     "q_ann_ivfpq_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_ann_ivfpq_incr_recall" -> graft.ops.Quantize.ivfPqRecallSql,
+    "q_ann_ivfpq_deleted" -> graft.ops.Quantize.ivfPqDeletedRecallSql,
     "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
     "q_training_shards_mixed" -> graft.ops.Corpus.trainingShardsMixedSql,
     "q_training_shards_chunked" -> graft.ops.Corpus.trainingShardsChunkedSql,

@@ -50,6 +50,12 @@ object Components {
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("component"))
       .localCheckpoint()
+    // superseded iterations release their blocks EAGERLY: without the
+    // explicit unpersist every round's full label table stays pinned
+    // in the block manager until GC+ContextCleaner catch up — at 24M
+    // edges that retention, not the working set, was the measured
+    // memory ceiling (SCALE.md, the 1M SemDeDup run)
+    var prevCkpt = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -79,9 +85,15 @@ object Components {
           col("old"))
         .localCheckpoint()
       changed = jumped.where(col("component") =!= col("old")).count()
+      // jumped is materialized (eager checkpoint) — the previous
+      // round's blocks are unreachable now; free them
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prevCkpt)
+      prevCkpt = jumped
       labels = jumped.select("node", "component")
       iter += 1
     }
+    // the symmetrized edge list is dead once the labels converge
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(sym)
     labels
   }
 

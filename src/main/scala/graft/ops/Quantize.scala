@@ -342,6 +342,77 @@ object Quantize {
       .parquet(s"$indexPath/data")
   }
 
+  /** The tombstone table of a persisted IVF-PQ index — vec_id rows
+    * under `deletes/` — or None when nothing was ever deleted (probes
+    * skip the anti-join entirely). Hadoop FileSystem API so remote
+    * index paths behave (the StreamIndex lesson). */
+  private def ivfPqDeletes(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Delete vectors from a persisted IVF-PQ index WITHOUT rewriting
+    * cells — the takedown path that completes the lifecycle (build →
+    * append → DELETE → compact), mirroring
+    * [[graft.ops.Terms.deleteFromBm25Index]]: the corpus-sized data
+    * table is untouched; the batch appends its ids to a tombstone
+    * table and every probe anti-joins its PROBED rows against the
+    * tombstone set — cost proportional to probed-cell occupancy,
+    * never the index. Unlike BM25 there are no corpus statistics to
+    * adjust (scoring is per-pair), so deletes here are idempotent by
+    * SEMANTICS alone: duplicate tombstones, re-delivered batches and
+    * deletes of unknown ids all resolve to the same anti-join set.
+    * [[compactIvfPqIndex]] folds tombstones into the physical layout
+    * and clears them. */
+  def deleteFromIvfPqIndex(spark: SparkSession, indexPath: String,
+      ids: DataFrame): Unit =
+    ids.select("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/deletes")
+
+  /** Compact a persisted IVF-PQ index: fold every cell back to one
+    * file (streamed [[appendToIvfPqIndex]] batches add a file per
+    * cell per batch — the probe prunes the same either way, but file
+    * COUNT is task/open/footer overhead) and fold tombstones into the
+    * physical layout ([[deleteFromIvfPqIndex]] rows are dropped from
+    * their cells, then the tombstone table is cleared). Durable
+    * two-rename swap with loud interrupted-swap detection (the
+    * [[graft.ops.Terms.compactBm25Index]] discipline). Crash ordering
+    * is safe: the tombstone clear runs LAST, so a crash after the
+    * data swap leaves redundant tombstones that probes anti-join
+    * against rows that no longer exist — a no-op. Centroids and
+    * codebooks are untouched: compaction never retrains. */
+  def compactIvfPqIndex(spark: SparkSession, indexPath: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val data = new org.apache.hadoop.fs.Path(s"$indexPath/data")
+    val fs = data.getFileSystem(conf)
+    val qual = fs.makeQualified(data)
+    val tmp = new org.apache.hadoop.fs.Path(
+      qual.getParent, qual.getName + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      qual.getParent, qual.getName + ".old")
+    require(!fs.exists(old),
+      s"compactIvfPqIndex: $old exists — a previous compaction swap was " +
+        "interrupted; recover (restore or delete the .old copy) by hand")
+    fs.delete(tmp, true)
+    val folded = ivfPqDeletes(spark, indexPath) match {
+      case Some(t) => spark.read.parquet(qual.toString)
+        .join(t.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      case None => spark.read.parquet(qual.toString)
+    }
+    folded.repartition(col("cell"))
+      .select(col("vec_id"), col("codes"), col("vec"), col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    require(fs.rename(qual, old),
+      s"compactIvfPqIndex: failed to move $qual aside")
+    require(fs.rename(tmp, qual),
+      s"compactIvfPqIndex: failed to move compacted data into place")
+    fs.delete(old, true)
+    val del = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    fs.delete(del, true)
+  }
+
   /** Query a persisted IVF-PQ index: probe each query's `nprobe` best
     * cells (centroids ride in as ONE broadcast array row — map-side
     * probe, no plan literals), ADC-score ONLY the probed cells' `codes`
@@ -389,7 +460,16 @@ object Quantize {
     // (the ivfTopKIndexed pattern); bounded by numQueries × nprobe
     val probeCells = queries.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val pruned = data.where(col("cell").isin(probeCells: _*))
+    val prunedRaw = data.where(col("cell").isin(probeCells: _*))
+    // tombstoned vectors drop out of BOTH the ADC pass and the rerank
+    // here: the anti-join touches only the probed cells' rows, so a
+    // delete-free index pays nothing (None → no join in the plan) and
+    // a deleted one pays probed-occupancy, never index size
+    val pruned = ivfPqDeletes(spark, indexPath) match {
+      case Some(t) => prunedRaw.join(
+        t.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      case None => prunedRaw
+    }
     val adc = pruned.select(col("cell"), col("vec_id"), col("codes"))
       .join(broadcast(queries), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -520,4 +600,49 @@ object Quantize {
           .cast("int").as("recall_ge_90"))
 
   val ivfPqRecallSql: String = pqRecallSql
+
+  /** Driver-gate row for the DELETE path (`q_ann_ivfpq_deleted`):
+    * builds the full index, tombstones every third vector through
+    * [[deleteFromIvfPqIndex]], probes, and asserts BOTH delete
+    * guarantees in one aggregate row — zero tombstoned ids among the
+    * returned neighbors (`deleted_hits`), and ≥ 90% recall of the
+    * true top-k over the SURVIVING corpus
+    * ([[Similarity.bruteForceTopKFor]] with the deleted vectors
+    * excluded from ground truth: a tombstoned vector is not a valid
+    * neighbor, so truth must not contain it either). Hash-exact vs a
+    * constant oracle, the [[ivfPqRecall]] trick. */
+  def ivfPqDeletedRecall(spark: SparkSession, dir: String,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      rerank: Int = 20): DataFrame = {
+    val idx = Scratch.cached(spark, s"ivfpq-del:$dir", "graft-ivfpq-del") {
+      p =>
+        buildIvfPqIndex(spark, dir, p)
+        deleteFromIvfPqIndex(spark, p,
+          Similarity.normalized(spark, dir).select("vec_id")
+            .where(col("vec_id") % 3 === 0))
+    }
+    val got = ivfPqTopK(spark, idx, gateQueries(spark, dir, numQueries),
+        k, nprobe, rerank)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val brute = Similarity.bruteForceTopKFor(
+      Similarity.normalized(spark, dir).where(col("vec_id") % 3 =!= 0),
+      gateQueries(spark, dir, numQueries), k)
+      .select("query_id", "neighbor_id")
+    val hits = got.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum("n_hits") >= math.ceil(0.9 * k * numQueries).toLong)
+          .cast("int").as("recall_ge_90"))
+      .crossJoin(got.agg(coalesce(
+        sum((col("neighbor_id") % 3 === 0).cast("long")), lit(0L))
+        .as("deleted_hits")))
+  }
+
+  val ivfPqDeletedRecallSql: String =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+      |       1 AS recall_ge_90, CAST(0 AS BIGINT) AS deleted_hits
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
 }

@@ -38,8 +38,18 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String,
       numQueries: Int = 10, k: Int = 10): DataFrame = {
     val corpus = normalized(spark, dir)
-    val queries = corpus.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    bruteForceTopKFor(corpus,
+      corpus.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")), k)
+  }
+
+  /** [[bruteForceTopK]] over an explicit candidate corpus and query
+    * set — the form recall gates use when the ground truth must range
+    * over a RESTRICTED corpus (e.g. the surviving vectors after a
+    * delete: a tombstoned vector is not a valid neighbor, so the true
+    * top-k is computed without it). */
+  def bruteForceTopKFor(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     val scored = corpus.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -327,6 +337,12 @@ object Similarity {
         assign.join(prevAssign
             .withColumnRenamed("cell", "prev_cell"), "vec_id")
           .where(col("cell") =!= col("prev_cell")).count() == 0
+      // the previous round's assignment blocks are dead once the
+      // convergence check has consumed them — release eagerly (the
+      // connectedComponents retention lesson; sample-bounded here,
+      // but 5 rounds × 64k+ vectors is still pinned block churn)
+      if (prevAssign != null)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prevAssign)
       prevAssign = assign
       if (!converged) {
       val refined = sample.join(assign, "vec_id")

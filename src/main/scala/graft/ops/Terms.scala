@@ -261,12 +261,93 @@ object Terms {
   /** Corpus totals + layout constants of a persisted index: ONE row
     * (n, s, n_buckets, max_batch) summed over the per-batch stats
     * deltas — exact integer addition, so totals are identical however
-    * many batches contributed. */
+    * many batches contributed. Delete batches contribute NEGATIVE
+    * deltas ([[deleteFromBm25Index]]), so the totals are always the
+    * LIVE corpus — no reader ever reconciles tombstones against
+    * stats. */
   def readBm25Stats(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(s"$indexPath/stats")
       .agg(sum("n").cast("long").as("n"), sum("s").cast("long").as("s"),
         max("n_buckets").as("n_buckets"),
         max("batch").cast("long").as("max_batch"))
+
+  /** The tombstone table of a persisted index — (doc_id, batch) rows
+    * under `deletes/batch=M/` — or None when nothing was ever deleted
+    * (probes skip the anti-join entirely, so a delete-free index pays
+    * zero for the feature). Hadoop FileSystem API, not java.nio: the
+    * index may live on a remote filesystem (the StreamIndex lesson). */
+  private def bm25Deletes(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Live postings of a persisted index: the postings scan minus
+    * tombstoned documents. Callers that derive corpus-wide term stats
+    * from the index (df-rank query sets, vocabulary heads) read
+    * through this so deleted documents stop contributing. */
+  def liveBm25Postings(spark: SparkSession, indexPath: String): DataFrame = {
+    val posts = spark.read.parquet(s"$indexPath/postings")
+    bm25Deletes(spark, indexPath) match {
+      case Some(t) =>
+        posts.join(t.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      case None => posts
+    }
+  }
+
+  /** Delete documents from a persisted BM25 index WITHOUT rewriting
+    * history — the takedown/decontamination path that completes the
+    * index lifecycle (build → append → compact → DELETE). Nothing in
+    * the corpus-sized postings table is touched: the batch writes a
+    * tombstone partition `deletes/batch=M/` (doc_id) plus a NEGATIVE
+    * 1-row stats delta (−n docs, −Σdl tokens), and every probe
+    * anti-joins its pruned candidates against the tombstone set —
+    * cost proportional to PROBED rows, never the corpus. Per-term df
+    * stays exact for free: df is derived from the pruned scan AFTER
+    * the anti-join, so a deleted document stops counting the moment
+    * its tombstone lands. [[compactBm25Index]] later folds tombstones
+    * into the physical layout and clears them.
+    *
+    * Exactly-once, same discipline as [[appendToBm25Index]]: the
+    * delete's effect is confined to its OWN batch partitions (dynamic
+    * overwrite), so re-applying a batch id replaces rather than
+    * compounds. The stats delta counts only ids that are PRESENT in
+    * the index and not already tombstoned by an EARLIER batch —
+    * double-deletes and unknown ids are no-ops, and a crash between
+    * the tombstone write and the stats write heals on retry (the
+    * recompute excludes the torn batch's own tombstones, so it
+    * re-derives the identical delta). Batch ids share the appends'
+    * sequence: both paths write a stats row, so default allocation
+    * (max_batch + 1) never collides. */
+  def deleteFromBm25Index(spark: SparkSession, indexPath: String,
+      docIds: DataFrame, batchId: Long = -1L): Unit = {
+    val head = readBm25Stats(spark, indexPath).head()
+    val nBuckets = head.getAs[Int]("n_buckets")
+    val id = if (batchId >= 0L) batchId else head.getAs[Long]("max_batch") + 1L
+    val dl = spark.read.parquet(s"$indexPath/doclen").select("doc_id", "dl")
+    val requested = docIds.select("doc_id").distinct()
+    val present = requested.join(dl, Seq("doc_id"))
+    val newly = bm25Deletes(spark, indexPath) match {
+      case Some(t) => present.join(
+        t.where(col("batch") =!= id).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      case None => present
+    }
+    val nl = newly.localCheckpoint()
+    nl.select("doc_id").withColumn("batch", lit(id))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/deletes")
+    nl.agg((-count(lit(1))).cast("long").as("n"),
+        coalesce(-sum("dl"), lit(0L)).cast("long").as("s"),
+        lit(nBuckets).as("n_buckets"))
+      .withColumn("batch", lit(id))
+      .write.mode("overwrite").partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/stats")
+  }
 
   /** Append new documents to a persisted BM25 index WITHOUT touching
     * history: the batch's postings land in their terms' bucket
@@ -331,17 +412,27 @@ object Terms {
     * bit-identical before and after — spec-asserted). Sidecars are
     * untouched. */
   def compactBm25Index(spark: SparkSession, indexPath: String): Unit = {
-    val posts = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
-    val fs = posts.getFileSystem(spark.sessionState.newHadoopConf())
-    val qual = fs.makeQualified(posts)
-    val tmp = new org.apache.hadoop.fs.Path(
-      qual.getParent, qual.getName + ".compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(
-      qual.getParent, qual.getName + ".old")
-    require(!fs.exists(old),
-      s"compactBm25Index: $old exists — a previous compaction swap was " +
-        "interrupted; recover (restore or delete the .old copy) by hand")
-    fs.delete(tmp, true)
+    val conf = spark.sessionState.newHadoopConf()
+    // one durable two-rename swap of a single sub-table
+    def swap(name: String)(rewrite: (DataFrame, String) => Unit): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$indexPath/$name")
+      val fs = src.getFileSystem(conf)
+      val qual = fs.makeQualified(src)
+      val tmp = new org.apache.hadoop.fs.Path(
+        qual.getParent, qual.getName + ".compact.tmp")
+      val old = new org.apache.hadoop.fs.Path(
+        qual.getParent, qual.getName + ".old")
+      require(!fs.exists(old),
+        s"compactBm25Index: $old exists — a previous compaction swap was " +
+          "interrupted; recover (restore or delete the .old copy) by hand")
+      fs.delete(tmp, true)
+      rewrite(spark.read.parquet(qual.toString), tmp.toString)
+      require(fs.rename(qual, old),
+        s"compactBm25Index: failed to move $qual aside")
+      require(fs.rename(tmp, qual),
+        s"compactBm25Index: failed to move compacted $name into place")
+      fs.delete(old, true)
+    }
     // fold every batch into the CURRENT max batch id: keeping the max
     // (never a fresh id) means a later append still allocates above
     // it, and a stream's re-delivery of an already-folded batch is
@@ -349,15 +440,33 @@ object Terms {
     // before any compaction runs (streaming.StreamIndex ordering)
     val maxBatch = readBm25Stats(spark, indexPath)
       .head().getAs[Long]("max_batch")
-    spark.read.parquet(qual.toString)
-      .drop("batch").withColumn("batch", lit(maxBatch))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket", "batch").parquet(tmp.toString)
-    require(fs.rename(qual, old),
-      s"compactBm25Index: failed to move $qual aside")
-    require(fs.rename(tmp, qual),
-      s"compactBm25Index: failed to move compacted postings into place")
-    fs.delete(old, true)
+    // tombstones fold INTO the rewrite: deleted docs' postings and
+    // doclen rows are dropped physically, then the tombstone table is
+    // cleared. Crash ordering is safe at every boundary — if the
+    // process dies after either fold but before the tombstone clear,
+    // probes still anti-join the (now redundant) tombstones against
+    // rows that no longer exist: a no-op, bit-identical results.
+    // Stats are untouched throughout: delete batches already wrote
+    // negative deltas, so totals were net-of-deletes from the start.
+    val tomb = bm25Deletes(spark, indexPath)
+      .map(_.select("doc_id").distinct().localCheckpoint())
+    def minusTomb(df: DataFrame): DataFrame = tomb match {
+      case Some(t) => df.join(t, Seq("doc_id"), "left_anti")
+      case None => df
+    }
+    swap("postings") { (df, out) =>
+      minusTomb(df).drop("batch").withColumn("batch", lit(maxBatch))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket", "batch").parquet(out)
+    }
+    if (tomb.isDefined) {
+      swap("doclen") { (df, out) =>
+        minusTomb(df).drop("batch").withColumn("batch", lit(maxBatch))
+          .write.partitionBy("batch").parquet(out)
+      }
+      val del = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+      del.getFileSystem(conf).delete(del, true)
+    }
   }
 
   /** Probe a persisted BM25 index with a (query_id, term) query set:
@@ -381,7 +490,16 @@ object Terms {
       .distinct().collect().map(_.getInt(0)).toSeq
     val posts = spark.read.parquet(s"$indexPath/postings")
       .where(col("bucket").isin(buckets: _*))
-    val hits = posts.join(broadcast(q.select("term").distinct()), "term")
+    val raw = posts.join(broadcast(q.select("term").distinct()), "term")
+    // tombstoned docs drop out BEFORE df: the anti-join touches only
+    // the pruned buckets' candidate rows (never the corpus), and df
+    // derived downstream is then the exact LIVE document frequency —
+    // scores equal a rebuild-without-the-deleted bit for bit
+    val hits = bm25Deletes(spark, indexPath) match {
+      case Some(t) =>
+        raw.join(t.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      case None => raw
+    }
     val dfreq = hits.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = broadcast(q)
       .join(hits, "term")
@@ -429,10 +547,39 @@ object Terms {
     bm25IndexedTopK(spark, idx, dfRankQueries(dfreq), k)
   }
 
-  val bm25TopKSql: String =
-    """WITH tf AS (
+  /** Build-delete-probe form for the driver gate (`q_bm25_deleted`):
+    * builds the index on the FULL corpus, tombstones every third
+    * document through [[deleteFromBm25Index]], and probes with the
+    * df-rank query set derived from the LIVE postings — the takedown
+    * path exercised end to end. The probe is bit-identical to a
+    * rebuild on the surviving corpus by construction (anti-joined df,
+    * net stats), so the oracle is [[bm25TopKSql]] with the same
+    * restriction applied to the DuckDB corpus scan — a hash mismatch
+    * here means some score still carries a deleted document's
+    * contribution. */
+  def bm25DeletedTopKQuery(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val idx = Scratch.cached(spark, s"bm25-del:$dir", "graft-bm25-del") {
+      p =>
+        buildBm25Index(spark, dir, p)
+        deleteFromBm25Index(spark, p,
+          Tables.documents(spark, dir).select("doc_id")
+            .where(col("doc_id") % 3 === 0))
+    }
+    val dfreq = liveBm25Postings(spark, idx)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    bm25IndexedTopK(spark, idx, dfRankQueries(dfreq), k)
+  }
+
+  /** The flat-BM25 oracle with the corpus scan restricted by
+    * `tfFilter` — everything downstream (dl, stats, df, queries,
+    * scores) derives from the tf CTE, so one WHERE clause restricts
+    * the entire pipeline. */
+  private def bm25SqlFor(tfFilter: String): String =
+    s"""WITH tf AS (
       |  SELECT doc_id, t.term, COUNT(*) AS tf
       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+      |  WHERE $tfFilter
       |  GROUP BY 1, 2),
       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
       |       FROM tf GROUP BY doc_id),
@@ -464,4 +611,10 @@ object Terms {
       |           ORDER BY SUM(sc) DESC, doc_id) AS rank
       |  FROM scored GROUP BY query_id, doc_id)
       |WHERE rank <= 10""".stripMargin
+
+  val bm25TopKSql: String = bm25SqlFor("TRUE")
+
+  /** Oracle for the delete gate: the same pipeline over only the
+    * surviving documents. */
+  val bm25DeletedTopKSql: String = bm25SqlFor("doc_id % 3 <> 0")
 }

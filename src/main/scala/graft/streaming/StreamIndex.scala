@@ -57,6 +57,62 @@ object StreamIndex {
       .write.mode("overwrite").parquet(s"$indexPath/applied")
   }
 
+  /** Apply one CDC micro-batch — (doc_id, text, op) rows where `op`
+    * is `add` or `delete` — to the index at `indexPath`: adds append
+    * under batch id `2·batchId`, deletes tombstone under `2·batchId+1`
+    * ([[Terms.deleteFromBm25Index]]). The doubling keeps the two
+    * halves of one micro-batch in DISJOINT batch partitions (each
+    * sub-table partition belongs to exactly one writer), so the
+    * whole CDC batch inherits the replace-on-re-delivery guarantee:
+    * a crash at any point re-runs both halves to the identical
+    * index. Deletes apply AFTER adds, so a stream that retires
+    * yesterday's documents while adding today's converges to the net
+    * corpus — the takedown path running continuously instead of as
+    * an out-of-band job. Contract (CDC): one doc_id carries at most
+    * one op per micro-batch. */
+  def applyBm25Cdc(spark: SparkSession, indexPath: String,
+      batch: DataFrame, batchId: Long, nBuckets: Int = 64): Unit = {
+    if (batchId <= lastApplied(spark, indexPath)) return
+    val adds = batch.where(col("op") === "add").select("doc_id", "text")
+    val dels = batch.where(col("op") === "delete").select("doc_id")
+    val stats = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
+    val hasIndex = stats
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(stats)
+    if (!hasIndex) Terms.buildBm25IndexFor(adds, indexPath, nBuckets)
+    else Terms.appendToBm25Index(spark, indexPath, adds, 2L * batchId)
+    // content-deterministic skip: a delete-free batch writes no
+    // tombstone partition and no empty stats delta (re-delivery
+    // recomputes the same emptiness, so the skip is exactly-once too)
+    if (!dels.isEmpty)
+      Terms.deleteFromBm25Index(spark, indexPath, dels, 2L * batchId + 1L)
+    spark.range(1).select(lit(batchId).as("last_batch"))
+      .write.mode("overwrite").parquet(s"$indexPath/applied")
+  }
+
+  /** Drive CDC indexing over every file currently in `srcDir` — the
+    * [[runIngestBm25]] loop over an (doc_id, text, op) stream with
+    * [[applyBm25Cdc]] as the batch body, compaction folding
+    * tombstones physically on the same cadence. */
+  def runIngestBm25Cdc(spark: SparkSession, srcDir: String,
+      schema: StructType, workDir: String, nBuckets: Int = 64,
+      compactEvery: Int = 0): Unit = {
+    val indexPath = s"$workDir/bm25index"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        applyBm25Cdc(s, indexPath,
+          batch.select("doc_id", "text", "op"), id, nBuckets)
+        if (compactEvery > 0 && id % compactEvery == (compactEvery - 1))
+          Terms.compactBm25Index(s, indexPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive indexing over every file currently in `srcDir` (resuming
     * from the checkpoint), one micro-batch per file so the
     * append path is exercised across batches. The index lands under

@@ -16,4 +16,30 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * Dataset. Iterative algorithms (label propagation, Lloyd rounds)
+    * checkpoint every iteration to cut lineage, but the superseded
+    * iterations' blocks stay pinned until driver GC happens to drop
+    * the Dataset AND the ContextCleaner gets around to them — at 10⁷
+    * labels × 20 iterations that retention IS the memory ceiling.
+    * The checkpoint RDD sits behind the Dataset's `LogicalRDD` plan
+    * node (private[sql], hence this bridge); unpersisting it frees
+    * the blocks immediately. Safe once a SUCCESSOR checkpoint is
+    * materialized: localCheckpoint truncates lineage, so no later
+    * frame reads the superseded blocks. No-op for plans that are not
+    * a bare checkpoint.
+    *
+    * Spark logs one driver-side WARN per unpersisted checkpoint
+    * ("cannot be recomputed after unpersisting") — expected and
+    * correct here: the freed iteration is dead by construction, the
+    * warning is Spark stating the contract the caller is relying
+    * on. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        ()
+      case _ => ()
+    }
 }

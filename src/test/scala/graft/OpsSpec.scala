@@ -865,6 +865,82 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("interrupted"))
   }
 
+  test("BM25 index delete: tombstone + probe equals a rebuild on the " +
+    "surviving corpus bit-for-bit; double-deletes and unknown ids " +
+    "are no-ops") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25-delete").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    val gone = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    // reference: an index that never contained the deleted docs
+    graft.ops.Terms.buildBm25IndexFor(
+      docs.where(col("doc_id") % 3 =!= 0), s"$base/survivors")
+    // under test: full build + tombstone delete
+    graft.ops.Terms.buildBm25IndexFor(docs, s"$base/del")
+    graft.ops.Terms.deleteFromBm25Index(spark, s"$base/del", gone)
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    def probe(idx: String) =
+      graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def stats(idx: String) = graft.ops.Terms.readBm25Stats(spark, idx)
+      .select("n", "s").collect().map(_.toSeq).toSeq
+    val want = probe(s"$base/survivors")
+    assert(want.nonEmpty)
+    assert(probe(s"$base/del") === want,
+      "tombstoned probe diverged from the rebuild-on-survivors")
+    // negative stats deltas net out to the survivors' totals exactly
+    assert(stats(s"$base/del") === stats(s"$base/survivors"))
+    // double-delete (same ids again) + unknown ids: both no-ops on
+    // stats and probes — the delta counts only newly tombstoned docs
+    graft.ops.Terms.deleteFromBm25Index(spark, s"$base/del",
+      gone.union(spark.range(900000, 900005).select(col("id").as("doc_id"))))
+    assert(stats(s"$base/del") === stats(s"$base/survivors"),
+      "re-deleting already-tombstoned docs moved the corpus stats")
+    assert(probe(s"$base/del") === want)
+    // re-applying a delete BATCH id (crash retry) is exactly-once too
+    graft.ops.Terms.deleteFromBm25Index(spark, s"$base/del", gone,
+      batchId = 1L)
+    assert(stats(s"$base/del") === stats(s"$base/survivors"))
+    assert(probe(s"$base/del") === want)
+  }
+
+  test("BM25 delete then compact: tombstones fold physically, probes " +
+    "stay bit-identical, stats untouched") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25-delcompact").toString
+    val idx = s"$base/index"
+    val docs = graft.core.Tables.documents(spark, sf)
+    graft.ops.Terms.buildBm25IndexFor(docs, idx)
+    graft.ops.Terms.deleteFromBm25Index(spark, idx,
+      docs.where(col("doc_id") % 3 === 0).select("doc_id"))
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    def probe() = graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = probe()
+    val statsBefore = graft.ops.Terms.readBm25Stats(spark, idx)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.Terms.compactBm25Index(spark, idx)
+    assert(probe() === before, "compaction changed probe results")
+    assert(graft.ops.Terms.readBm25Stats(spark, idx)
+      .collect().map(_.toSeq).toSeq === statsBefore,
+      "compaction moved the corpus stats")
+    // physically folded: no deleted doc's postings or doclen rows
+    // survive, and the tombstone table is gone
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id") % 3 === 0).count() === 0L)
+    assert(spark.read.parquet(s"$idx/doclen")
+      .where(col("doc_id") % 3 === 0).count() === 0L)
+    assert(!new java.io.File(s"$idx/deletes").exists(),
+      "compaction left the tombstone table behind")
+    // and the LIVE postings view equals the raw scan now
+    assert(graft.ops.Terms.liveBm25Postings(spark, idx).count() ===
+      spark.read.parquet(s"$idx/postings").count())
+  }
+
   test("bm25TopK is deterministic and ranks are dense per query") {
     val a = graft.ops.Terms.bm25TopK(spark, sf).collect()
     val b = graft.ops.Terms.bm25TopK(spark, sf).collect()

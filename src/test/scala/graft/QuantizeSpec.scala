@@ -193,6 +193,59 @@ class QuantizeSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.9, s"appended-index recall $recall below band")
   }
 
+  test("IVF-PQ delete: tombstoned vectors never surface, the delete " +
+    "is idempotent, and compaction folds tombstones physically with " +
+    "bit-identical probes") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-delete").toString + "/index"
+    Quantize.buildIvfPqIndexFor(corpus, idx)
+    val queries = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    // delete the vectors the undeleted probe actually RETURNS — the
+    // strongest form of the guarantee: yesterday's answers must be
+    // un-returnable today
+    val victims = Quantize.ivfPqTopK(spark, idx, queries)
+      .select("neighbor_id").distinct()
+      .limit(20).collect().map(_.getLong(0)).toSet
+    Quantize.deleteFromIvfPqIndex(spark, idx,
+      corpus.where(col("vec_id").isin(victims.toSeq: _*))
+        .select("vec_id"))
+    def probe() = Quantize.ivfPqTopK(spark, idx, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val afterDelete = probe()
+    assert(afterDelete.nonEmpty)
+    victims.foreach { v =>
+      assert(!afterDelete.exists(_._2 == v),
+        s"tombstoned vector $v still returned by the probe")
+    }
+    // idempotent by semantics: re-delivering the same delete (plus
+    // unknown ids) changes nothing
+    Quantize.deleteFromIvfPqIndex(spark, idx,
+      corpus.where(col("vec_id").isin(victims.toSeq: _*))
+        .select("vec_id")
+        .union(spark.range(900000, 900005).select(col("id").as("vec_id"))))
+    assert(probe() === afterDelete, "re-applied delete changed the probe")
+    // compaction folds: data physically lacks the victims, the
+    // tombstone table is gone, probes are bit-identical
+    Quantize.compactIvfPqIndex(spark, idx)
+    assert(probe() === afterDelete, "compaction changed probe results")
+    val remaining = spark.read.parquet(s"$idx/data")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(victims.intersect(remaining).isEmpty,
+      "compaction left tombstoned rows in the data table")
+    assert(remaining.size.toLong === corpus.count() - victims.size)
+    assert(!new java.io.File(s"$idx/deletes").exists(),
+      "compaction left the tombstone table behind")
+    // interrupted swap detected loudly
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$idx/data.old"))
+    val e = intercept[IllegalArgumentException] {
+      Quantize.compactIvfPqIndex(spark, idx)
+    }
+    assert(e.getMessage.contains("interrupted"))
+  }
+
   test("ADC ordering is meaningful before rerank: PQ top-k without " +
     "rerank headroom still overlaps the true top-k") {
     val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 5, k = 10)

@@ -304,6 +304,78 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     docs.unpersist()
   }
 
+  test("CDC BM25 stream (adds + takedowns): converges to the net " +
+    "corpus bit-for-bit, with tombstones folded by an in-stream " +
+    "compaction and re-delivered batches no-ops") {
+    val base = Files.createTempDirectory("graft-stream-bm25cdc").toString
+    val (src, work) = (s"$base/src", s"$base/work")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    def dropChunk(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    def adds(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("op", lit("add"))
+    def dels(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").withColumn("text", lit(""))
+        .withColumn("op", lit("delete"))
+    // adds stream in; batch 3 takes down docs < 60, batch 4 takes
+    // down 120-179 — deletes of docs from EARLIER batches, the
+    // takedown shape (compactEvery=2 folds tombstones mid-stream)
+    dropChunk("b1", adds(docs.where(col("doc_id") < 120)))
+    dropChunk("b2", adds(docs.where(col("doc_id") >= 120 &&
+      col("doc_id") < 240)))
+    dropChunk("b3", adds(docs.where(col("doc_id") >= 240 &&
+      col("doc_id") < 360)).union(dels(docs.where(col("doc_id") < 60))))
+    dropChunk("b4", adds(docs.where(col("doc_id") >= 360))
+      .union(dels(docs.where(col("doc_id") >= 120 && col("doc_id") < 180))))
+    val docSchema = org.apache.spark.sql.types.StructType(
+      graft.core.Schemas.documents.filter(f =>
+        f.name == "doc_id" || f.name == "text")
+        :+ org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))
+    graft.streaming.StreamIndex.runIngestBm25Cdc(spark, src, docSchema,
+      work, compactEvery = 2)
+    // reference: a one-shot build on the NET corpus
+    val net = docs.where(col("doc_id") >= 60 &&
+      !(col("doc_id") >= 120 && col("doc_id") < 180))
+    val batchIdx = s"$base/batchindex"
+    graft.ops.Terms.buildBm25IndexFor(net, batchIdx)
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    def probe(idx: String) = graft.ops.Terms.bm25IndexedTopK(spark, idx,
+        queries).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val expected = probe(batchIdx)
+    assert(expected.nonEmpty)
+    assert(probe(s"$work/bm25index") === expected,
+      "CDC stream diverged from the net-corpus batch build")
+    // stats net out exactly (negative delete deltas)
+    assert(graft.ops.Terms.readBm25Stats(spark, s"$work/bm25index")
+      .select("n", "s").collect().map(_.toSeq).toSeq ===
+      graft.ops.Terms.readBm25Stats(spark, batchIdx)
+        .select("n", "s").collect().map(_.toSeq).toSeq)
+    // checkpoint no-op re-run, then a re-delivered CDC batch: both
+    // leave probes and stats untouched
+    graft.streaming.StreamIndex.runIngestBm25Cdc(spark, src, docSchema,
+      work, compactEvery = 2)
+    val statsBefore = spark.read
+      .parquet(s"$work/bm25index/stats").collect().map(_.toSeq).toSeq
+    graft.streaming.StreamIndex.applyBm25Cdc(spark, s"$work/bm25index",
+      adds(docs.where(col("doc_id") >= 360))
+        .union(dels(docs.where(col("doc_id") >= 120 &&
+          col("doc_id") < 180))),
+      batchId = 3L)
+    assert(spark.read.parquet(s"$work/bm25index/stats")
+      .collect().map(_.toSeq).toSeq === statsBefore)
+    assert(probe(s"$work/bm25index") === expected)
+    docs.unpersist()
+  }
+
   test("streaming training-shards with chunk-grain dedup: the chunked " +
     "manifest matches the one-shot batch run") {
     val base = Files.createTempDirectory("graft-stream-chunked").toString
