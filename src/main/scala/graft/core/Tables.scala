@@ -102,13 +102,27 @@ object Schemas {
     StructField("l_shipdate", TimestampType)
   ))
 
-  /** On-disk schema: `ts` is INT64 TIMESTAMP(NANOS) — Spark's
+  /** On-disk schema when `ts` is INT64 TIMESTAMP(NANOS) — Spark's
     * TimestampType is microseconds, so the file column is read as raw
     * nanos (LongType, via spark.sql.legacy.parquet.nanosAsLong) and
     * [[Tables.events]] derives a micros `ts` column from it. */
   val eventsOnDisk: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** On-disk schema when `ts` is a standard INT64 TIMESTAMP(MICROS)
+    * column (Spark-native). [[Tables.events]] detects which encoding a
+    * given file actually uses and picks the matching schema — writers
+    * differ (pandas/pyarrow default to nanos, Spark to micros), and a
+    * silent mismatch corrupts every event-time computation downstream. */
+  val eventsOnDiskMicros: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -178,18 +192,40 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  /** True when the events file stores `ts` as INT64 TIMESTAMP(NANOS)
+    * (pyarrow/pandas default); false for a standard micros TIMESTAMP
+    * (Spark default). Detected from the parquet footer via schema
+    * inference — with nanosAsLong set, a NANOS column infers LongType
+    * while MICROS infers TimestampType. One footer read per call,
+    * driver-side and bounded (inference reads a single footer with
+    * mergeSchema off) — cheap even when `path` is a 100 TB directory.
+    * Not cached: the same path can legitimately change encoding across
+    * test-data regenerations within one JVM. */
+  def eventsTsIsNanos(spark: SparkSession, eventsPath: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(eventsPath).schema("ts").dataType == LongType
+  }
+
   /** Events with `ts` as a usable TimestampType (micros) plus the
-    * full-precision raw nanos as `ts_ns`. The parquet column is INT64
-    * TIMESTAMP(NANOS), which Spark only reads as a long — the conf flip
-    * is runtime-settable and done here so it works in ANY session the
-    * caller provides. */
+    * full-precision raw nanos as `ts_ns`. Handles BOTH on-disk
+    * encodings (see [[eventsTsIsNanos]]): INT64 TIMESTAMP(NANOS) is
+    * read as a long and truncated to micros; a native micros TIMESTAMP
+    * is used as-is with `ts_ns` derived (exact — micros*1000 never
+    * overflows a long for any realistic epoch). The nanosAsLong conf
+    * flip is runtime-settable and done here so it works in ANY session
+    * the caller provides. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(Schemas.eventsOnDisk).parquet(path(dir, "events"))
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .select("event_id", "ts_ns", "ts", "user_id", "event_type", "value", "props")
+    val p = path(dir, "events")
+    val df =
+      if (eventsTsIsNanos(spark, p))
+        spark.read.schema(Schemas.eventsOnDisk).parquet(p)
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      else
+        spark.read.schema(Schemas.eventsOnDiskMicros).parquet(p)
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    df.select("event_id", "ts_ns", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -177,6 +177,17 @@ object Quantize {
     * rows out of 10⁹, and m/ksub grow to 8-bit codes (ksub=256). */
   def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
       k: Int = 10, m: Int = 16, ksub: Int = 32, rerank: Int = 20)
+      : DataFrame =
+    // q_ann_pq and q_ann_pq_recall both need this exact result; the
+    // memo (Scratch discipline) keeps the m-fold codebook training +
+    // full-corpus encode at once per (session, params) — the recall
+    // gate measures recall, not a second identical build
+    Scratch.memo(spark, s"pq:$dir:$numQueries:$k:$m:$ksub:$rerank") {
+      pqTopKUncached(spark, dir, numQueries, k, m, ksub, rerank)
+    }
+
+  private def pqTopKUncached(spark: SparkSession, dir: String,
+      numQueries: Int, k: Int, m: Int, ksub: Int, rerank: Int)
       : DataFrame = {
     val corpus = Similarity.normalized(spark, dir)
       .select("vec_id", "vec").localCheckpoint()
@@ -520,8 +531,12 @@ object Quantize {
     // exactly once, and /tmp holds one copy, removed at JVM exit
     val idx = Scratch.cached(spark, s"ivfpq-gate:$dir", "graft-ivfpq-gate") {
       p => buildIvfPqIndex(spark, dir, p) }
-    ivfPqTopK(spark, idx, gateQueries(spark, dir, numQueries),
-      k, nprobe, rerank)
+    // the recall twin re-asks for the identical probe result: memoize
+    // it (bounded: queries×k rows) so the pair pays one probe
+    Scratch.memo(spark, s"ivfpq-probe:$dir:$numQueries:$k:$nprobe:$rerank") {
+      ivfPqTopK(spark, idx, gateQueries(spark, dir, numQueries),
+        k, nprobe, rerank)
+    }
   }
 
   /** Build-append-probe form for the driver gate (`q_ann_ivfpq_incr`):
@@ -541,8 +556,11 @@ object Quantize {
         buildIvfPqIndexFor(vecs.where(col("vec_id") % 2 === 0), p)
         appendToIvfPqIndex(spark, p, vecs.where(col("vec_id") % 2 === 1))
     }
-    ivfPqTopK(spark, idx, gateQueries(spark, dir, numQueries),
-      k, nprobe, rerank)
+    Scratch.memo(spark,
+        s"ivfpq-incr-probe:$dir:$numQueries:$k:$nprobe:$rerank") {
+      ivfPqTopK(spark, idx, gateQueries(spark, dir, numQueries),
+        k, nprobe, rerank)
+    }
   }
 
   /** Driver-gate recall row for the INCREMENTAL index path
@@ -614,9 +632,22 @@ object Quantize {
   def ivfPqDeletedRecall(spark: SparkSession, dir: String,
       numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
       rerank: Int = 20): DataFrame = {
+    // The tombstone write is the only difference from the shared gate
+    // index ([[ivfPqTopKQuery]]'s Scratch key), and deletes never touch
+    // data files — so this gate COPIES that index and tombstones the
+    // copy instead of re-running the whole k-means + PQ train + write
+    // (was a second full build, the most expensive row of the sf0.1
+    // bench). The copy keeps isolation: other gates keep probing the
+    // un-tombstoned original.
     val idx = Scratch.cached(spark, s"ivfpq-del:$dir", "graft-ivfpq-del") {
       p =>
-        buildIvfPqIndex(spark, dir, p)
+        val shared = Scratch.cached(spark, s"ivfpq-gate:$dir",
+          "graft-ivfpq-gate") { sp => buildIvfPqIndex(spark, dir, sp) }
+        val conf = spark.sessionState.newHadoopConf()
+        val src = new org.apache.hadoop.fs.Path(shared)
+        val dst = new org.apache.hadoop.fs.Path(p)
+        val fs = src.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
         deleteFromIvfPqIndex(spark, p,
           Similarity.normalized(spark, dir).select("vec_id")
             .where(col("vec_id") % 3 === 0))

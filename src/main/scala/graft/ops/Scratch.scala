@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped scratch directories for gate queries that BUILD a
   * persisted artifact (IVF-PQ index, BM25 index) before probing it.
@@ -56,4 +56,28 @@ object Scratch {
       path
     })
   }
+
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Session-scoped memo for SMALL deterministic gate results — the
+    * [[cached]] discipline applied to a DataFrame instead of a
+    * directory. The recall gates re-run their approximate query AND
+    * the exact brute-force twin that several gates share; each repeat
+    * re-pays codebook training / a full-corpus scoring scan to
+    * reproduce a result that is deterministic within the session.
+    * `computeIfAbsent` + `localCheckpoint` collapses those repeats to
+    * one materialization pinned in executor storage.
+    *
+    * Only memoize results that are (a) bounded — gate top-k lists and
+    * recall instruments, O(queries·k) rows, never corpus-sized — and
+    * (b) deterministic within one session (seeded builds qualify: the
+    * partition-layout float caveat on Lloyd means cross-SESSION runs
+    * may differ in the last ulp, but a repeat inside one session is
+    * identical by construction, so caching changes nothing a driver
+    * gate can observe). Keyed by application id like [[cached]]:
+    * fresh process, fresh compute. */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    frames.computeIfAbsent(
+      spark.sparkContext.applicationId + ":" + key, _ => build.localCheckpoint())
 }

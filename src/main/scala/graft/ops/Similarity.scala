@@ -36,12 +36,16 @@ object Similarity {
     * hash-stable across engines, while raw cosines differ in the last
     * ulp. */
   def bruteForceTopK(spark: SparkSession, dir: String,
-      numQueries: Int = 10, k: Int = 10): DataFrame = {
-    val corpus = normalized(spark, dir)
-    bruteForceTopKFor(corpus,
-      corpus.where(col("vec_id") < numQueries)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec")), k)
-  }
+      numQueries: Int = 10, k: Int = 10): DataFrame =
+    // the exact twin every ANN recall gate compares against — memoized
+    // (Scratch discipline) so the full-corpus scoring scan runs once
+    // per (session, dir, queries, k), not once per recall gate
+    Scratch.memo(spark, s"brute:$dir:$numQueries:$k") {
+      val corpus = normalized(spark, dir)
+      bruteForceTopKFor(corpus,
+        corpus.where(col("vec_id") < numQueries)
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec")), k)
+    }
 
   /** [[bruteForceTopK]] over an explicit candidate corpus and query
     * set — the form recall gates use when the ground truth must range

@@ -41,19 +41,25 @@ object StreamAggregator {
     sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
 
   /** Read the events table as a file stream with the declared schema —
-    * S2 in SURVEY §2.1. `ts` arrives as INT64 nanos; a micros timestamp
-    * column is derived exactly as in the batch loader so stream and batch
-    * plans are column-compatible. */
+    * S2 in SURVEY §2.1. Streams never infer schemas, so the on-disk
+    * `ts` encoding (INT64 nanos vs native micros TIMESTAMP — writers
+    * differ) is detected with ONE batch footer read up front, then the
+    * matching declared schema is handed to the stream. Either way the
+    * output carries the same (ts_ns, ts) pair as the batch loader so
+    * stream and batch plans stay column-compatible. */
   def eventsStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanos = graft.core.Tables.eventsTsIsNanos(spark, path)
     val reader = spark.readStream
       .format("parquet")
-      .schema(Schemas.eventsOnDisk)
+      .schema(if (nanos) Schemas.eventsOnDisk else Schemas.eventsOnDiskMicros)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.load(path)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = reader.load(path)
+    if (nanos)
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    else
+      raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
   }
 
   /** Stream over an [[IncrementalProducer]] replay directory: files

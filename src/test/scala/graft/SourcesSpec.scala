@@ -111,6 +111,45 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) === -1L)   // user 200 has no prior order → null
   }
 
+  test("events loader reads both on-disk ts encodings identically") {
+    // The provisioned events table has arrived in two vintages: INT64
+    // TIMESTAMP(NANOS) (pyarrow default — Spark reads it only as a
+    // long) and native micros TIMESTAMP (Spark default). A regen that
+    // flipped the encoding silently collapsed every event date to one
+    // day before the loaders learned to detect it — this pins both
+    // paths to identical logical output.
+    val base = Files.createTempDirectory("graft-tsenc").toString
+    val rows = Seq(
+      (0L, Timestamp.valueOf("2024-01-01 00:00:07.179575"), 8L, "error", 6.55, "{}"),
+      (1L, Timestamp.valueOf("2024-02-03 13:03:52.824425"), 46L, "click", 12.31, "{}"),
+      (2L, Timestamp.valueOf("2025-12-31 23:59:59.999999"), 7L, "view", 1.63, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.parquet(s"$base/micros/events.parquet")
+    // nanos vintage: the same instants as a raw int64 nanos column
+    rows.select(col("event_id"),
+        (unix_micros(col("ts")) * lit(1000L)).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$base/nanos/events.parquet")
+    assert(!Tables.eventsTsIsNanos(spark, s"$base/micros/events.parquet"))
+    assert(Tables.eventsTsIsNanos(spark, s"$base/nanos/events.parquet"))
+    val m = Tables.events(spark, s"$base/micros").orderBy("event_id").collect()
+    val n = Tables.events(spark, s"$base/nanos").orderBy("event_id").collect()
+    assert(m.toSeq === n.toSeq)
+    assert(m.map(_.getAs[Timestamp]("ts")).toSeq ===
+      rows.orderBy("event_id").collect().map(_.getAs[Timestamp]("ts")).toSeq)
+    // the stream reader detects per-path too: a daily aggregate over the
+    // micros vintage must equal the batch plan over the same files
+    val agg = graft.streaming.StreamAggregator.runToMemoryTable(spark,
+      graft.streaming.StreamAggregator.dailyAggExact(
+        graft.streaming.StreamAggregator.eventsStream(
+          spark, s"$base/micros/{events.parquet}")),
+      "tsenc_stream")
+    val batch = graft.streaming.StreamAggregator.dailyAggExact(
+      Tables.events(spark, s"$base/micros"))
+    assert(agg.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(agg).count() === 0)
+  }
+
   test("as-of join shuffles once on the key (no join explosion)") {
     val plan = AsOfJoin.eventsWithLatestOrder(spark, sf)
       .queryExecution.executedPlan.toString
