@@ -98,9 +98,16 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.dedupIncremental _),
     "q_redact_docs" -> (graft.ops.Redact.redactDocs _),
     // near-dup clustering: pair graph → connected components → survivors
-    "q_near_dup_components" -> (graft.ops.Components.nearDupComponents _),
-    "q_dedup_survivors" -> (graft.ops.Components.dedupNearSurvivors _),
-    "q_corpus_clean" -> (graft.ops.Components.cleanCorpus _),
+    // the components family shares one memoized (doc_id, component)
+    // frame per session (immutable testdata dir — the memoSurvivors
+    // rule): the label build runs once, each query keeps its own
+    // derivation honest
+    "q_near_dup_components" -> ((s: SparkSession, d: String) =>
+      graft.ops.Components.nearDupComponents(s, d, memo = true)),
+    "q_dedup_survivors" -> ((s: SparkSession, d: String) =>
+      graft.ops.Components.dedupNearSurvivors(s, d, memo = true)),
+    "q_corpus_clean" -> ((s: SparkSession, d: String) =>
+      graft.ops.Components.cleanCorpus(s, d, memo = true)),
     "q_dedup_clusters_lsh" -> (graft.ops.Components.lshDedupClusters _),
     "q_dedup_clusters_portable" ->
       (graft.ops.Components.lshDedupClustersPortable _),
@@ -170,7 +177,7 @@ object SparkEntry {
     "q_decontaminated_corpus" -> ((s: SparkSession, d: String) =>
       graft.ops.Decontaminate.decontaminatedCorpus(s, d)),
     "q_governed_corpus" -> ((s: SparkSession, d: String) =>
-      graft.ops.Decontaminate.governedCorpus(s, d)),
+      graft.ops.Decontaminate.governedCorpus(s, d, memoComponents = true)),
     // the full end-to-end pipeline (ingest → dedup → decontaminate →
     // quality → shuffle → pack) as ONE hash-oracled artifact. The
     // three variants share the memoized survivor set (safe here: the
@@ -231,6 +238,14 @@ object SparkEntry {
     // float-seeded centroids; recall/precision asserted in PipelineOpsSpec)
     "q_semantic_dedup" -> ((s: SparkSession, d: String) =>
       Similarity.semanticDedupClusters(s, d)),
+    // SemDeDup-paper centroid screen — the Θ(n) variant (no pairwise
+    // term at all; rows-only: float-seeded centroids) plus its
+    // hash-exact gate row (labels total, exact dups collapsed, pair
+    // recall vs the exact clustering ≥ band)
+    "q_semantic_dedup_centroid" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDedupCentroid(s, d)),
+    "q_semantic_dedup_centroid_gate" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDedupCentroidGate(s, d)),
     // multimodal plumbing
     "q_media_features" -> (Multimodal.featureSummary _),
     "q_media_frames" -> (Multimodal.frameSampleSummary _),
@@ -325,6 +340,8 @@ object SparkEntry {
     "q_governed_corpus" -> graft.ops.Decontaminate.governedCorpusSql,
     "q_ann_topk" -> Similarity.bruteForceTopKSql,
     "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
+    "q_semantic_dedup_centroid_gate" ->
+      Similarity.semanticDedupCentroidGateSql,
     "q_ann_pq_recall" -> graft.ops.Quantize.pqRecallSql,
     "q_ann_ivfpq_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_ann_ivfpq_incr_recall" -> graft.ops.Quantize.ivfPqRecallSql,

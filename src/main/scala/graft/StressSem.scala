@@ -47,10 +47,16 @@ object StressSem {
       r
     }
 
-    for ((style, m) <- cases) {
+    for ((style0, m) <- cases) {
+      // "scr:<m>" = screen-stages only, over the existing flip corpus
+      // (skip the corpus build and the pairwise flow — the fast loop
+      // for iterating on the screen's own cost terms)
+      val scrOnly = style0 == "scr"
+      val style = if (scrOnly) "flip" else style0
       val out = s"/tmp/stresssem_${style}_x$m"
       val n = 2000L * m
-      println(s"[stresssem] ===== $style x$m = ${n / 1000}k vectors =====")
+      println(s"[stresssem] ===== $style0 x$m = ${n / 1000}k vectors =====")
+      if (!scrOnly) {
       val base = graft.core.Tables.embeddings(spark, dir)
         .crossJoin(spark.range(m).toDF("rep"))
         .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
@@ -124,6 +130,62 @@ object StressSem {
       t("FULL semantic dedup")(
         Similarity.semanticDedupClusters(spark, out)
           .write.mode("overwrite").format("noop").save())
+
+      // the Θ(n) centroid screen on the same corpus — the SemDeDup-
+      // paper variant: no pairwise term, so this is the row that
+      // should stay near-linear where pair verify goes n^1.5
+      t("CENTROID screen    ")(
+        Similarity.semanticDedupCentroid(spark, out)
+          .write.mode("overwrite").format("noop").save())
+      } // !scrOnly
+
+      // stage attribution for the screen (mirrors the operator's
+      // internals the same way the pairwise stages above mirror
+      // semanticDedupClusters — when a composed number surprises,
+      // the per-stage rows say which term moved)
+      {
+        val c2 = Similarity.normalized(spark, out)
+          .select("vec_id", "vec").cache()
+        val n2 = t("scr normalize+count")(c2.count())
+        val k2 = math.min(4096, math.max(16,
+          math.sqrt(n2.toDouble).toLong)).toInt
+        val cents2 = t(f"scr centroids k=$k2%-4d")(
+          Similarity.ivfCentroidsDf(c2, k2, iters = 2).localCheckpoint())
+        val asg = t("scr best-cell pass ") {
+          val arr = cents2
+            .agg(collect_list(struct(col("cid"), col("cvec"))).as("cc"))
+          c2.crossJoin(broadcast(arr))
+            .select(col("vec_id"),
+              graft.functions.VectorFunctions
+                .bestCell(col("vec"), col("cc")).as("b"))
+            .select(col("vec_id"), col("b.cid").as("cell"),
+              col("b.sim").as("sim")).localCheckpoint()
+        }
+        t("scr windows        ") {
+          import org.apache.spark.sql.expressions.Window
+          val scored = asg
+          val w = Window.partitionBy("cell")
+            .orderBy(col("sim").desc, col("vec_id"))
+          scored
+            .withColumn("gap", lag(col("sim"), 1).over(w) - col("sim"))
+            .withColumn("newg",
+              when(col("gap").isNull || col("gap") > 5e-4, 1L)
+                .otherwise(0L))
+            .withColumn("grp", sum("newg").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("cluster", min("vec_id")
+              .over(Window.partitionBy("cell", "grp")))
+            .select("vec_id", "cluster")
+            .write.mode("overwrite").format("noop").save()
+        }
+        c2.unpersist()
+        // the REGISTERED operator end to end — the number SCALE.md
+        // quotes for the screen
+        t("CENTROID screen e2e")(
+          Similarity.semanticDedupCentroid(spark, out)
+            .write.mode("overwrite").format("noop").save())
+        ()
+      }
     }
     spark.stop()
   }

@@ -140,6 +140,202 @@ case class AdcScore(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Native Catalyst expression for exact nearest-centroid assignment:
+  * `best_cell(vec, cells)` scans an `array<struct<cid:int,
+  * cvec:array<double>>>` (the whole centroid table, riding in as one
+  * broadcast row) and returns `struct<cid:int, sim:double>` for the
+  * argmax dot product — ties to the LOWEST cid, exactly the
+  * `max_by(cid, struct(sim, -cid))` contract of the join-based
+  * assigner.
+  *
+  * Why custom: nprobe=1 assignment is a pure per-row reduction, but
+  * the composable form (crossJoin + transform-lambda dots + explode +
+  * groupBy-argmax) pays interpreted higher-order functions PLUS an
+  * n·k-row exchange just to keep each row's maximum — measured 290 s
+  * for 1M vectors × 1k cells where this expression's single codegen
+  * pass needs no shuffle at all. The k·dim inner loop is primitive,
+  * allocation-free, and auto-vectorizable, and order-independence of
+  * max with the cid tie-break makes the result independent of
+  * `collect_list`'s arrival order. Empty/null inputs yield null (the
+  * join form yields no row; callers guarantee k ≥ 1). */
+case class BestCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("sim", DoubleType,
+        nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.StructType(fs), _))
+          if fs.length == 2 &&
+            fs(0).dataType == org.apache.spark.sql.types.IntegerType &&
+            fs(1).dataType == ArrayType(DoubleType, false) => true
+      case (ArrayType(DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.StructType(fs), _))
+          if fs.length == 2 &&
+            fs(0).dataType == org.apache.spark.sql.types.IntegerType &&
+            fs(1).dataType == ArrayType(DoubleType, true) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"best_cell needs (array<double>, array<struct<int,array<double>>>), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
+    val cells = b.asInstanceOf[ArrayData]
+    if (cells.numElements() == 0) return null
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var j = 0
+    while (j < cells.numElements()) {
+      val cell = cells.getStruct(j, 2)
+      val cid = cell.getInt(0)
+      val cv = cell.getArray(1)
+      val n = math.min(xs.length, cv.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += xs(i) * cv.getDouble(i); i += 1 }
+      if (acc > bestSim || (acc == bestSim && cid < best)) {
+        bestSim = acc; best = cid
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestSim))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val cell = ctx.freshName("cell")
+      val cid = ctx.freshName("cid")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($b.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = null;
+         |} else {
+         |  double[] $xs = $a.toDoubleArray();
+         |  int $best = -1;
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $b.numElements(); $j++) {
+         |    org.apache.spark.sql.catalyst.InternalRow $cell =
+         |      $b.getStruct($j, 2);
+         |    int $cid = $cell.getInt(0);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cv =
+         |      $cell.getArray(1);
+         |    int $n = java.lang.Math.min($xs.length, $cv.numElements());
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $xs[$i] * $cv.getDouble($i);
+         |    }
+         |    if ($acc > $bestSim || ($acc == $bestSim && $cid < $best)) {
+         |      $bestSim = $acc; $best = $cid;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[] { $best, $bestSim });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** Native Catalyst expression for unit-normalizing an `array<double>`
+  * column in ONE pass: accumulate Σx², divide each element by the
+  * root. Zero-norm vectors pass through unchanged (the documented
+  * `normalize` contract).
+  *
+  * Why custom: the column-function form
+  * `when(l2Norm(c) === 0, c).otherwise(transform(c, x => x / l2Norm(c)))`
+  * captures the norm EXPRESSION inside the `transform` lambda, and
+  * higher-order functions run interpreted with no common-subexpression
+  * elimination — the full Σx² loop re-evaluates once PER ELEMENT
+  * (dim² multiplies per row; measured 152.7 s just to normalize 1M
+  * 64-dim vectors, dominating the semantic-dedup screen). This is the
+  * [[DotProduct]] discipline applied to the normalize that feeds
+  * every similarity operator's first projection.
+  *
+  * Bit-compatibility: same accumulation order, same sqrt, same
+  * per-element divide as the old form — identical doubles out, so
+  * every hash-oracled downstream result is unchanged. */
+case class NormalizeVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize_vec needs array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val in = a.asInstanceOf[ArrayData]
+    val xs = in.toDoubleArray()
+    var acc = 0.0
+    var i = 0
+    while (i < xs.length) { acc += xs(i) * xs(i); i += 1 }
+    val nrm = math.sqrt(acc)
+    if (nrm == 0.0) in
+    else {
+      val out = new Array[Double](xs.length)
+      var j = 0
+      while (j < xs.length) { out(j) = xs(j) / nrm; j += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xs = ctx.freshName("xs")
+      val acc = ctx.freshName("acc")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |double[] $xs = $a.toDoubleArray();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $xs.length; $i++) { $acc += $xs[$i] * $xs[$i]; }
+         |double $nrm = java.lang.Math.sqrt($acc);
+         |if ($nrm == 0.0) {
+         |  ${ev.value} = $a;
+         |} else {
+         |  double[] $out = new double[$xs.length];
+         |  for (int $j = 0; $j < $xs.length; $j++) { $out[$j] = $xs[$j] / $nrm; }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(newChild)
+}
+
 /** Column-level vector math used by similarity / dedup operators. */
 object VectorFunctions {
 
@@ -155,14 +351,19 @@ object VectorFunctions {
   def adcScore(codes: Column, lut: Column): Column =
     Bridge.column(AdcScore(Bridge.expression(codes), Bridge.expression(lut)))
 
+  /** Codegen'd exact argmax-dot centroid assignment (see [[BestCell]]):
+    * `best_cell(vec, cells)` → struct<cid, sim>. */
+  def bestCell(vec: Column, cells: Column): Column =
+    Bridge.column(BestCell(Bridge.expression(vec), Bridge.expression(cells)))
+
   def l2Norm(c: Column): Column = sqrt(dot(c, c))
 
   /** Unit-normalize once upstream so cosine degenerates to [[dot]] —
-    * halves the flops of every downstream pairwise comparison. */
-  def normalize(c: Column): Column = {
-    val n = l2Norm(c)
-    when(n === 0.0, c).otherwise(transform(c, x => x / n))
-  }
+    * halves the flops of every downstream pairwise comparison.
+    * Codegen'd single pass (see [[NormalizeVec]]: the old
+    * transform-lambda form re-evaluated the norm per element). */
+  def normalize(c: Column): Column =
+    Bridge.column(NormalizeVec(Bridge.expression(c)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))

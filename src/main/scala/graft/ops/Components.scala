@@ -140,15 +140,29 @@ object Components {
     * oracle form (deterministic; DuckDB computes the same closure with
     * a recursive CTE). Every document appears; singletons are their own
     * component. Pair generation runs on exact-dup representatives only
-    * ([[collapseExact]] — identical output, the m² clique term gone). */
-  def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val (reps, stars) = collapseExact(docs)
-    val edges = Dedup.ngramJaccardPairsFor(reps)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(docs.select(col("doc_id").as("node")),
-        edges.unionByName(stars))
-      .select(col("node").as("doc_id"), col("component"))
+    * ([[collapseExact]] — identical output, the m² clique term gone).
+    *
+    * `memo = true` shares the (doc_id, component) frame per (session,
+    * dir) across the whole derivative family — survivors, clean
+    * corpus, governed corpus — the way a production pipeline
+    * materializes its component labels once and derives everything
+    * downstream from them. Bounded (two longs per doc) and
+    * deterministic. MUST stay false when `dir`'s content can change
+    * within the session (the [[Corpus.trainingShards]] memoSurvivors
+    * rule: streaming recomputations see a growing corpus). */
+  def nearDupComponents(spark: SparkSession, dir: String,
+      memo: Boolean = false): DataFrame = {
+    def build = {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val (reps, stars) = collapseExact(docs)
+      val edges = Dedup.ngramJaccardPairsFor(reps)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      connectedComponents(docs.select(col("doc_id").as("node")),
+          edges.unionByName(stars))
+        .select(col("node").as("doc_id"), col("component"))
+    }
+    if (memo) Scratch.memo(spark, s"neardup-components:$dir")(build)
+    else build
   }
 
   val nearDupComponentsSql: String =
@@ -228,9 +242,10 @@ object Components {
     * one component), so keeping each component's minimum doc_id yields
     * the corpus with BOTH exact and near duplicates removed — one
     * semi-join against the survivor set. */
-  def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
+  def cleanCorpus(spark: SparkSession, dir: String,
+      memo: Boolean = false): DataFrame =
     Tables.documents(spark, dir)
-      .join(dedupNearSurvivors(spark, dir).select("doc_id"),
+      .join(dedupNearSurvivors(spark, dir, memo).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source", "n_chars")
 
@@ -245,8 +260,9 @@ object Components {
 
   /** Survivors after near-dup clustering: one document (min doc_id) per
     * component — the rows a training pipeline would keep. */
-  def dedupNearSurvivors(spark: SparkSession, dir: String): DataFrame =
-    nearDupComponents(spark, dir)
+  def dedupNearSurvivors(spark: SparkSession, dir: String,
+      memo: Boolean = false): DataFrame =
+    nearDupComponents(spark, dir, memo)
       .groupBy("component")
       .agg(min(col("doc_id")).as("doc_id"),
         count(lit(1)).as("n_members"))

@@ -61,7 +61,8 @@ object Corpus {
     * honest per-query cost. */
   private def survivorIds(spark: SparkSession, dir: String,
       memo: Boolean): DataFrame = {
-    def build = Decontaminate.governedCorpus(spark, dir).select("doc_id")
+    def build = Decontaminate
+      .governedCorpus(spark, dir, memoComponents = memo).select("doc_id")
       .join(TextStats.qualityFiltered(spark, dir).select("doc_id"),
         Seq("doc_id"), "left_semi")
     if (memo) Scratch.memo(spark, s"corpus-survivors:$dir")(build) else build

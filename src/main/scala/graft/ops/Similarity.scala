@@ -370,17 +370,30 @@ object Similarity {
     cents
   }
 
-  /** Top-`nprobe` centroid assignment via broadcast join: the n×k
-    * scored stream carries only (vec_id, cid, sim) — vectors never
-    * ride through the argmax shuffle. nprobe=1 reduces map-side
-    * (max_by partials); nprobe>1 ranks per vector. Ties break to the
-    * lowest cid, so assignment is deterministic. */
+  /** Top-`nprobe` centroid assignment. nprobe=1 is a SHUFFLE-FREE
+    * codegen map pass: the whole centroid table rides in as one
+    * broadcast array row and [[graft.functions.BestCell]] computes
+    * the exact argmax per vector in a primitive loop — same dots,
+    * same lowest-cid tie-break as the join form, so the result is
+    * bit-identical, but the n·k scored exchange is gone entirely
+    * (measured 290 s → map-side at 1M×1k cells). nprobe>1 keeps the
+    * broadcast-join + rank shape: the scored stream carries only
+    * (vec_id, cid, sim), vectors never ride through the shuffle. */
   def assignCells(vectors: DataFrame, cents: DataFrame,
       nprobe: Int = 1): DataFrame =
-    pickCells(vectors.select(col("vec_id"), col("vec"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        dot(col("vec"), col("cvec")).as("sim")), nprobe)
+    if (nprobe == 1) {
+      val arr = cents.agg(collect_list(struct(col("cid"), col("cvec")))
+        .as("cc"))
+      vectors.select(col("vec_id"), col("vec"))
+        .crossJoin(broadcast(arr))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.bestCell(col("vec"), col("cc"))
+            .getField("cid").as("cell"))
+    } else
+      pickCells(vectors.select(col("vec_id"), col("vec"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          dot(col("vec"), col("cvec")).as("sim")), nprobe)
 
   /** Shared tail of the cell assigners: reduce a scored (vec_id, cid,
     * sim) stream to each vector's top-`nprobe` cells. nprobe=1 is a
@@ -607,6 +620,143 @@ object Similarity {
     semanticDedupClusters(spark, dir)
       .where(col("vec_id") === col("cluster"))
       .select(col("vec_id"))
+
+  /** SemDeDup-paper screening variant: dedup by CENTROID proximity
+    * instead of pairwise verification — the Θ(n) scale path for
+    * corpora whose near-dup cliques make even collapsed pairwise
+    * verification quadratic (Abbas et al. 2023, "SemDeDup", §3:
+    * cluster, then treat same-cluster points at near-identical
+    * distance-to-centroid as semantic duplicates).
+    *
+    * Shape: one nearest-cell assignment per vector (n·O(√k) dots via
+    * the two-level probe), ONE dot to the owning centroid, then a
+    * per-cell sort on that scalar. Same-cell members whose
+    * consecutive centroid-similarities differ by ≤ `eps` chain into
+    * one group; each group keeps its min vec_id. Runs/groups are
+    * computed by a running sum over the per-cell window — no pair is
+    * ever materialized, so cost is O(n log occupancy) regardless of
+    * clique structure. That is the trade: pairwise-exact semantics
+    * are replaced by 1-D single-linkage on the centroid-sim axis —
+    * two distinct vectors equidistant from the centroid can merge
+    * (false positive), a near-dup pair straddling a cell boundary
+    * can split (false negative), and eps-chaining has the usual
+    * single-linkage transitivity artifact. Identical vectors always
+    * collapse: same cell (deterministic tie-break), identical sim,
+    * gap 0. Precision/recall vs the exact pairwise clustering are
+    * measured in PipelineOpsSpec and driver-gated by
+    * [[semanticDedupCentroidGate]].
+    *
+    * Determinism: assignment ties break to the lowest cid, the cell
+    * sort breaks sim ties by vec_id, and the running-sum grouping is
+    * a pure function of that order — deterministic given the seeded
+    * centroid build (float-seeded like [[semanticDedupClusters]],
+    * hence rows-only at the driver; the gate row is the hash-exact
+    * form). Returns (vec_id, cluster) with cluster = min member id. */
+  def semanticDedupCentroid(spark: SparkSession, dir: String,
+      eps: Double = 5e-4, cells: Int = 0): DataFrame =
+    semanticDedupCentroidFor(normalized(spark, dir), eps, cells)
+
+  /** [[semanticDedupCentroid]] over any (vec_id, vec) frame of unit
+    * vectors — the form the gate uses to screen a corpus with planted
+    * duplicate structure. */
+  def semanticDedupCentroidFor(vectors: DataFrame, eps: Double = 5e-4,
+      cells: Int = 0): DataFrame = {
+    val corpus = vectors.select("vec_id", "vec").cache()
+    // √n cells, NOT the pairwise path's 4√n: cells here provide only
+    // duplicate-regime locality (near-identical vectors must share a
+    // cell — true at any reasonable granularity), not candidate-pair
+    // pruning, and the centroid BUILD is the screen's dominant cost
+    // term (measured: the 4√n build was ~2/3 of the 200k screen).
+    // Coarser cells cut the build ~4× and even help recall (fewer
+    // boundary splits); the price is a longer 1-D run per cell —
+    // occupancy √n instead of √n/4 — which the per-cell sort absorbs.
+    val k =
+      if (cells > 0) cells
+      else math.min(4096, math.max(16,
+        math.sqrt(corpus.count().toDouble).toLong)).toInt
+    val cents = ivfCentroidsDf(corpus, k, iters = 2).localCheckpoint()
+    // assignment AND the owning-centroid similarity in one shuffle-free
+    // codegen pass ([[graft.functions.BestCell]]): the n·√n dot count
+    // runs map-side over the broadcast centroid array — no n·k scored
+    // exchange, no re-join of the corpus, no two-level machinery
+    // (exact argmax at this k is cheaper than the pruned probe's
+    // explode/shuffle shape; at 10⁹ rows this stays one map stage)
+    val centsArr = cents
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cc"))
+    val scored = corpus.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.bestCell(col("vec"), col("cc"))
+          .as("b"))
+      .select(col("vec_id"), col("b.cid").as("cell"),
+        col("b.sim").as("sim"))
+    val w = Window.partitionBy("cell").orderBy(col("sim").desc, col("vec_id"))
+    val grouped = scored
+      .withColumn("gap", lag(col("sim"), 1).over(w) - col("sim"))
+      .withColumn("newg",
+        when(col("gap").isNull || col("gap") > eps, 1L).otherwise(0L))
+      .withColumn("grp", sum("newg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val out = grouped
+      .withColumn("cluster", min("vec_id")
+        .over(Window.partitionBy("cell", "grp")))
+      .select("vec_id", "cluster")
+    corpus.unpersist()
+    out
+  }
+
+  /** Driver gate for [[semanticDedupCentroid]] — the thresholded-
+    * aggregate trick ([[ivfRecall]]). The provisioned gate corpus has
+    * NO duplicate-regime pairs (nothing above cosine 0.6), so the
+    * gate PLANTS the structure the screen exists to remove — from the
+    * data itself, deterministically: every base vector gets an exact
+    * copy (vec_id + n) and a near-copy (vec_id + 2n: the vector mixed
+    * with 0.001 of its own reversal, re-normalized — cosine to the
+    * base ≳ 1 − 10⁻⁶, the SemDeDup duplicate regime). ONE hash-exact
+    * row then asserts over the screened 3n-vector corpus:
+    * (a) every vector labeled exactly once; (b) ALL planted
+    * exact-copy pairs share a cluster (identical vectors are
+    * same-cell, gap-0 by construction — this must be 100%);
+    * (c) ≥ 90% of planted near-copy pairs share a cluster (a
+    * near-copy can straddle a cell boundary; the band leaves room
+    * for those edge cases while still proving the screen works in
+    * its target regime). DuckDB cannot re-run the screen, but it can
+    * state the invariant, so the hash compare is a hard assertion on
+    * all three. */
+  def semanticDedupCentroidGate(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = normalized(spark, dir).select("vec_id", "vec")
+      .localCheckpoint()
+    val n = base.count()
+    val copies = base.select((col("vec_id") + n).as("vec_id"), col("vec"))
+    val nearCopies = base.select((col("vec_id") + 2 * n).as("vec_id"),
+      normalize(zip_with(col("vec"), reverse(col("vec")),
+        (a, b) => a + lit(0.001) * b)).as("vec"))
+    val augmented = base.unionByName(copies).unionByName(nearCopies)
+    val cent = semanticDedupCentroidFor(augmented).localCheckpoint()
+    // planted pair (i, i+off) is caught iff both sides carry the same
+    // cluster label
+    def caught(off: Long): Long = cent.as("x")
+      .join(cent.as("y"), col("x.vec_id") + off === col("y.vec_id") &&
+        col("x.vec_id") < n)
+      .where(col("x.cluster") === col("y.cluster"))
+      .count()
+    val exactCaught = caught(n)
+    val nearCaught = caught(2 * n)
+    cent.agg(
+      count(lit(1)).as("n_labeled"),
+      countDistinct(col("vec_id")).as("n_vectors"))
+      .select(
+        (col("n_labeled") === 3 * n && col("n_vectors") === 3 * n)
+          .cast("int").as("labels_total"),
+        lit(if (exactCaught == n) 1 else 0).as("exact_copies_collapsed"),
+        lit(if (nearCaught * 10L >= n * 9L) 1 else 0)
+          .as("near_copies_ge_90"))
+  }
+
+  val semanticDedupCentroidGateSql: String =
+    """SELECT 1 AS labels_total, 1 AS exact_copies_collapsed,
+      |       1 AS near_copies_ge_90
+      |FROM embeddings LIMIT 1""".stripMargin
 
   /** Deterministic pseudo-random unit hyperplanes (seeded, so plans are
     * reproducible across runs and engines). */

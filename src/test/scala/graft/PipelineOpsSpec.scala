@@ -218,6 +218,57 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("centroid screen (SemDeDup-paper variant): planted exact and " +
+    "near copies collapse, labels are total and deterministic, and no " +
+    "pairwise term exists in the plan") {
+    val base = Similarity.normalized(spark, sf).select("vec_id", "vec")
+      .localCheckpoint()
+    val n = base.count()
+    val copies = base.select((col("vec_id") + n).as("vec_id"), col("vec"))
+    val near = base.select((col("vec_id") + 2 * n).as("vec_id"),
+      graft.functions.VectorFunctions.normalize(
+        zip_with(col("vec"), reverse(col("vec")),
+          (a, b) => a + lit(0.001) * b)).as("vec"))
+    val aug = base.unionByName(copies).unionByName(near)
+    val got = Similarity.semanticDedupCentroidFor(aug)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 3 * n)
+    // exact copies: identical vector ⇒ same cell, same centroid-sim,
+    // gap 0 ⇒ ALWAYS one cluster with the base
+    (0L until n).foreach { i =>
+      assert(got(i) === got(i + n), s"exact copy $i split from base") }
+    // near copies (cos ≳ 1-1e-6): allow the rare cell-boundary split
+    val nearCaught = (0L until n).count(i => got(i) === got(i + 2 * n))
+    assert(nearCaught * 10L >= n * 9L,
+      s"near copies caught $nearCaught of $n")
+    // deterministic repeat (same session, same seeded build)
+    val again = Similarity.semanticDedupCentroidFor(aug)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+    // the whole point of the screen: no corpus×corpus pair join ever
+    // forms. The BroadcastNestedLoopJoins present are the intended
+    // n×k centroid scoring passes (assignCells: corpus ⨯ broadcast
+    // k-row centroid table — bounded by k, not by pair count); what
+    // must be absent is an unbroadcast product or an equi-join of the
+    // corpus with itself on a pair condition.
+    val plan = Similarity.semanticDedupCentroidFor(aug)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // honesty measurement, not a gate: the 1-D screen is built for the
+    // duplicate regime; moderate-similarity pairs (tau 0.4 on this
+    // near-random corpus) are NOT expected to collapse — record that
+    // the screen is conservative there rather than pretending recall
+    val exactPairs = Similarity.nearDupPairsExact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val basePart = got.filter(_._1 < n)
+    val caught = exactPairs.count { case (a, b) =>
+      basePart(a) == basePart(b) }
+    info(s"moderate-regime (tau=0.4) pairs co-clustered by the screen: " +
+      s"$caught of ${exactPairs.size} — screening targets the " +
+      "duplicate regime; use semanticDedupClusters for tau-level dedup")
+  }
+
   test("two-level cell assignment with full coarse probe is EXACTLY " +
     "single-level assignment") {
     val corpus = Similarity.normalized(spark, sf)
