@@ -13,12 +13,18 @@ import graft.core.Tables
   * Algorithm: iterative min-label propagation with pointer jumping.
   * Each round every node adopts the minimum component id among itself
   * and its neighbors (one shuffle join edges⋈labels + one min-agg),
-  * then labels compress by one pointer-jump (label := label(label),
-  * a self-join of the small label table). Propagation alone needs
-  * O(diameter) rounds; the pointer-jump gives the O(log n) behavior of
-  * the classic large-star/small-star contraction. Near-dup components
-  * are quasi-cliques (tiny diameter), so in practice this converges in
-  * 2-4 rounds.
+  * then labels compress by THREE pointer-jumps (label := label(label),
+  * self-joins of the small label table) that shortcut label chains.
+  * Near-dup components are quasi-cliques (tiny diameter), so in
+  * practice this converges in 2-4 rounds; adversarial path-like
+  * graphs take ~diameter/k rounds (a 500-node random graph with long
+  * filaments measured 33), which is why maxIter defaults to 100 and a
+  * maxIter exit with labels still moving fails LOUDLY — the old
+  * silent exit returned unmerged components, caught by the union-find
+  * equivalence spec. Small edge sets (≤ `smallGraphEdges`) skip the
+  * loop entirely for a single-task union-find over the edges —
+  * bit-identical labels, none of the per-round fixed cost, any
+  * diameter.
   *
   * Scale design (100 TB):
   *  - Every iteration shuffles only (node, component) longs — never
@@ -40,7 +46,7 @@ object Components {
     * deterministic, so results are engine- and partitioning-invariant.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 100, smallGraphEdges: Long = 4000000L): DataFrame = {
     // materialize the symmetrized edge list ONCE — edges is typically
     // the tail of an expensive pair pipeline (shingle join / LSH), and
     // every iteration below consumes it; without this boundary the
@@ -48,8 +54,64 @@ object Components {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+    // Small-graph fast path: near-dup edge sets are usually TINY
+    // relative to the node set (most documents are singletons), and
+    // the iterative loop below pays 2 joins + a checkpoint + a count
+    // job PER ROUND — seconds of fixed cost that dominate small
+    // inputs. When the materialized edge list fits one task, run
+    // union-find over the EDGES ONLY in a single executor task
+    // (never the driver, never the full node set — isolated nodes
+    // need no computation: their component IS their id) and attach
+    // the labels back with one broadcast join. Same min-reachable-id
+    // contract, so the output is bit-identical to the loop's — the
+    // threshold only picks the cheaper physical plan, exactly like
+    // AQE picking a broadcast join. At 100 TB the edge count check is
+    // a count on already-materialized blocks, and a graph past the
+    // threshold (e.g. the 24M-edge 1M-vector stress) takes the
+    // distributed loop unchanged.
+    val nEdges = sym.count()
+    if (nEdges > 0 && nEdges <= smallGraphEdges) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          // min reachable id per root IS the min root after union by
+          // min: emit every edge-touched node with its root's label.
+          // Keys are snapshotted first — find() path-compresses (value
+          // updates) while we iterate.
+          val ks = parent.keys.toArray
+          ks.iterator.map(n => (n, find(n)))
+        }
+        .toDF("node", "component")
+        // eager: the union-find task must consume sym's blocks BEFORE
+        // they are freed below (the result is ≤ 2·nEdges slim rows)
+        .localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(sym)
+      return nodes.select(col("node"))
+        .join(broadcast(labels), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component"), col("node")).as("component"))
+    }
+    var labels = org.apache.spark.sql.graftbridge.Bridge.withFreshStats(
+      nodes.select(col("node"), col("node").as("component"))
+        .localCheckpoint())
     // superseded iterations release their blocks EAGERLY: without the
     // explicit unpersist every round's full label table stays pinned
     // in the block manager until GC+ContextCleaner catch up — at 24M
@@ -74,24 +136,68 @@ object Components {
           least(col("component"),
             coalesce(col("nbr_comp"), col("component"))).as("component"),
           col("component").as("old"))
-      // pointer jump: component := component(component) — compresses
-      // label chains so convergence is logarithmic, not diameter-bound
-      val jumped = adopted
-        .join(adopted.select(col("node").as("component"),
+      // pointer jumps: component := component(component), applied
+      // THREE times per round — repeated squaring, so each round
+      // compresses pointer chains 8× and convergence is exponential
+      // in rounds even on path-like graphs. (A single jump per round
+      // is only ~2 hops of progress — a high-diameter random graph
+      // exposed exactly that: the loop hit maxIter and silently
+      // returned unmerged labels until the loud require below and
+      // the extra jumps landed. Near-dup quasi-cliques never noticed:
+      // they converge in 2-4 rounds either way.) Extra jumps never
+      // change the fixed point — min-reachable labels are unique —
+      // they only reach it sooner, so results are oracle-invariant.
+      // Each jump materializes before the next plans against it:
+      // nesting the self-joins in ONE plan sends Catalyst's
+      // size-stats product into million-digit BigIntegers (measured:
+      // the stats visitor, not the data, was the bottleneck). The
+      // frames are (node, component, old) longs — materializing is
+      // cheap at any scale this loop reaches.
+      def jump(f: DataFrame): DataFrame =
+        f.join(f.select(col("node").as("component"),
           col("component").as("parent")), Seq("component"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("parent"), col("component")))
-            .as("component"),
-          col("old"))
-        .localCheckpoint()
+          .select(col("node"),
+            least(col("component"),
+              coalesce(col("parent"), col("component"))).as("component"),
+            col("old"))
+      // withFreshStats on every checkpoint: localCheckpoint copies the
+      // replaced plan's size statistics onto the checkpoint node, and
+      // join-size estimation MULTIPLIES them — across rounds the
+      // carried estimate compounds exponentially until Catalyst's
+      // stats visitor is doing hundred-megabit BigInteger math
+      // (measured: round 7 took 196 s of pure driver CPU before this;
+      // see Bridge.withFreshStats)
+      val temps = scala.collection.mutable.Buffer.empty[DataFrame]
+      var cur = org.apache.spark.sql.graftbridge.Bridge
+        .withFreshStats(adopted.localCheckpoint())
+      temps += cur
+      for (_ <- 0 until 3) {
+        val nxt = org.apache.spark.sql.graftbridge.Bridge
+          .withFreshStats(jump(cur).localCheckpoint())
+        temps += nxt
+        cur = nxt
+      }
+      val jumped = cur
       changed = jumped.where(col("component") =!= col("old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter changed=$changed " +
+          s"t=${System.nanoTime() / 1000000}ms")
       // jumped is materialized (eager checkpoint) — the previous
-      // round's blocks are unreachable now; free them
+      // round's blocks and this round's intermediate jumps are
+      // unreachable now; free them
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prevCkpt)
+      temps.dropRight(1).foreach(
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint)
       prevCkpt = jumped
       labels = jumped.select("node", "component")
       iter += 1
     }
+    // a maxIter exit with changes pending would return silently WRONG
+    // labels (unmerged components) — fail loudly instead; the caller
+    // can raise maxIter, and convergence is exponential in rounds
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter")
     // the symmetrized edge list is dead once the labels converge
     org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(sym)
     labels

@@ -42,4 +42,33 @@ object Bridge {
         ()
       case _ => ()
     }
+
+  /** Drop the inherited `originStats` from a `localCheckpoint`ed
+    * Dataset's `LogicalRDD`, reverting its size estimate to the
+    * session default.
+    *
+    * Why: `localCheckpoint` truncates the LINEAGE but copies the
+    * replaced plan's STATISTICS onto the checkpoint node. In an
+    * iterative algorithm each round's plan multiplies its inputs'
+    * sizeInBytes (join-size estimation), so the carried number
+    * compounds EXPONENTIALLY across rounds -- by round ~7 of the CC
+    * label loop the estimate is a hundred-megabit BigInteger and
+    * Catalyst's stats visitor spends minutes doing bignum
+    * multiplication (measured: round 6 = 9 s, round 7 = 196 s, pure
+    * driver CPU in BigInteger.multiply). Resetting to the default
+    * estimate keeps every round's planning O(1); the estimates were
+    * astronomically wrong anyway, and join-strategy choice inside the
+    * loop does not depend on them (both sides are checkpointed label
+    * tables). */
+  def withFreshStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val fresh = new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+          l.isStreaming, l.stream)(df.queryExecution.sparkSession)
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          df.queryExecution.sparkSession, fresh)
+      case _ => df
+    }
 }

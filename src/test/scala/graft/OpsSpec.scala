@@ -99,6 +99,29 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: small-graph union-find path is " +
+    "bit-identical to the iterative loop on a seeded random graph") {
+    // the fast path must be a pure physical-plan choice — same
+    // min-reachable-id labels as the distributed loop, every node
+    // present, isolated nodes labeled with their own id
+    val rng = new scala.util.Random(7)
+    val n = 500
+    val nodes = (0L until n.toLong).toDF("node")
+    val edges = Seq.fill(300)(
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val fast = graft.ops.Components.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loop = graft.ops.Components.connectedComponents(nodes, edges,
+        smallGraphEdges = 0L) // force the iterative path (33 rounds here)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast === loop)
+    assert(fast.size === n)
+    // label is the min member of each component
+    fast.groupBy(_._2).foreach { case (comp, members) =>
+      assert(comp === members.keys.min) }
+  }
+
   test("LSH dedup clusters equal exact-pair clusters on this corpus") {
     // LSH recall is 1.0 here (asserted above), so clustering the LSH
     // pair graph must reproduce the exact components
