@@ -246,6 +246,18 @@ object SparkEntry {
       Similarity.semanticDedupCentroid(s, d)),
     "q_semantic_dedup_centroid_gate" -> ((s: SparkSession, d: String) =>
       Similarity.semanticDedupCentroidGate(s, d)),
+    // screen-first hybrid: centroid screen collapses the duplicate
+    // regime, tau-level pairwise clustering decides the survivors
+    // (rows-only: float-seeded; invariance vs the unscreened path is
+    // spec'd, the hash-exact compensator is the composed-shards gate)
+    "q_semantic_dedup_screened" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDedupClustersScreened(s, d)),
+    // the flagship composition: training shards with embedding-level
+    // semantic dedup (rows-only) + its hash-exact gate row
+    "q_training_shards_semantic" -> ((s: SparkSession, d: String) =>
+      graft.ops.Corpus.trainingShardsSemantic(s, d, memoSurvivors = true)),
+    "q_training_shards_semantic_gate" -> ((s: SparkSession, d: String) =>
+      graft.ops.Corpus.trainingShardsSemanticGate(s, d)),
     // multimodal plumbing
     "q_media_features" -> (Multimodal.featureSummary _),
     "q_media_frames" -> (Multimodal.frameSampleSummary _),
@@ -342,6 +354,8 @@ object SparkEntry {
     "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
     "q_semantic_dedup_centroid_gate" ->
       Similarity.semanticDedupCentroidGateSql,
+    "q_training_shards_semantic_gate" ->
+      graft.ops.Corpus.trainingShardsSemanticGateSql,
     "q_ann_pq_recall" -> graft.ops.Quantize.pqRecallSql,
     "q_ann_ivfpq_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_ann_ivfpq_incr_recall" -> graft.ops.Quantize.ivfPqRecallSql,

@@ -161,6 +161,15 @@ case class AdcScore(left: Expression, right: Expression)
 case class BestCell(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // genuinely nullable regardless of child nullability: an EMPTY
+  // centroid array yields null (both eval paths). Inheriting
+  // `left.nullable || right.nullable` would, for non-nullable inputs,
+  // make codegen emit the literal `false` for ev.isNull — the empty-
+  // cells branch's `false = true;` assignment then fails Janino
+  // compilation and silently drops the whole stage to interpreted
+  // eval, which would return null from a "non-nullable" expression.
+  override def nullable: Boolean = true
+
   override def dataType: DataType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cid",

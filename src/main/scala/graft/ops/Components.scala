@@ -44,7 +44,18 @@ object Components {
     * `node`; `edges`: columns `src`, `dst` (one direction is enough).
     * Returns (node, component) where component = min node id reachable —
     * deterministic, so results are engine- and partitioning-invariant.
-    */
+    *
+    * PRECONDITION: `nodes` must contain every edge endpoint (nodes ⊇
+    * src ∪ dst). Every caller in this engine passes the full id
+    * universe, and the two physical paths below only agree under it:
+    * an edge endpoint absent from `nodes` would still merge its two
+    * neighbors in the union-find fast path (connectivity THROUGH the
+    * unknown node) but drop that link in the iterative loop (the
+    * label join finds no row for the unknown endpoint) — and neither
+    * answer is meaningful for a node set that excludes referenced
+    * nodes. The precondition keeps the fast-path/loop equivalence
+    * unconditional (union-find equivalence spec, seeded 500-node
+    * graph) without paying an edges⋉nodes semi-join per call. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 100, smallGraphEdges: Long = 4000000L): DataFrame = {
     // materialize the symmetrized edge list ONCE — edges is typically
@@ -252,8 +263,13 @@ object Components {
     * dir) across the whole derivative family — survivors, clean
     * corpus, governed corpus — the way a production pipeline
     * materializes its component labels once and derives everything
-    * downstream from them. Bounded (two longs per doc) and
-    * deterministic. MUST stay false when `dir`'s content can change
+    * downstream from them. This is the ONE corpus-sized frame the
+    * memo contract sanctions (see [[Scratch.memo]]): two longs per
+    * doc (~16 GB across a cluster at 10⁹ docs, a ~10⁻⁷ fraction of
+    * the corpus it labels), MEMORY_AND_DISK so memory pressure spills
+    * it to disk, pinned for the session precisely because five
+    * registered derivative queries re-read it. Deterministic.
+    * MUST stay false when `dir`'s content can change
     * within the session (the [[Corpus.trainingShards]] memoSurvivors
     * rule: streaming recomputations see a growing corpus). */
   def nearDupComponents(spark: SparkSession, dir: String,

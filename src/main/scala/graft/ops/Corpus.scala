@@ -300,6 +300,147 @@ object Corpus {
        |       string_agg(text, ' ' ORDER BY k) AS payload
        |FROM c GROUP BY shard_id""".stripMargin
 
+  /** [[trainingShards]] with EMBEDDING-level semantic dedup composed
+    * in — the r9 verdict's missing composition: text-grain governance
+    * (near-dup CC + decontamination + quality) catches lexical
+    * duplication, but paraphrases and re-encodings of the same
+    * content survive it; the screened semantic hybrid
+    * ([[Similarity.semanticDedupClustersScreened]]: centroid screen
+    * collapses the duplicate regime with no pairwise term, tau-level
+    * exact-cosine clustering decides the survivors) drops them at the
+    * embedding level. Embeddings align to documents by id (one vector
+    * per document — `vec_id` = `doc_id` in the provisioned tables; a
+    * production run would join on an explicit mapping).
+    *
+    * Composition discipline: the semantic stage only REMOVES — a doc
+    * is dropped iff its vector is a non-surviving member of a
+    * semantic cluster (an ANTI-join against the non-survivor ids, so
+    * documents WITHOUT an embedding pass through on text-governance
+    * alone rather than vanishing on missing evidence). Packing is
+    * identical to [[trainingShards]]; the survivor set is just one
+    * anti-join smaller. Scale shape: the non-survivor id set rides
+    * the same slim semi/anti-join lane as the text survivor ids (AQE
+    * broadcasts both), and the semantic stage's own cost is the
+    * screened hybrid's (screen = one map pass + one cell exchange;
+    * pairwise only over screen survivors).
+    *
+    * Float-seeded (centroid builds), hence rows-only at the driver;
+    * the hash-exact compensating row is
+    * [[trainingShardsSemanticGate]]. */
+  def trainingShardsSemantic(spark: SparkSession, dir: String,
+      seed: Int = 0, budget: Long = 4096L,
+      memoSurvivors: Boolean = false): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val survivors = docs.select("doc_id", "text")
+      .join(survivorIds(spark, dir, memoSurvivors), Seq("doc_id"), "left_semi")
+      .join(semanticDropIds(spark, dir, memoSurvivors),
+        Seq("doc_id"), "left_anti")
+    val keyed = survivors.select(
+      concat(md5(concat(lit(s"graft:$seed:"), col("doc_id").cast("string"))),
+        lit(":"), col("doc_id").cast("string")).as("k"),
+      col("text"))
+    Pack.packIntoShards(keyed, "k", size(split(col("text"), " ")), budget)
+      .withColumn("doc_id",
+        element_at(split(col("k"), ":"), 2).cast("long"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("w").as("shard_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("k"), col("text")))),
+          s => s.getField("text"))).as("payload"))
+  }
+
+  /** Doc ids the semantic stage removes: non-surviving members of the
+    * screened-hybrid clusters. Memoized per (session, dir) like the
+    * text survivor set when `memo` — ids only, and the gate + the
+    * registered query share one screened run. */
+  private def semanticDropIds(spark: SparkSession, dir: String,
+      memo: Boolean): DataFrame = {
+    def build = Similarity.semanticDedupClustersScreened(spark, dir)
+      .where(col("vec_id") =!= col("cluster"))
+      .select(col("vec_id").as("doc_id"))
+    if (memo) Scratch.memo(spark, s"semantic-drop:$dir")(build) else build
+  }
+
+  /** Hash-exact driver gate for the semantic composition — the
+    * thresholded-aggregate trick ([[Similarity.ivfRecall]]): DuckDB
+    * cannot re-run the float-seeded screen, but it can state the
+    * invariant, so the hash compare becomes a hard assertion on all
+    * four flags.
+    *
+    * Flags, each computed from the actual frames:
+    *  - `exact_copies_clustered` / `near_copies_clustered`: on a
+    *    PLANTED corpus (every base vector gets an exact copy at
+    *    vec_id+n and a near-copy at vec_id+2n — the
+    *    [[Similarity.semanticDedupCentroidGate]] construction), the
+    *    screened HYBRID co-clusters 100% of BOTH plant families.
+    *    Stronger than the screen-alone gate's ≥90% near band: a
+    *    near-copy the screen splits at a cell boundary survives into
+    *    the pairwise stage, which catches it as a tau pair (cos ≳
+    *    1−10⁻⁶ ≥ tau) — the whole point of the composition.
+    *  - `packed_docs_exact`: over the real `dir`, Σ n_docs of the
+    *    semantic shards = |text survivors ∖ semantic drops| AND
+    *    Σ shard_tokens = the token mass of exactly that set — the
+    *    packed corpus is the composed survivor set, nothing added,
+    *    nothing lost.
+    *  - `subset_of_unscreened`: the semantic stage only removes —
+    *    semantic Σ n_docs ≤ plain [[trainingShards]] Σ n_docs. */
+  def trainingShardsSemanticGate(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import Similarity.normalized
+    import graft.functions.VectorFunctions.normalize
+    // planted-structure check (bounded: 3n vectors, n = gate corpus)
+    val base = normalized(spark, dir).select("vec_id", "vec")
+      .localCheckpoint()
+    val n = base.count()
+    val copies = base.select((col("vec_id") + n).as("vec_id"), col("vec"))
+    val nearCopies = base.select((col("vec_id") + 2 * n).as("vec_id"),
+      normalize(zip_with(col("vec"), reverse(col("vec")),
+        (a, b) => a + lit(0.001) * b)).as("vec"))
+    val aug = base.unionByName(copies).unionByName(nearCopies)
+    val lab = Similarity.semanticDedupClustersScreenedFor(aug)
+      .localCheckpoint()
+    def caught(off: Long): Long = lab.as("x")
+      .join(lab.as("y"), col("x.vec_id") + off === col("y.vec_id") &&
+        col("x.vec_id") < n)
+      .where(col("x.cluster") === col("y.cluster"))
+      .count()
+    val exactOk = caught(n) == n
+    val nearOk = caught(2 * n) == n
+    // composition arithmetic over the real dir (shares the memoized
+    // survivor/drop sets with the registered query)
+    val expected = Tables.documents(spark, dir).select("doc_id", "text")
+      .join(survivorIds(spark, dir, memo = true), Seq("doc_id"), "left_semi")
+      .join(semanticDropIds(spark, dir, memo = true),
+        Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+          .as("tok"))
+      .head()
+    val packed = trainingShardsSemantic(spark, dir, memoSurvivors = true)
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+        coalesce(sum("shard_tokens"), lit(0L)).as("tok"),
+        count(lit(1)).as("n_shards"))
+      .head()
+    val plainDocs = trainingShards(spark, dir, memoSurvivors = true)
+      .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+    spark.range(1).select(
+      lit(if (exactOk) 1 else 0).as("exact_copies_clustered"),
+      lit(if (nearOk) 1 else 0).as("near_copies_clustered"),
+      lit(if (packed.getLong(0) == expected.getLong(0) &&
+          packed.getLong(1) == expected.getLong(1) &&
+          packed.getLong(2) > 0) 1 else 0).as("packed_docs_exact"),
+      lit(if (packed.getLong(0) <= plainDocs) 1 else 0)
+        .as("subset_of_unscreened"))
+  }
+
+  val trainingShardsSemanticGateSql: String =
+    """SELECT 1 AS exact_copies_clustered, 1 AS near_copies_clustered,
+      |       1 AS packed_docs_exact, 1 AS subset_of_unscreened
+      |FROM documents LIMIT 1""".stripMargin
+
   val trainingShardsSql: String =
     s"""WITH surv AS (
        |  SELECT d.doc_id, d.text FROM documents d

@@ -21,8 +21,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver run, a new bench) rebuilds from scratch — caching never
   * crosses a process boundary, and correctness never depends on it:
   * the cache only collapses REPEATS of a deterministic build inside
-  * one JVM. A failed build stores nothing (computeIfAbsent drops the
-  * mapping when the builder throws), so a retry rebuilds cleanly. */
+  * one JVM. A failed build stores nothing (the builder runs OUTSIDE
+  * the map and only a successful result is published), so a retry
+  * rebuilds cleanly.
+  *
+  * Concurrency: lookups deliberately do NOT use `computeIfAbsent` —
+  * several builds are REENTRANT on these maps (the delete-gate index
+  * copies the shared gate index, the survivor memo builds through the
+  * components memo), and the JDK contract forbids a mapping function
+  * from touching its own map mid-computation: when two keys land in
+  * one hash bin that can livelock or corrupt the bin. Instead: check,
+  * build outside the map, publish with `putIfAbsent`. Builds are
+  * deterministic, so the rare lost race just discards an identical
+  * duplicate (the loser's temp dir / checkpoint blocks are released
+  * on the spot). */
 object Scratch {
 
   private val dirs =
@@ -42,19 +54,24 @@ object Scratch {
   def cached(spark: SparkSession, key: String, prefix: String)(
       build: String => Unit): String = {
     val fullKey = spark.sparkContext.applicationId + ":" + key
-    dirs.computeIfAbsent(fullKey, { _ =>
-      if (hooked.compareAndSet(false, true))
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          dirs.values.forEach { d =>
-            // the cached path is <tmpbase>/index — remove the whole
-            // temp base the gate minted
-            deleteRecursively(new java.io.File(d).getParentFile)
-          }))
-      val base = java.nio.file.Files.createTempDirectory(prefix)
-      val path = base.toString + "/index"
-      build(path)
-      path
-    })
+    val hit = dirs.get(fullKey)
+    if (hit != null) return hit
+    if (hooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        dirs.values.forEach { d =>
+          // the cached path is <tmpbase>/index — remove the whole
+          // temp base the gate minted
+          deleteRecursively(new java.io.File(d).getParentFile)
+        }))
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    val path = base.toString + "/index"
+    build(path)
+    val prior = dirs.putIfAbsent(fullKey, path)
+    if (prior != null) {
+      // lost a race to an identical build — drop the duplicate
+      deleteRecursively(base.toFile)
+      prior
+    } else path
   }
 
   private val frames =
@@ -70,14 +87,34 @@ object Scratch {
     * one materialization pinned in executor storage.
     *
     * Only memoize results that are (a) bounded — gate top-k lists and
-    * recall instruments, O(queries·k) rows, never corpus-sized — and
+    * recall instruments, O(queries·k) rows — and
     * (b) deterministic within one session (seeded builds qualify: the
     * partition-layout float caveat on Lloyd means cross-SESSION runs
     * may differ in the last ulp, but a repeat inside one session is
     * identical by construction, so caching changes nothing a driver
     * gate can observe). Keyed by application id like [[cached]]:
-    * fresh process, fresh compute. */
-  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    frames.computeIfAbsent(
-      spark.sparkContext.applicationId + ":" + key, _ => build.localCheckpoint())
+    * fresh process, fresh compute.
+    *
+    * ONE sanctioned exception to the bounded rule: the near-dup
+    * component labels ([[Components.nearDupComponents]] `memo=true`)
+    * are one (doc_id, component) row PER DOCUMENT — but two longs per
+    * doc (16 bytes; ~16 GB spread across a cluster at 10⁹ docs,
+    * ~0.00002% of the corpus it labels), stored MEMORY_AND_DISK by
+    * `localCheckpoint` so memory pressure spills it rather than
+    * evicting work, and it is exactly the artifact a production
+    * pipeline materializes once (the component-label table) before
+    * deriving survivors / clean corpus / governance from it. Anything
+    * larger — text, vectors, pair lists — stays out. */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val fullKey = spark.sparkContext.applicationId + ":" + key
+    val hit = frames.get(fullKey)
+    if (hit != null) return hit
+    val built = build.localCheckpoint()
+    val prior = frames.putIfAbsent(fullKey, built)
+    if (prior != null) {
+      // lost a race to an identical build — free the duplicate blocks
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(built)
+      prior
+    } else built
+  }
 }

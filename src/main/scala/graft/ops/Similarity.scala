@@ -524,35 +524,16 @@ object Similarity {
     * clustering are asserted in PipelineOpsSpec. Rows-only at the
     * driver gate: centroid averaging is float arithmetic, not
     * bit-portable across engines. */
-  def semanticDedupClusters(spark: SparkSession, dir: String,
-      tau: Double = 0.4, cells: Int = 0, nprobe: Int = 4,
-      twoLevelFrom: Int = 512): DataFrame = {
-    val corpusAll = normalized(spark, dir).cache()
-    // exact-duplicate collapse before candidate generation — the
-    // [[Components.collapseExact]] discipline applied to VECTORS.
-    // Identical embeddings (the same content embedded twice — routine
-    // at corpus scale) are cosine-1 pairs, always ≥ tau, so every
-    // member of an identical-vector group belongs to its
-    // representative's cluster and every neighbor decision for a
-    // member is the same pure function of the two vectors as for the
-    // rep: clustering reps only and adding rep→member star edges is
-    // output-invariant. Without it the within-cell candidate join is
-    // quadratic per clique — m copies of one vector contribute m²/2
-    // pairs in EVERY probed cell (measured: the m² term dominated the
-    // 1M-vector stress before this collapse, see SCALE.md). Grouping
-    // is by the vector VALUE (collision-proof, one (vec, id) shuffle
-    // of the same volume the normalize pass already moves); at 10⁹
-    // vectors swap the key for a 128-bit content hash.
-    val reps = corpusAll.groupBy("vec")
-      .agg(min("vec_id").as("rep_id"))
-    val corpus = corpusAll.join(
-        reps.select(col("rep_id").as("vec_id")), Seq("vec_id"),
-        "left_semi")
-      .cache()
-    val stars = corpusAll.select(col("vec_id"), col("vec"))
-      .join(reps, "vec")
-      .where(col("vec_id") =!= col("rep_id"))
-      .select(col("rep_id").as("src"), col("vec_id").as("dst"))
+  /** Tau-verified near-dup pairs over an already-collapsed corpus of
+    * unit vectors — the middle of [[semanticDedupClusters]], shared
+    * with the screened hybrid ([[semanticDedupClustersScreened]]).
+    * `corpus` must be duplicate-collapsed (identical vectors reduced
+    * to one representative — the m²-per-clique precondition) and
+    * cached by the caller; returns verified (src, dst) id pairs with
+    * cosine ≥ tau, each pair's dot computed exactly once at its
+    * smallest shared probe cell. */
+  private def tauVerifiedPairs(corpus: DataFrame, tau: Double,
+      cells: Int, nprobe: Int, twoLevelFrom: Int): DataFrame = {
     val k =
       if (cells > 0) cells
       else math.min(4096, math.max(16,
@@ -590,7 +571,7 @@ object Similarity {
       .join(corpus.select("vec_id", "vec"), "vec_id")
     val sided = probes.select(col("vec_id"), col("vec"), col("cells"),
       explode(col("cells")).as("cell"))
-    val pairs = sided.as("a")
+    sided.as("a")
       .join(sided.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -598,6 +579,38 @@ object Similarity {
           array_min(array_intersect(col("a.cells"), col("b.cells"))) &&
         dot(col("a.vec"), col("b.vec")) >= tau)
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+  }
+
+  def semanticDedupClusters(spark: SparkSession, dir: String,
+      tau: Double = 0.4, cells: Int = 0, nprobe: Int = 4,
+      twoLevelFrom: Int = 512): DataFrame = {
+    val corpusAll = normalized(spark, dir).cache()
+    // exact-duplicate collapse before candidate generation — the
+    // [[Components.collapseExact]] discipline applied to VECTORS.
+    // Identical embeddings (the same content embedded twice — routine
+    // at corpus scale) are cosine-1 pairs, always ≥ tau, so every
+    // member of an identical-vector group belongs to its
+    // representative's cluster and every neighbor decision for a
+    // member is the same pure function of the two vectors as for the
+    // rep: clustering reps only and adding rep→member star edges is
+    // output-invariant. Without it the within-cell candidate join is
+    // quadratic per clique — m copies of one vector contribute m²/2
+    // pairs in EVERY probed cell (measured: the m² term dominated the
+    // 1M-vector stress before this collapse, see SCALE.md). Grouping
+    // is by the vector VALUE (collision-proof, one (vec, id) shuffle
+    // of the same volume the normalize pass already moves); at 10⁹
+    // vectors swap the key for a 128-bit content hash.
+    val reps = corpusAll.groupBy("vec")
+      .agg(min("vec_id").as("rep_id"))
+    val corpus = corpusAll.join(
+        reps.select(col("rep_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .cache()
+    val stars = corpusAll.select(col("vec_id"), col("vec"))
+      .join(reps, "vec")
+      .where(col("vec_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("vec_id").as("dst"))
+    val pairs = tauVerifiedPairs(corpus, tau, cells, nprobe, twoLevelFrom)
     // every vector is a node; duplicate members connect through their
     // rep's star edge, so component labels (min reachable id) — hence
     // survivor sets — are what the uncollapsed flow would produce
@@ -620,6 +633,103 @@ object Similarity {
     semanticDedupClusters(spark, dir)
       .where(col("vec_id") === col("cluster"))
       .select(col("vec_id"))
+
+  /** SCREEN-FIRST hybrid semantic dedup — the composition the r9
+    * measurements argued for: the centroid screen
+    * ([[semanticDedupCentroidFor]], one map stage + one cell exchange,
+    * no pairwise term) collapses the DUPLICATE regime (exact copies
+    * and near-identical vectors, the cliques that make even collapsed
+    * pairwise verification quadratic), then tau-level pairwise
+    * clustering ([[tauVerifiedPairs]] → CC) runs over the screen
+    * SURVIVORS only; screen members rejoin their representative's
+    * component through star edges.
+    *
+    * Why both stages: the screen alone is 1-D single-linkage on the
+    * centroid-sim axis — exhaustive in the duplicate regime (gate-
+    * proven: 100% exact copies, ≥90% near copies) but blind to
+    * moderate-similarity pairs (measured 2/66 at tau=0.4); the
+    * pairwise stage alone pays the m²-per-clique term on duplicate-
+    * heavy corpora even after exact-vector collapse (near-copies are
+    * NOT exact-equal, so `collapseExact`'s group-by-value never sees
+    * them — SCALE.md: 189.7 s pairwise vs 13.0 s screen at 200k on a
+    * 100×-duplicated corpus). Screen-first gets both: duplicate
+    * cliques never reach the pair join (each clique enters as ONE
+    * representative), and tau semantics still decide every surviving
+    * pair by exact cosine.
+    *
+    * Screen proposes, cosine disposes: the screen's 1-D single-
+    * linkage has a documented false-positive mode (distinct vectors
+    * equidistant from a centroid chain together — measured ~180
+    * spurious co-pairs on the 1500-vector planted spec corpus before
+    * this), so every screen-proposed member is VERIFIED with one
+    * exact dot against its representative before it is dropped:
+    * cos(member, rep) ≥ tau keeps the merge (the star edge is then a
+    * true tau edge), anything else falls back into the pairwise pool
+    * and gets full tau treatment. One dot per vector — Θ(n), two
+    * id-keyed joins — so the no-pairwise-term property of the screen
+    * is preserved while precision vs the exact tau closure becomes
+    * 1.0 UNCONDITIONALLY (every co-pair traces through exact-cosine-
+    * verified edges only; asserted in PipelineOpsSpec). A near-copy
+    * straddling a cell boundary survives as its own node and is
+    * caught by the pairwise stage — so planted near-duplicates
+    * co-cluster 100%, stronger than the screen-alone ≥90% band.
+    * Remaining divergence vs the unscreened path: a member is
+    * verified against its REP only, so a moderate-similarity CHAIN
+    * (member—other ≥ tau but member—rep ≥ tau decides the drop)
+    * can route through the rep rather than the chain — same
+    * single-linkage closure, recall-band-equivalent (spec'd).
+    *
+    * Scale shape: screen = one best-cell map pass + per-cell sort;
+    * the pairwise stage sees only survivors (duplicate-heavy corpora
+    * shrink toward their distinct content), so the Θ(m^1.5) pair term
+    * runs at m = survivors ≪ n. Stage costs at 200k/1M are SCALE.md
+    * rows. */
+  def semanticDedupClustersScreened(spark: SparkSession, dir: String,
+      tau: Double = 0.4, eps: Double = 5e-4, cells: Int = 0,
+      nprobe: Int = 4, twoLevelFrom: Int = 512): DataFrame =
+    semanticDedupClustersScreenedFor(normalized(spark, dir), tau, eps,
+      cells, nprobe, twoLevelFrom)
+
+  /** [[semanticDedupClustersScreened]] over any (vec_id, vec) frame of
+    * unit vectors. */
+  def semanticDedupClustersScreenedFor(vectors: DataFrame,
+      tau: Double = 0.4, eps: Double = 5e-4, cells: Int = 0,
+      nprobe: Int = 4, twoLevelFrom: Int = 512): DataFrame = {
+    val corpusAll = vectors.select("vec_id", "vec").cache()
+    // stage 1 — the screen. Its cluster label is the min member id, so
+    // survivors are exactly the rows labeled with their own id. The
+    // screen subsumes collapseExact: identical vectors share a cell
+    // (deterministic tie-break), identical centroid-sim, gap 0.
+    val screen = semanticDedupCentroidForCached(corpusAll, eps, cells)
+      .localCheckpoint()
+    // verify every proposed merge with ONE exact dot against the
+    // representative (see scaladoc): Θ(n) — two id-keyed joins, the
+    // vectors ride once each, no pair term. Slim (vec_id, cluster)
+    // checkpoint; the vector columns never leave this block.
+    val proposed = screen.where(col("vec_id") =!= col("cluster"))
+      .join(corpusAll, "vec_id")
+      .join(corpusAll.select(col("vec_id").as("cluster"),
+        col("vec").as("rvec")), "cluster")
+      .where(dot(col("vec"), col("rvec")) >= tau)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint()
+    val stars = proposed
+      .select(col("cluster").as("src"), col("vec_id").as("dst"))
+    // pairwise pool = everyone not verified-dropped (screen survivors
+    // AND rejected members)
+    val corpus = corpusAll.join(proposed.select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .cache()
+    // stage 2 — tau-level pairwise clustering on survivors only
+    val pairs = tauVerifiedPairs(corpus, tau, cells, nprobe, twoLevelFrom)
+    val clusters = Components.connectedComponents(
+        corpusAll.select(col("vec_id").as("node")),
+        pairs.unionByName(stars))
+      .select(col("node").as("vec_id"), col("component").as("cluster"))
+    corpus.unpersist()
+    corpusAll.unpersist()
+    clusters
+  }
 
   /** SemDeDup-paper screening variant: dedup by CENTROID proximity
     * instead of pairwise verification — the Θ(n) scale path for
@@ -662,6 +772,20 @@ object Similarity {
   def semanticDedupCentroidFor(vectors: DataFrame, eps: Double = 5e-4,
       cells: Int = 0): DataFrame = {
     val corpus = vectors.select("vec_id", "vec").cache()
+    val out = semanticDedupCentroidForCached(corpus, eps, cells)
+    corpus.unpersist()
+    out
+  }
+
+  /** [[semanticDedupCentroidFor]] over a corpus the CALLER has cached
+    * (and will unpersist) — the composition form: the screened hybrid
+    * shares one cache across the screen and the pairwise stage, and a
+    * nested cache/unpersist here would evict the caller's entry
+    * mid-flow (Spark's cache manager matches by plan). The dominant
+    * best-cell pass is materialized eagerly below, so by return time
+    * the input cache has served every read this function makes. */
+  private def semanticDedupCentroidForCached(corpus: DataFrame,
+      eps: Double, cells: Int): DataFrame = {
     // √n cells, NOT the pairwise path's 4√n: cells here provide only
     // duplicate-regime locality (near-identical vectors must share a
     // cell — true at any reasonable granularity), not candidate-pair
@@ -683,12 +807,23 @@ object Similarity {
     // explode/shuffle shape; at 10⁹ rows this stays one map stage)
     val centsArr = cents
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cc"))
+    // the best-cell pass is the screen's dominant term (n·k dots) and
+    // the ONLY consumer of the full vectors after the centroid build —
+    // materialize its slim (vec_id, cell, sim) output eagerly so the
+    // input cache is actually alive when the dots run. (Unpersisting
+    // in the caller before the lazy result materialized meant the
+    // cache covered only the count and centroid build; the final pass
+    // re-normalized the whole corpus from scratch.) The checkpoint is
+    // 3 fixed-width columns per row — ~20 bytes/doc, disk-spillable —
+    // and its blocks are released by the ContextCleaner when the
+    // returned plan is collected.
     val scored = corpus.crossJoin(broadcast(centsArr))
       .select(col("vec_id"),
         graft.functions.VectorFunctions.bestCell(col("vec"), col("cc"))
           .as("b"))
       .select(col("vec_id"), col("b.cid").as("cell"),
         col("b.sim").as("sim"))
+      .localCheckpoint()
     val w = Window.partitionBy("cell").orderBy(col("sim").desc, col("vec_id"))
     val grouped = scored
       .withColumn("gap", lag(col("sim"), 1).over(w) - col("sim"))
@@ -696,12 +831,10 @@ object Similarity {
         when(col("gap").isNull || col("gap") > eps, 1L).otherwise(0L))
       .withColumn("grp", sum("newg")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val out = grouped
+    grouped
       .withColumn("cluster", min("vec_id")
         .over(Window.partitionBy("cell", "grp")))
       .select("vec_id", "cluster")
-    corpus.unpersist()
-    out
   }
 
   /** Driver gate for [[semanticDedupCentroid]] — the thresholded-

@@ -307,6 +307,77 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.8, s"two-level semantic dedup recall $recall")
   }
 
+  test("screened hybrid semantic dedup: planted exact AND near copies " +
+    "co-cluster 100%, tau precision 1.0 vs the exact closure, recall " +
+    "parity with the unscreened path, deterministic") {
+    val base = Similarity.normalized(spark, sf).select("vec_id", "vec")
+      .localCheckpoint()
+    val n = base.count()
+    val copies = base.select((col("vec_id") + n).as("vec_id"), col("vec"))
+    val near = base.select((col("vec_id") + 2 * n).as("vec_id"),
+      graft.functions.VectorFunctions.normalize(
+        zip_with(col("vec"), reverse(col("vec")),
+          (a, b) => a + lit(0.001) * b)).as("vec"))
+    val aug = base.unionByName(copies).unionByName(near).localCheckpoint()
+    val got = Similarity.semanticDedupClustersScreenedFor(aug)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 3 * n) // labels total
+    // the composition's claim vs the screen alone: near copies that
+    // straddle a cell boundary fall through to the pairwise tau stage
+    // (cos ≳ 1-1e-6 ≥ 0.4), so BOTH plant families co-cluster 100% —
+    // no ≥90% band needed
+    (0L until n).foreach { i =>
+      assert(got(i) === got(i + n), s"exact copy $i split from base")
+      assert(got(i) === got(i + 2 * n), s"near copy $i split from base")
+    }
+    // precision 1.0: every screened co-pair is in the exact tau
+    // closure (screen merges are near-identity pairs >= tau; pairwise
+    // merges are exact-cosine verified)
+    def coPairs(clusters: Map[Long, Long]): Set[(Long, Long)] =
+      clusters.groupBy(_._2).values.flatMap { m =>
+        val ids = m.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    import graft.functions.VectorFunctions.dot
+    val exactPairs = aug.as("a")
+      .join(aug.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(dot(col("a.vec"), col("b.vec")) >= 0.4)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val exact = Components.connectedComponents(
+        aug.select(col("vec_id").as("node")), exactPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactCo = coPairs(exact)
+    val gotCo = coPairs(got)
+    assert((gotCo -- exactCo).isEmpty,
+      s"screened co-pairs outside the exact closure: ${gotCo -- exactCo}")
+    val recall = if (exactCo.isEmpty) 1.0
+      else exactCo.intersect(gotCo).size.toDouble / exactCo.size
+    assert(recall >= 0.8, s"screened hybrid recall $recall")
+    // determinism (seeded builds, same session)
+    val again = Similarity.semanticDedupClustersScreenedFor(aug)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("trainingShardsSemantic: gate flags all pass; packed totals " +
+    "reconcile and the semantic stage only removes") {
+    val gate = graft.ops.Corpus.trainingShardsSemanticGate(spark, sf)
+      .collect().head
+    assert(gate.getInt(0) === 1, "exact copies not all co-clustered")
+    assert(gate.getInt(1) === 1, "near copies not all co-clustered")
+    assert(gate.getInt(2) === 1, "packed docs != composed survivor set")
+    assert(gate.getInt(3) === 1, "semantic shards not a subset")
+    val sem = graft.ops.Corpus.trainingShardsSemantic(spark, sf).collect()
+    assert(sem.nonEmpty)
+    // payload token counts reconcile per shard (the trainingShards
+    // payload contract holds through the composition)
+    sem.foreach { r =>
+      assert(r.getAs[String]("payload").split(" ", -1).length.toLong ===
+        r.getAs[Long]("shard_tokens"))
+    }
+  }
+
   // ----- end-to-end composed pipeline -----
 
   test("trainingShards: shard token totals, doc counts, and payloads " +
