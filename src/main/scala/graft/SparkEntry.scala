@@ -225,6 +225,13 @@ object SparkEntry {
     // over the SURVIVING corpus — both asserted in one hash-gated row
     "q_ann_ivfpq_deleted" -> ((s: SparkSession, d: String) =>
       graft.ops.Quantize.ivfPqDeletedRecall(s, d)),
+    // DRIFT path: frozen structure + 4 appends of progressively
+    // shifted data — stale recall still ≥ 0.7, a fresh rebuild
+    // restores ≥ 0.9 and strictly beats stale (the periodic-rebuild
+    // cadence is a measured gate, not a doc sentence; curve in
+    // SCALE.md via StressDrift)
+    "q_ann_ivfpq_drift" -> ((s: SparkSession, d: String) =>
+      graft.ops.Quantize.ivfPqDriftRecall(s, d)),
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
@@ -360,6 +367,7 @@ object SparkEntry {
     "q_ann_ivfpq_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_ann_ivfpq_incr_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_ann_ivfpq_deleted" -> graft.ops.Quantize.ivfPqDeletedRecallSql,
+    "q_ann_ivfpq_drift" -> graft.ops.Quantize.ivfPqDriftRecallSql,
     "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
     "q_training_shards_mixed" -> graft.ops.Corpus.trainingShardsMixedSql,
     "q_training_shards_chunked" -> graft.ops.Corpus.trainingShardsChunkedSql,

@@ -122,6 +122,30 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       assert(comp === members.keys.min) }
   }
 
+  test("connected components: the smallGraphEdges threshold boundary " +
+    "picks a physical plan, never a result") {
+    // the threshold compares against the SYMMETRIZED edge count (2E);
+    // run the same graph exactly at the boundary (fast path) and one
+    // below it (iterative loop) — labels must be identical, or the
+    // threshold would silently switch semantics, not plans
+    val rng = new scala.util.Random(11)
+    val n = 200
+    val nodes = (0L until n.toLong).toDF("node")
+    val edgeSeq = Seq.fill(120)(
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val edges = edgeSeq.toDF("src", "dst")
+    val symCount = 2L * edgeSeq.size
+    val atBoundary = graft.ops.Components.connectedComponents(nodes, edges,
+        smallGraphEdges = symCount) // == threshold → union-find task
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val belowBoundary = graft.ops.Components.connectedComponents(nodes, edges,
+        smallGraphEdges = symCount - 1) // one edge too many → the loop
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(atBoundary === belowBoundary)
+    assert(atBoundary.size === n)
+  }
+
   test("LSH dedup clusters equal exact-pair clusters on this corpus") {
     // LSH recall is 1.0 here (asserted above), so clustering the LSH
     // pair graph must reproduce the exact components

@@ -138,6 +138,38 @@ class QuantizeSpec extends AnyFunSuite with SharedSpark {
     assert(gate(0).getInt(1) === 1, "IVF-PQ aggregate recall below 0.9")
   }
 
+  test("ivfPqDriftRecall driver row: stale recall holds the 0.7 floor, " +
+    "a fresh rebuild restores 0.9 and strictly beats stale " +
+    "(the q_ann_ivfpq_drift gate)") {
+    val gate = Quantize.ivfPqDriftRecall(spark, sf).collect()
+    assert(gate.length === 1)
+    assert(gate(0).getLong(0) === 10L)
+    assert(gate(0).getInt(1) === 1, "stale-index recall fell below 0.7 " +
+      "after 4 drifted appends — frozen structure degraded faster than " +
+      "the documented cadence")
+    assert(gate(0).getInt(2) === 1, "fresh rebuild on the drifted corpus " +
+      "did not restore the 0.9 band — the decay is not staleness")
+    assert(gate(0).getInt(3) === 1, "rebuild did not strictly improve " +
+      "recall — the cadence trigger is vacuous at this drift level")
+  }
+
+  test("driftedBatch is deterministic, norm-preserving, and id-disjoint " +
+    "from its base") {
+    val base = Similarity.normalized(spark, sf).select("vec_id", "vec")
+      .limit(50).localCheckpoint()
+    val b2a = Quantize.driftedBatch(base, 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
+    val b2b = Quantize.driftedBatch(base, 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
+    assert(b2a === b2b) // no RNG anywhere
+    // unit norm after the shift-and-renormalize
+    b2a.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9) }
+    // ids offset by b·idStride — appended batches never collide
+    val baseIds = base.collect().map(_.getLong(0)).toSet
+    assert(b2a.keySet.intersect(baseIds).isEmpty)
+  }
+
   test("incremental IVF-PQ append: frozen-structure appends keep the " +
     "index complete, correctly encoded, and above the recall band") {
     val idx = java.nio.file.Files
