@@ -84,12 +84,31 @@ object StressCC {
     println(s"[stresscc] arm=$arm n=$n e=$e " +
       s"heap=${Runtime.getRuntime.maxMemory() / (1 << 20)}m")
     val nodes = spark.range(n).select(col("id").as("node"))
-    val edges = spark.range(e).select(
-      pmod(xxhash64(col("id"), lit("src")), lit(n)).as("src"),
-      pmod(xxhash64(col("id"), lit("dst")), lit(n)).as("dst"))
+    // "paths": n nodes in n/L disjoint chains of length L = arg3 —
+    // the HIGH-DIAMETER regime the pre-r9 loop silently failed in
+    // (maxIter hit before labels crossed the diameter). Ground truth
+    // is analytic: component of node i = i - i % L, so label_sum and
+    // n_components verify the run, not just time it. The hash-random
+    // arms have diameter O(log n); this one has diameter L, forcing
+    // the 3-jumps-per-round loop to prove its O(log L) convergence
+    // at a wall-clock the verdict asked to see measured.
+    val edges = arm match {
+      case "paths" =>
+        val len = math.max(2L, e) // arg3 = chain length here
+        spark.range(n).where(pmod(col("id"), lit(len)) =!= (len - 1) &&
+            col("id") < n - 1)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      case _ => spark.range(e).select(
+        pmod(xxhash64(col("id"), lit("src")), lit(n)).as("src"),
+        pmod(xxhash64(col("id"), lit("dst")), lit(n)).as("dst"))
+    }
     val t0 = System.nanoTime()
     val labels = arm match {
       case "retaining" => ccRetaining(nodes, edges)
+      // paths: force the distributed loop even under the 4M-edge
+      // threshold — the loop IS the system under test
+      case "paths" => Components.connectedComponents(nodes, edges,
+        smallGraphEdges = 0L)
       case _ => Components.connectedComponents(nodes, edges)
     }
     val sums = labels.agg(
@@ -97,6 +116,15 @@ object StressCC {
       countDistinct("component").as("n_components")).head()
     println(f"[stresscc] $arm done ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       s"label_sum=${sums.getLong(0)} components=${sums.getLong(1)}")
+    if (arm == "paths") {
+      val len = math.max(2L, e)
+      val chains = n / len
+      val expSum = (0L until chains).map(c => c * len * len).sum
+      val ok = sums.getLong(0) == expSum && sums.getLong(1) == chains
+      println(s"[stresscc] paths expected label_sum=$expSum " +
+        s"components=$chains -> ${if (ok) "MATCH" else "MISMATCH"}")
+      require(ok, "paths arm: labels diverge from the analytic truth")
+    }
     spark.stop()
   }
 }

@@ -31,6 +31,7 @@ object StressDrift {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val maxB = args.lift(1).map(_.toInt).getOrElse(6)
     val alpha = args.lift(2).map(_.toDouble).getOrElse(0.15)
+    val nprobe = args.lift(3).map(_.toInt).getOrElse(14)
     val dir = "/root/testdata/sf0.1"
 
     // decorrelated replication (the StressSem flip construction):
@@ -56,12 +57,12 @@ object StressDrift {
     // a drifted cluster the stale centroids misplace costs the probe
     // its cells
     println(s"[drift] base=$n vectors, cells=$cells, alpha=$alpha, " +
-      s"queries=50, k=10, nprobe=14")
+      s"queries=50, k=10, nprobe=$nprobe")
     for (b <- 1 to maxB) {
       val t0 = System.nanoTime()
       val (stale, fresh, nTrue) = Quantize.ivfPqDriftCounts(spark, base,
-        s"stress$mult", b, alpha, numQueries = 50, k = 10, cells = cells,
-        nprobe = 14, rerank = 20)
+        s"stress$mult:np$nprobe", b, alpha, numQueries = 50, k = 10,
+        cells = cells, nprobe = nprobe, rerank = 20)
       println(f"[drift] batches=$b shift=${b * alpha}%.2f  " +
         f"stale=${stale.toDouble / nTrue}%.3f  " +
         f"fresh=${fresh.toDouble / nTrue}%.3f  " +

@@ -38,7 +38,11 @@ object StressSem {
     val dir = "/root/testdata/sf0.1"
     val cases = (if (args.nonEmpty) args.toSeq
       else Seq("dup:100", "flip:100", "flip:500"))
-      .map { c => val Array(s, m) = c.split(":"); (s, m.toInt) }
+      .map { c =>
+        val parts = c.split(":")
+        (parts(0), parts(1).toInt,
+          if (parts.length > 2) parts(2).toInt else 0)
+      }
 
     def t[A](l: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -47,15 +51,36 @@ object StressSem {
       r
     }
 
-    for ((style0, m) <- cases) {
-      // "scr:<m>" = screen-stages only, over the existing flip corpus
-      // (skip the corpus build and the pairwise flow — the fast loop
-      // for iterating on the screen's own cost terms)
+    for ((style0, m, cellsOverride) <- cases) {
+      // "scr:<m>[:<cells>]" = screen-stages only (skip the pairwise
+      // flow — the fast loop for iterating on the screen's own cost
+      // terms, and the ONLY tractable mode at 10M where the pairwise
+      // n^1.5 term would run for hours); builds the flip corpus if it
+      // is not already on disk. The optional <cells> forces the
+      // screen's cell count — 0 keeps the auto √n — so the k-cap
+      // regime (occupancy n/k > √n once n > k²) is measurable below
+      // the n where the 4096 cap engages naturally.
       val scrOnly = style0 == "scr"
       val style = if (scrOnly) "flip" else style0
       val out = s"/tmp/stresssem_${style}_x$m"
       val n = 2000L * m
-      println(s"[stresssem] ===== $style0 x$m = ${n / 1000}k vectors =====")
+      println(s"[stresssem] ===== $style0 x$m = ${n / 1000}k vectors" +
+        (if (cellsOverride > 0) s" cells=$cellsOverride" else "") +
+        " =====")
+      val needBuild = scrOnly &&
+        !new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()
+      if (needBuild) {
+        val base = graft.core.Tables.embeddings(spark, dir)
+          .crossJoin(spark.range(m).toDF("rep"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
+        t(f"build ${n / 1000}%5dk embeds")(base
+          .withColumn("embedding",
+            expr("""transform(embedding, (x, i) ->
+                     IF((shiftright(xxhash64(rep), pmod(i, 63)) & 1) = 1,
+                        -x, x))"""))
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet"))
+      }
       if (!scrOnly) {
       val base = graft.core.Tables.embeddings(spark, dir)
         .crossJoin(spark.range(m).toDF("rep"))
@@ -147,8 +172,9 @@ object StressSem {
         val c2 = Similarity.normalized(spark, out)
           .select("vec_id", "vec").cache()
         val n2 = t("scr normalize+count")(c2.count())
-        val k2 = math.min(4096, math.max(16,
-          math.sqrt(n2.toDouble).toLong)).toInt
+        val k2 = if (cellsOverride > 0) cellsOverride
+          else math.min(4096, math.max(16,
+            math.sqrt(n2.toDouble).toLong)).toInt
         val cents2 = t(f"scr centroids k=$k2%-4d")(
           Similarity.ivfCentroidsDf(c2, k2, iters = 2).localCheckpoint())
         val asg = t("scr best-cell pass ") {
@@ -182,7 +208,8 @@ object StressSem {
         // the REGISTERED operator end to end — the number SCALE.md
         // quotes for the screen
         t("CENTROID screen e2e")(
-          Similarity.semanticDedupCentroid(spark, out)
+          Similarity.semanticDedupCentroid(spark, out,
+              cells = cellsOverride)
             .write.mode("overwrite").format("noop").save())
         ()
       }

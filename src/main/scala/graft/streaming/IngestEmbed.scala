@@ -70,10 +70,44 @@ object IngestEmbed {
     batch.select(col("vec_id"),
       normalize(toDoubleVec(col("embedding"))).as("vec"))
 
-  /** Apply one embedding micro-batch exactly-once (see class doc). */
+  /** Apply one embedding micro-batch exactly-once (see class doc).
+    *
+    * `withinBatch` picks the batch-local dedup discipline:
+    *  - `"pairs"` (default): cell-bucketed pair verification + CC —
+    *    full tau single-linkage within the batch, cost ∝ probed-cell
+    *    occupancy² per cell (the [[Similarity.semanticDedupClusters]]
+    *    shape at batch grain).
+    *  - `"screen"`: the SemDeDup centroid screen against the SAME
+    *    frozen centroids — one best-cell pass (cell + similarity to
+    *    the owning centroid in one codegen map stage), then a
+    *    per-cell walk down the (sim desc, vec_id) order where each
+    *    arrival pays ONE exact dot against its chain PREDECESSOR: a
+    *    link holds iff the sim gap is ≤ `eps` AND cos(v, prev) ≥
+    *    tau; a failed link starts a new chain. Survivors are one
+    *    min-id representative per verified chain. Verifying the
+    *    predecessor (not the chain representative) is what makes
+    *    exact copies collapse UNCONDITIONALLY: identical vectors
+    *    have identical sim, so they are adjacent in the order
+    *    (anything tied exactly between them is itself an identical
+    *    vector) and the link dot is 1 — whereas rep-verification
+    *    can strand a copy whose 1-D group acquired an unrelated
+    *    representative (the batch hybrid catches those in its
+    *    pairwise fallback pool; a per-batch screen has no fallback,
+    *    so the chain discipline carries the guarantee instead,
+    *    measured by the duplicate-heavy StreamingSpec case). Every
+    *    drop is justified by an exact ≥ tau link into its chain —
+    *    the same per-member witness the pair join's CC gives
+    *    non-survivors. No pair term at any batch size: duplicate-
+    *    heavy streams pay Θ(rows · k) per batch instead of the pair
+    *    join's occupancy² ([[graft.StressIngestEmbed]] prices the
+    *    A/B; SCALE.md row). Moderate-similarity batch-local pairs
+    *    that only the pair join would link stay un-merged (kept,
+    *    never wrongly dropped). The history probe (step 1) is
+    *    identical in both modes. */
   def applyEmbedBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, workDir: String, tau: Double = 0.4,
-      nprobe: Int = 4): Unit = {
+      nprobe: Int = 4, withinBatch: String = "pairs",
+      eps: Double = 5e-4): Unit = {
     val corpusQ = Ingest.qualified(spark, corpusPath(workDir))
     val fs = Ingest.fileSystem(spark, workDir)
     val commitDir = new Path(corpusQ, s"ingest_batch=$batchId")
@@ -88,8 +122,18 @@ object IngestEmbed {
       // re-delivered first batch retrains identically — the build is
       // deterministic), read back for every later one
       if (!Ingest.pathExists(spark, centsPath(workDir))) {
+        // cell granularity follows the within-batch discipline the
+        // work dir runs (frozen thereafter): the pair join wants
+        // nprobe·√n cells (occupancy² pruning), the screen wants the
+        // batch screen's coarser √n (duplicate-regime locality only —
+        // finer cells split near-copies across boundaries and the 1-D
+        // chain never sees the pair; measured 12.8% → band-compliant
+        // stragglers on the planted spec corpus). Both granularities
+        // serve the history probe; coarser just probes more rows.
+        val nv = vecs.count().toDouble
         val k = math.min(4096, math.max(16,
-          (nprobe * math.sqrt(vecs.count().toDouble)).toLong)).toInt
+          (if (withinBatch == "screen") math.sqrt(nv)
+           else nprobe * math.sqrt(nv)).toLong)).toInt
         Similarity.ivfCentroidsDf(vecs, k, iters = 2)
           .write.mode("overwrite").parquet(centsPath(workDir))
       }
@@ -116,27 +160,65 @@ object IngestEmbed {
           vecs.join(dropped, Seq("vec_id"), "left_anti")
         } else vecs
 
-      // 2. within batch: cell-bucketed pair verify (each pair once,
-      //    at its smallest shared probe cell) + CC, min-id survivor
-      val freshAssigned = assigned
-        .join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
-      val sided = freshAssigned.groupBy("vec_id")
-        .agg(sort_array(collect_list(col("cell"))).as("cells"))
-        .join(fresh, "vec_id")
-        .select(col("vec_id"), col("vec"), col("cells"),
-          explode(col("cells")).as("cell"))
-      val pairs = sided.as("a")
-        .join(sided.as("b"),
-          col("a.cell") === col("b.cell") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .where(col("a.cell") ===
-            array_min(array_intersect(col("a.cells"), col("b.cells"))) &&
-          dot(col("a.vec"), col("b.vec")) >= tau)
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      val survivors = Components.connectedComponents(
-          fresh.select(col("vec_id").as("node")), pairs)
-        .groupBy("component").agg(min("node").as("vec_id"))
-        .select("vec_id")
+      // 2. within batch (see scaladoc): pair-verify + CC, or the
+      //    centroid screen — both against the same frozen centroids
+      val survivors = withinBatch match {
+        case "screen" =>
+          // one codegen map pass: owning cell AND the similarity to
+          // its centroid together (the batch screen's only dot per
+          // arrival besides the verify below)
+          val centsArr = cents
+            .agg(collect_list(struct(col("cid"), col("cvec"))).as("cc"))
+          val scored = fresh.crossJoin(broadcast(centsArr))
+            .select(col("vec_id"), col("vec"),
+              graft.functions.VectorFunctions
+                .bestCell(col("vec"), col("cc")).as("b"))
+            .select(col("vec_id"), col("vec"),
+              col("b.cid").as("cell"), col("b.sim").as("sim"))
+            .localCheckpoint()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("cell").orderBy(col("sim").desc, col("vec_id"))
+          // one exact dot per arrival, against the chain predecessor;
+          // a failed link (gap or dot) starts a new chain, and each
+          // chain keeps its min id
+          val chained = scored
+            .withColumn("gap", lag(col("sim"), 1).over(w) - col("sim"))
+            .withColumn("pvec", lag(col("vec"), 1).over(w))
+            .withColumn("news",
+              when(col("gap").isNotNull && col("gap") <= eps &&
+                dot(col("vec"), col("pvec")) >= tau, 0L).otherwise(1L))
+            .withColumn("chain", sum("news").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          chained
+            .withColumn("keep_id", min("vec_id")
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy("cell", "chain")))
+            .where(col("vec_id") === col("keep_id"))
+            .select("vec_id")
+        case _ =>
+          // cell-bucketed pair verify (each pair once, at its
+          // smallest shared probe cell) + CC, min-id survivor
+          val freshAssigned = assigned
+            .join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
+          val sided = freshAssigned.groupBy("vec_id")
+            .agg(sort_array(collect_list(col("cell"))).as("cells"))
+            .join(fresh, "vec_id")
+            .select(col("vec_id"), col("vec"), col("cells"),
+              explode(col("cells")).as("cell"))
+          val pairs = sided.as("a")
+            .join(sided.as("b"),
+              col("a.cell") === col("b.cell") &&
+                col("a.vec_id") < col("b.vec_id"))
+            .where(col("a.cell") ===
+                array_min(array_intersect(col("a.cells"), col("b.cells"))) &&
+              dot(col("a.vec"), col("b.vec")) >= tau)
+            .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+          Components.connectedComponents(
+              fresh.select(col("vec_id").as("node")), pairs)
+            .groupBy("component").agg(min("node").as("vec_id"))
+            .select("vec_id")
+      }
       batch.join(survivors, Seq("vec_id"), "left_semi")
         .write.mode("overwrite").parquet(stageDir.toString)
     }
@@ -167,14 +249,14 @@ object IngestEmbed {
     * file so cross-batch dedup is exercised. */
   def runIngestEmbeddings(spark: SparkSession, srcDir: String,
       schema: StructType, workDir: String, tau: Double = 0.4,
-      nprobe: Int = 4): Unit = {
+      nprobe: Int = 4, withinBatch: String = "pairs"): Unit = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyEmbedBatch(batch.sparkSession, batch, id, workDir,
-          tau = tau, nprobe = nprobe)
+          tau = tau, nprobe = nprobe, withinBatch = withinBatch)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -478,4 +478,82 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(idx.columns.contains("cell"))
     em.unpersist()
   }
+
+  test("streaming embedding ingest, screen discipline: stream ≡ " +
+    "sequential batches, duplicate-heavy batches collapse, and every " +
+    "drop has an exact ≥ tau witness that survived") {
+    val base = Files.createTempDirectory("graft-embed-screen").toString
+    val (src, work) = (s"$base/src", s"$base/work")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val em = Tables.embeddings(spark, sf).cache()
+    val n = em.count()
+    // duplicate-heavy batch 1: every vector + an exact copy + a
+    // near-copy (the planted-pair construction of the centroid gate)
+    val b1 = em.where(col("vec_id") < n / 2)
+    val b1Aug = b1
+      .unionByName(b1.select((col("vec_id") + 10000).as("vec_id"),
+        col("embedding"), col("label")))
+      .unionByName(b1.select((col("vec_id") + 20000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a + lit(0.001f) * b).as("embedding"), col("label")))
+    val b2 = em.where(col("vec_id") >= n / 2)
+    def dropChunk(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    dropChunk("b1", b1Aug)
+    dropChunk("b2", b2)
+
+    graft.streaming.IngestEmbed.runIngestEmbeddings(spark, src,
+      graft.core.Schemas.embeddings, work, withinBatch = "screen")
+    val kept = graft.streaming.IngestEmbed.keptEmbeddings(spark, work)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // the planted exact copies MUST die within their batch (same
+    // cell, identical sim, gap 0, verify dot = 1 ≥ tau)
+    val keptPlantedExact = kept.count(id => id >= 10000 && id < 20000)
+    assert(keptPlantedExact === 0,
+      s"$keptPlantedExact planted exact copies survived the screen")
+    // near-copies: the screen + verify may keep boundary stragglers
+    // but must collapse the overwhelming majority
+    val keptPlantedNear = kept.count(_ >= 20000)
+    assert(keptPlantedNear * 10 <= (n / 2).toInt,
+      s"$keptPlantedNear of ${n / 2} planted near-copies survived")
+
+    // stream ≡ the same batches applied sequentially
+    val twin = s"$base/twin"
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark, b1Aug, 0L, twin,
+      withinBatch = "screen")
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark, b2, 1L, twin,
+      withinBatch = "screen")
+    val keptTwin = graft.streaming.IngestEmbed.keptEmbeddings(spark, twin)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === keptTwin,
+      "screen-mode stream diverged from sequential batches")
+
+    // precision: every dropped batch-1 vector has an exact >= tau
+    // cosine witness among the OTHER batch-1 vectors — its chain
+    // neighbor (the same per-member guarantee the pair join's CC
+    // gives non-survivors: a tau edge into the component, not
+    // necessarily to the survivor itself)
+    val normAll = graft.streaming.IngestEmbed.normalizedFor(b1Aug)
+      .localCheckpoint()
+    val droppedB1 = normAll.where(!col("vec_id").isin(kept.toSeq: _*))
+    val keptB1 = normAll
+      .select(col("vec_id").as("kid"), col("vec").as("kvec"))
+    val witnessed = droppedB1.crossJoin(keptB1)
+      .where(col("vec_id") =!= col("kid") &&
+        graft.functions.VectorFunctions
+          .dot(col("vec"), col("kvec")) >= 0.4)
+      .select("vec_id").distinct()
+    val unwitnessed = droppedB1.select("vec_id")
+      .join(witnessed, Seq("vec_id"), "left_anti")
+      .count()
+    assert(unwitnessed === 0L,
+      s"$unwitnessed dropped vectors have no exact-cosine witness")
+    em.unpersist()
+  }
 }
