@@ -5,21 +5,27 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.Quantize
 
-/** Rebuild-cadence measurement for frozen-structure IVF-PQ indexes —
+/** Stale-vs-fresh recall curves for frozen-structure IVF-PQ indexes —
   * the r9 verdict ask: `appendToIvfPqIndex` freezes cells/codebooks
   * and `IngestEmbed` freezes first-batch centroids, with drift
   * handled by "periodic rebuild" that no number backed. This harness
   * prints stale-vs-fresh recall after b = 1..B appends of
   * progressively shifted data ([[Quantize.driftedBatch]]: shift
-  * strength b·alpha toward a fixed direction), so the cadence — the
-  * append count where stale recall leaves the 0.9 band — is a
-  * MEASURED curve (recorded in SCALE.md), and the
-  * `q_ann_ivfpq_drift` gate thresholds come from data.
+  * strength b·alpha toward a fixed direction) at a configurable
+  * probe budget, so the maintenance policy is MEASURED (SCALE.md
+  * round-10). What the measurement actually showed: at production
+  * cell counts (√n cells, O(10) probes) the probe BUDGET binds, not
+  * staleness — stale recall stays flat-to-rising under uniform-pull
+  * drift and a rebuild at fixed nprobe can lose recall by
+  * re-balancing cells onto the dense drifted cluster; the
+  * staleness-binding regime (where `q_ann_ivfpq_drift` gates) is
+  * high probe coverage. See [[Quantize.ivfPqDriftRecall]]'s regime
+  * caveat.
   *
-  * Run: `sbt "runMain graft.StressDrift [mult] [maxBatches] [alpha]"`
-  * (default 10 ⇒ 20k base vectors from sf0.1 ×10 sign-flip
-  * replication — the StressSem decorrelated-copy construction — 6
-  * batches, alpha 0.15).
+  * Run: `sbt "runMain graft.StressDrift [mult] [maxBatches] [alpha]
+  * [nprobe]"` (default 10 ⇒ 20k base vectors from sf0.1 ×10
+  * sign-flip replication — the StressSem decorrelated-copy
+  * construction — 6 batches, alpha 0.15, nprobe 14).
   */
 object StressDrift {
   def main(args: Array[String]): Unit = {
@@ -52,10 +58,9 @@ object StressDrift {
     // cells scale like the ANN path would provision them: √n
     val cells = math.max(16,
       math.round(math.sqrt(n.toDouble)).toInt)
-    // nprobe stays the O(10) constant of the real regime (cells grow
-    // with √n, probes don't) — exactly where frozen structure hurts:
-    // a drifted cluster the stale centroids misplace costs the probe
-    // its cells
+    // default nprobe is the O(10) constant of the real regime (cells
+    // grow with √n, probes don't); the arg sweeps coverage — the
+    // dominant recall term this harness ended up exposing
     println(s"[drift] base=$n vectors, cells=$cells, alpha=$alpha, " +
       s"queries=50, k=10, nprobe=$nprobe")
     for (b <- 1 to maxB) {

@@ -747,15 +747,28 @@ object Quantize {
     * never trained on), asserts with the thresholded-aggregate trick:
     *  - `stale_recall_ge_70`: the stale index still recovers ≥ 70% of
     *    the true top-k for drifted queries (measured 0.72-0.78 at the
-    *    gate SF; the StressDrift curve at 20k vectors crosses 0.9 at
-    *    ~2 batches and 0.7 by ~4-6 — hence the REBUILD CADENCE in
-    *    SCALE.md),
+    *    gate SF),
     *  - `fresh_recall_ge_90`: a rebuild on the same corpus restores
     *    the standard ≥ 0.9 band — proving the decay is structure
     *    staleness, not data difficulty, and the periodic-rebuild
     *    policy actually repairs it,
     *  - `fresh_beats_stale`: the rebuild strictly improves recall at
-    *    this drift level (the cadence trigger is real). */
+    *    this drift level (the cadence trigger is real).
+    *
+    * Regime caveat (measured, SCALE.md round-10): the gate runs at
+    * HIGH probe coverage (nprobe/cells = 14/16), where structure
+    * staleness is the binding recall term and a rebuild strictly
+    * repairs it. At production cell counts (cells ≈ √n, coverage
+    * O(10)/√n) the StressDrift curves show the probe BUDGET binding
+    * instead: under uniform-pull drift the stale assignment ordering
+    * is largely preserved (centroid·drifted ≈ 0.86·centroid·orig +
+    * a near-constant pull term), stale recall stays flat-to-rising
+    * in the append count, and a rebuild at fixed nprobe can even
+    * LOSE recall by re-balancing cells onto the dense drifted
+    * cluster and spreading each query's lineage neighbors across
+    * more cells. Operational order at scale: raise nprobe toward
+    * coverage first (14→42 probes bought +0.07-0.18 recall at every
+    * drift level at 20k), rebuild second. */
   def ivfPqDriftRecall(spark: SparkSession, dir: String,
       batches: Int = 4, alpha: Double = 0.15, numQueries: Int = 10,
       k: Int = 10, nprobe: Int = 14, rerank: Int = 20): DataFrame = {
