@@ -898,6 +898,14 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Occupancy-flat sign-LSH bit count: enough hyperplanes that the
+    * expected bucket occupancy n/2^bits stays ≈ 32, floored at the
+    * historical 6 so every provisioned gate SF (≤ 2k vectors) keeps
+    * its exact pre-auto-tune output. Deterministic in n only. */
+  def lshAutoBits(n: Long): Int =
+    math.max(6, math.ceil(math.log(math.max(1L, n) / 32.0) /
+      math.log(2.0)).toInt)
+
   /** Sign-LSH bucket id per vector: one bit per hyperplane (sign of the
     * projection), per table. Multiple independent tables trade memory
     * for recall: a pair is a candidate if it collides in ANY table. */
@@ -928,15 +936,29 @@ object Similarity {
     * the (small, cached) corpus; at 100 TB those become shuffle joins
     * on vec_id but the candidate set is already LSH-pruned. Carrying
     * the 64-dim arrays through the pair shuffle instead was measured
-    * 30× slower. Tuning: bitsPerTable grows with log(corpus size) to
-    * keep bucket occupancy flat; numTables buys recall. */
+    * 30× slower.
+    *
+    * Tuning: bitsPerTable must grow with log(corpus size) to keep
+    * bucket occupancy flat — the default (0) self-tunes via
+    * [[lshAutoBits]]. A FIXED bit count is the same quiet
+    * degradation the fixed-cell-count note on
+    * [[semanticDedupClusters]] documents: 2^bits buckets per table
+    * means occupancy n/2^bits and a candidate join quadratic in it
+    * (measured at the ×10 decade bench: 6 fixed bits ⇒ 312
+    * vectors/bucket at 20k ⇒ 68.8 s, 31.9× the sf0.1 time; auto ⇒
+    * 10 bits, occupancy flat). More bits cost per-table recall only
+    * on BORDERLINE pairs (collision prob (1−θ/π)^bits); the
+    * duplicate regime (cos ≥ 0.9, θ ≤ 26°) holds ≥ 0.97 recall
+    * across 16 tables even at 11 bits. numTables buys recall. */
   def lshNearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.4,
-      numTables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
+      numTables: Int = 16, bitsPerTable: Int = 0): DataFrame = {
     // cached: without a materialization boundary, CollapseProject inlines
     // the normalize() expression into every one of the numTables ×
     // bitsPerTable plane projections
     val corpus = normalized(spark, dir).cache()
-    val buckets = lshBuckets(corpus, numTables, bitsPerTable)
+    val bits = if (bitsPerTable > 0) bitsPerTable
+      else lshAutoBits(corpus.count())
+    val buckets = lshBuckets(corpus, numTables, bits)
       .select("vec_id", "table_id", "bucket")
     val candidates = buckets.as("a")
       .join(buckets.as("b"),

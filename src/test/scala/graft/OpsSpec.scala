@@ -458,6 +458,19 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("lshAutoBits: gate SFs keep the historical 6 bits (outputs " +
+    "unchanged); bucket occupancy stays flat as the corpus decades up") {
+    // the provisioned dirs (200 / 2k vectors) must keep their exact
+    // pre-auto-tune structure — the floor pins them
+    assert(Similarity.lshAutoBits(200) === 6)
+    assert(Similarity.lshAutoBits(2000) === 6)
+    // past the floor, expected occupancy n / 2^bits stays in [16, 32]
+    for (n <- Seq(20000L, 200000L, 2000000L, 1000000000L)) {
+      val occ = n.toDouble / (1L << Similarity.lshAutoBits(n))
+      assert(occ <= 32.0 && occ > 16.0, s"occupancy $occ at n=$n")
+    }
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val topk = Similarity.bruteForceTopK(spark, sf, numQueries = 3, k = 5)
     val rows = topk.collect()
