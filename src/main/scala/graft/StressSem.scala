@@ -52,51 +52,70 @@ object StressSem {
     }
 
     for ((style0, m, cellsOverride) <- cases) {
-      // "scr:<m>[:<cells>]" = screen-stages only (skip the pairwise
-      // flow — the fast loop for iterating on the screen's own cost
-      // terms, and the ONLY tractable mode at 10M where the pairwise
-      // n^1.5 term would run for hours); builds the flip corpus if it
-      // is not already on disk. The optional <cells> forces the
-      // screen's cell count — 0 keeps the auto √n — so the k-cap
-      // regime (occupancy n/k > √n once n > k²) is measurable below
-      // the n where the 4096 cap engages naturally.
-      val scrOnly = style0 == "scr"
-      val style = if (scrOnly) "flip" else style0
-      val out = s"/tmp/stresssem_${style}_x$m"
+      // Styles. Corpus FLAVORS (what the m replicas of each base
+      // vector look like):
+      //  - "dup":  exact copies — the collapseExact regime;
+      //  - "flip": per-rep sign patterns — fully decorrelated
+      //    DISTINCT vectors, honest n-scale, no duplicate regime;
+      //  - "near": per-rep blend with the reversed vector
+      //    (cos ≳ 1−10⁻⁴·rep) — distinct vectors in m-size
+      //    NEAR-dup cliques: collapseExact cannot fold them, the
+      //    pairwise verify pays m²/2 per clique, the screen folds
+      //    them at gap 0. The regime the screened hybrid exists for.
+      // MODES: bare flavor = the full staged pairwise suite (+ screen
+      // + hybrid e2e rows); "scr[:m[:cells]]" = screen stages only on
+      // the flip corpus (the only tractable mode at 10M — <cells>
+      // forces the cell count so the k-cap occupancy regime is
+      // measurable early); "hyb"/"hybnear"/"hybdup" = hybrid e2e only
+      // on the flip/near/dup corpus. All modes build their corpus if
+      // missing.
+      val flavor = style0 match {
+        case "scr" | "hyb" => "flip"
+        case "hybnear" => "near"
+        case "hybdup" => "dup"
+        case s => s
+      }
+      val fullSuite = Set("dup", "flip", "near")(style0)
+      val out = s"/tmp/stresssem_${flavor}_x$m"
       val n = 2000L * m
       println(s"[stresssem] ===== $style0 x$m = ${n / 1000}k vectors" +
         (if (cellsOverride > 0) s" cells=$cellsOverride" else "") +
         " =====")
-      val needBuild = scrOnly &&
-        !new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()
-      if (needBuild) {
+      def buildCorpus(): Unit = {
         val base = graft.core.Tables.embeddings(spark, dir)
           .crossJoin(spark.range(m).toDF("rep"))
           .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
-        t(f"build ${n / 1000}%5dk embeds")(base
-          .withColumn("embedding",
-            expr("""transform(embedding, (x, i) ->
-                     IF((shiftright(xxhash64(rep), pmod(i, 63)) & 1) = 1,
-                        -x, x))"""))
-          .drop("rep")
+        val replicated = flavor match {
+          case "dup" => base.drop("rep")
+          case "near" => base.withColumn("embedding",
+              // distinct per rep, cosine to the base ≳ 1−10⁻⁴·rep —
+              // the planted-near-copy construction of the centroid
+              // gate, scaled to m-size cliques
+              expr("""zip_with(embedding, reverse(embedding),
+                       (x, y) -> CAST(x + rep * 0.0001D * y AS FLOAT))"""))
+            .drop("rep")
+          case _ => base.withColumn("embedding",
+              // per-rep sign pattern from xxhash64(rep): norm-
+              // preserving, deterministic, distinct w.h.p. across
+              // reps — distinct VECTORS at full n
+              expr("""transform(embedding, (x, i) ->
+                       IF((shiftright(xxhash64(rep), pmod(i, 63)) & 1) = 1,
+                          -x, x))"""))
+            .drop("rep")
+        }
+        t(f"build ${n / 1000}%5dk embeds")(replicated
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet"))
       }
-      if (!scrOnly) {
-      val base = graft.core.Tables.embeddings(spark, dir)
-        .crossJoin(spark.range(m).toDF("rep"))
-        .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
-      val replicated =
-        if (style == "dup") base.drop("rep")
-        else base.withColumn("embedding",
-            // per-rep sign pattern from xxhash64(rep): norm-preserving,
-            // deterministic, distinct w.h.p. across reps — distinct
-            // VECTORS at full n, near-dup structure not inflated
-            expr("""transform(embedding, (x, i) ->
-                     IF((shiftright(xxhash64(rep), pmod(i, 63)) & 1) = 1,
-                        -x, x))"""))
-          .drop("rep")
-      t(f"build ${n / 1000}%4dk embeds ")(replicated
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet"))
+      if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists())
+        buildCorpus()
+      if (style0.startsWith("hyb")) {
+        val clusters = t("HYBRID screened e2e")(
+          Similarity.semanticDedupClustersScreened(spark, out)
+            .localCheckpoint())
+        println(s"[stresssem] hybrid clusters    " +
+          s"${clusters.select("cluster").distinct().count()}")
+      }
+      if (fullSuite) {
 
       // the stages of semanticDedupClusters, timed separately (same
       // defaults: tau=0.4, nprobe=4, auto cells, 2 Lloyd rounds)
@@ -162,13 +181,21 @@ object StressSem {
       t("CENTROID screen    ")(
         Similarity.semanticDedupCentroid(spark, out)
           .write.mode("overwrite").format("noop").save())
-      } // !scrOnly
+
+      // the screen-first hybrid on the same corpus — near-pairwise
+      // cost on distinct corpora (screen drops nothing, survivors =
+      // everyone), near-screen cost on clique-heavy ones (cliques
+      // fold before the pair join)
+      t("HYBRID screened e2e")(
+        Similarity.semanticDedupClustersScreened(spark, out)
+          .write.mode("overwrite").format("noop").save())
+      } // fullSuite
 
       // stage attribution for the screen (mirrors the operator's
       // internals the same way the pairwise stages above mirror
       // semanticDedupClusters — when a composed number surprises,
       // the per-stage rows say which term moved)
-      {
+      if (!style0.startsWith("hyb")) {
         val c2 = Similarity.normalized(spark, out)
           .select("vec_id", "vec").cache()
         val n2 = t("scr normalize+count")(c2.count())
