@@ -345,6 +345,112 @@ case class NormalizeVec(child: Expression)
       : Expression = copy(newChild)
 }
 
+/** Native Catalyst expression for the full sign-LSH signature of a
+  * vector: `lsh_signature(vec, planes)` over an `array<double>` and a
+  * flattened `array<array<double>>` of numTables·bitsPerTable
+  * hyperplanes (table-major) returns the `array<int>` of per-table
+  * bucket ids — bucket_t = Σ_b (vec·plane[t·bits+b] ≥ 0) << b.
+  *
+  * Why custom: the column composition materializes numTables ×
+  * bitsPerTable separate `dot(vec, literal-array)` expressions — at
+  * the auto-tuned 16 tables × 10+ bits that is thousands of literal
+  * expression nodes per projection, past whole-stage codegen's method
+  * budget, so the signature pass of [[graft.ops.Similarity
+  * .lshNearDupPairs]] dropped to interpreted evaluation (measured
+  * ~1 ms/row at the ×10 decade bench — 21 s of the 21 s pass). One
+  * expression with the planes as a SINGLE literal runs the whole
+  * signature as a primitive nested loop inside codegen — the
+  * [[BestCell]] discipline applied to LSH.
+  *
+  * Bit-compatibility: each plane dot accumulates in ascending index
+  * order over the common prefix and compares `>= 0.0` — exactly the
+  * old per-plane [[DotProduct]] composition, so bucket ids (hence
+  * candidate sets, hence results) are identical. */
+case class LshSignature(left: Expression, right: Expression,
+    bitsPerTable: Int) extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if bitsPerTable > 0 && bitsPerTable < 31 => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"lsh_signature needs (array<double>, array<array<double>>) and " +
+        s"0 < bitsPerTable < 31, got ${left.dataType.simpleString}, " +
+        s"${right.dataType.simpleString}, bits=$bitsPerTable")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
+    val ps = b.asInstanceOf[ArrayData]
+    val numTables = ps.numElements() / bitsPerTable
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var bIdx = 0
+      while (bIdx < bitsPerTable) {
+        val plane = ps.getArray(t * bitsPerTable + bIdx)
+        val n = math.min(xs.length, plane.numElements())
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += xs(i) * plane.getDouble(i); i += 1 }
+        if (acc >= 0.0) bucket |= 1 << bIdx
+        bIdx += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val numTables = ctx.freshName("numTables")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val bIdx = ctx.freshName("bIdx")
+      val bucket = ctx.freshName("bucket")
+      val plane = ctx.freshName("plane")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $xs = $a.toDoubleArray();
+         |int $numTables = $b.numElements() / $bitsPerTable;
+         |int[] $out = new int[$numTables];
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $bIdx = 0; $bIdx < $bitsPerTable; $bIdx++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $plane =
+         |      $b.getArray($t * $bitsPerTable + $bIdx);
+         |    int $n = java.lang.Math.min($xs.length, $plane.numElements());
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $xs[$i] * $plane.getDouble($i);
+         |    }
+         |    if ($acc >= 0.0) { $bucket |= 1 << $bIdx; }
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(newLeft, newRight, bitsPerTable)
+}
+
 /** Column-level vector math used by similarity / dedup operators. */
 object VectorFunctions {
 
@@ -364,6 +470,12 @@ object VectorFunctions {
     * `best_cell(vec, cells)` → struct<cid, sim>. */
   def bestCell(vec: Column, cells: Column): Column =
     Bridge.column(BestCell(Bridge.expression(vec), Bridge.expression(cells)))
+
+  /** Codegen'd full sign-LSH signature (see [[LshSignature]]):
+    * `lshSignature(vec, planes, bits)` → array<int> per-table buckets. */
+  def lshSignature(vec: Column, planes: Column, bitsPerTable: Int): Column =
+    Bridge.column(LshSignature(Bridge.expression(vec),
+      Bridge.expression(planes), bitsPerTable))
 
   def l2Norm(c: Column): Column = sqrt(dot(c, c))
 

@@ -908,20 +908,23 @@ object Similarity {
 
   /** Sign-LSH bucket id per vector: one bit per hyperplane (sign of the
     * projection), per table. Multiple independent tables trade memory
-    * for recall: a pair is a candidate if it collides in ANY table. */
+    * for recall: a pair is a candidate if it collides in ANY table.
+    *
+    * All numTables·bitsPerTable projections run in ONE codegen'd
+    * expression over a single nested-array literal
+    * ([[graft.functions.LshSignature]]): the old per-plane column
+    * composition emitted thousands of literal expression nodes at the
+    * auto-tuned bit counts and fell out of whole-stage codegen
+    * (measured ~1 ms/row at the ×10 decade bench). Bucket ids are
+    * bit-identical to the old composition (same dot order, same
+    * `>= 0.0`, same bit packing — spec-asserted). */
   def lshBuckets(vectors: DataFrame, numTables: Int = 16,
       bitsPerTable: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val tableCols = (0 until numTables).map { t =>
-      val ps = planes(bitsPerTable, dim, seed + t)
-      val bits = (0 until bitsPerTable).map { b =>
-        val plane = array(ps(b).map(lit): _*)
-        when(dot(col("vec"), plane) >= 0.0,
-          shiftleft(lit(1), b)).otherwise(lit(0))
-      }
-      bits.reduce((x, y) => x.bitwiseOR(y))
-    }
+    val flat: Seq[Seq[Double]] = (0 until numTables)
+      .flatMap(t => planes(bitsPerTable, dim, seed + t).map(_.toSeq))
     vectors.select(col("vec_id"), col("vec"),
-      posexplode(array(tableCols: _*)))
+      posexplode(graft.functions.VectorFunctions.lshSignature(
+        col("vec"), typedLit(flat), bitsPerTable)))
       .withColumnRenamed("pos", "table_id")
       .withColumnRenamed("col", "bucket")
   }

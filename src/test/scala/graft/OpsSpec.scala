@@ -35,6 +35,44 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("*(1) Project [dotproduct"), plan)
   }
 
+  test("LshSignature equals the per-plane dot composition bit-for-bit " +
+    "and stays inside whole-stage codegen") {
+    val numTables = 3
+    val bits = 5
+    val dim = 8
+    val rng = new scala.util.Random(99)
+    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(numTables)(
+      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian())))
+    val flat = planes.flatten
+    val vecs = Seq.fill(50)(Seq.fill(dim)(rng.nextGaussian()))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "vec")
+    // old composition: one when(dot(vec, plane-literal) >= 0, 1<<b)
+    // per plane, OR-reduced per table
+    val tableCols = planes.map { ps =>
+      (0 until bits).map { b =>
+        val plane = array(ps(b).map(lit): _*)
+        when(VectorFunctions.dot(col("vec"), plane) >= 0.0,
+          shiftleft(lit(1), b)).otherwise(lit(0))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }
+    val old = vecs.select(col("vec_id"), array(tableCols: _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val got = vecs.select(col("vec_id"),
+        VectorFunctions.lshSignature(col("vec"), typedLit(flat), bits)
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got === old)
+    // and the single-expression form is codegen'd (range-backed plan)
+    val cg = spark.range(4)
+      .select(array(col("id").cast("double"),
+        lit(1.0), lit(2.0), lit(3.0), lit(4.0), lit(5.0), lit(6.0),
+        lit(7.0)).as("vec"))
+      .select(VectorFunctions.lshSignature(col("vec"), typedLit(flat), bits))
+      .queryExecution.executedPlan.toString
+    assert(cg.contains("*(1) Project [lshsignature"), cg)
+  }
+
   test("AdcScore equals the aggregate/zip_with/element_at composition " +
     "and handles nulls") {
     val df = Seq(
