@@ -34,9 +34,21 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     force(SparkEntry.queries("q_distinct_types")(spark, sfDir))
 
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated query names to leave
+    // out of the board — used by the decade/2-decade scale runs to
+    // exclude the LABELED quadratic oracles and md5 portability twins
+    // (their scale-path siblings stay in). Default: run everything.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (skip.nonEmpty)
+      System.err.println(s"[bench] skipping ${skip.size} queries: " +
+        skip.toSeq.sorted.mkString(","))
+
     // best-of-2 per query: the second run removes one-off JIT/IO noise
     // while still timing a cold plan (plans aren't cached across runs)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }.map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -36,7 +36,11 @@ import graft.core.Tables
   *  - `events` keep their time range (sf scaling densifies a fixed
   *    window, the TPC-H convention — group counts hold, group sizes
   *    scale) and are written TIMESTAMP_MICROS so [[Tables.events]]'
-  *    footer detection round-trips.
+  *    footer detection round-trips. The derived `ts_ns` column is
+  *    dropped before the write (rederived on read); for a
+  *    NANOS-encoded source the scaled copy is micros-truncated —
+  *    sub-microsecond bits do not survive the TIMESTAMP_MICROS
+  *    rewrite, so ts_ns-grain comparisons only hold within one dir.
   *
   * Run: `sbt "runMain graft.ScaleUp /tmp/sf1 10 /root/testdata/sf0.1"`.
   */
@@ -89,8 +93,14 @@ object ScaleUp {
     write(scaled(Tables.lineitem(spark, src))(
       "l_orderkey" -> orderStride, "l_partkey" -> partStride,
       "l_suppkey" -> suppStride), "lineitem")
+    // drop the derived ts_ns before writing: Tables.events rederives
+    // it on read, and persisting it would both waste bytes and — for
+    // a NANOS-encoded source — silently truncate (the written ts is
+    // micros, so a persisted ts_ns rederived from it loses the
+    // sub-microsecond bits the source carried)
     write(scaled(Tables.events(spark, src))(
-      "event_id" -> eventStride, "user_id" -> custStride), "events")
+      "event_id" -> eventStride, "user_id" -> custStride)
+      .drop("ts_ns"), "events")
 
     write(scaled(Tables.documents(spark, src))(
       "doc_id" -> docStride)

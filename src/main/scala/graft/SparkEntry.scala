@@ -148,7 +148,8 @@ object SparkEntry {
       graft.ops.Mix.stratifiedSample(s, d)),
     "q_train_test_split" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.trainTestSplit(s, d)),
-    "q_split_leakage" -> (graft.ops.Mix.crossSplitLeakage _),
+    "q_split_leakage" -> ((s: SparkSession, d: String) =>
+      graft.ops.Mix.crossSplitLeakage(s, d)),
     // weighted corpus mixing: deterministic per-source epoch
     // upsampling/downsampling + its per-source audit
     "q_corpus_mix" -> ((s: SparkSession, d: String) =>
@@ -232,6 +233,14 @@ object SparkEntry {
     // SCALE.md via StressDrift)
     "q_ann_ivfpq_drift" -> ((s: SparkSession, d: String) =>
       graft.ops.Quantize.ivfPqDriftRecall(s, d)),
+    // STREAMING-index drift twin: centroids frozen on the first
+    // micro-batch, 4 drifted-slice batches ingested online, probed
+    // with drifted queries — stale floor holds, rebuildEmbedIndex
+    // (retrain + re-assign + atomic vindex swap) restores the target
+    // band and never regresses (the repair is an operator, not a doc
+    // sentence)
+    "q_ingest_embed_drift" -> ((s: SparkSession, d: String) =>
+      graft.streaming.IngestEmbed.ingestEmbedDriftGate(s, d)),
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
@@ -368,6 +377,8 @@ object SparkEntry {
     "q_ann_ivfpq_incr_recall" -> graft.ops.Quantize.ivfPqRecallSql,
     "q_ann_ivfpq_deleted" -> graft.ops.Quantize.ivfPqDeletedRecallSql,
     "q_ann_ivfpq_drift" -> graft.ops.Quantize.ivfPqDriftRecallSql,
+    "q_ingest_embed_drift" ->
+      graft.streaming.IngestEmbed.ingestEmbedDriftGateSql,
     "q_training_shards" -> graft.ops.Corpus.trainingShardsSql,
     "q_training_shards_mixed" -> graft.ops.Corpus.trainingShardsMixedSql,
     "q_training_shards_chunked" -> graft.ops.Corpus.trainingShardsChunkedSql,

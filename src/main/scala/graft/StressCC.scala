@@ -95,6 +95,13 @@ object StressCC {
     val edges = arm match {
       case "paths" =>
         val len = math.max(2L, e) // arg3 = chain length here
+        // the analytic truth below assumes whole chains: a
+        // non-dividing length leaves a partial tail chain (and the
+        // degenerate default e=24M > n is one n-long path), so the
+        // expected label_sum/count formulas would spuriously MISMATCH
+        require(len <= n && n % len == 0,
+          s"paths arm: chain length $len must divide n=$n " +
+            "(usage: StressCC paths <n> <chainLength>)")
         spark.range(n).where(pmod(col("id"), lit(len)) =!= (len - 1) &&
             col("id") < n - 1)
           .select(col("id").as("src"), (col("id") + 1).as("dst"))

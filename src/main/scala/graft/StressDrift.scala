@@ -37,7 +37,7 @@ object StressDrift {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val maxB = args.lift(1).map(_.toInt).getOrElse(6)
     val alpha = args.lift(2).map(_.toDouble).getOrElse(0.15)
-    val nprobe = args.lift(3).map(_.toInt).getOrElse(14)
+    val nprobeArg = args.lift(3).map(_.toInt).getOrElse(14)
     val dir = "/root/testdata/sf0.1"
 
     // decorrelated replication (the StressSem flip construction):
@@ -58,11 +58,15 @@ object StressDrift {
     // cells scale like the ANN path would provision them: √n
     val cells = math.max(16,
       math.round(math.sqrt(n.toDouble)).toInt)
-    // default nprobe is the O(10) constant of the real regime (cells
-    // grow with √n, probes don't); the arg sweeps coverage — the
-    // dominant recall term this harness ended up exposing
+    // arg 4 sweeps the probe budget — the dominant recall term this
+    // harness exposed in round 10; ≤ 0 resolves the production
+    // auto-tune ([[graft.ops.Similarity.nprobeAuto]]: ⌈3.5·√cells⌉,
+    // the budget that round's sweep showed recovers the fixed-14 sag)
+    val nprobe = if (nprobeArg > 0) nprobeArg
+      else graft.ops.Similarity.nprobeAuto(cells)
     println(s"[drift] base=$n vectors, cells=$cells, alpha=$alpha, " +
-      s"queries=50, k=10, nprobe=$nprobe")
+      s"queries=50, k=10, nprobe=$nprobe" +
+      (if (nprobeArg <= 0) " (auto)" else ""))
     for (b <- 1 to maxB) {
       val t0 = System.nanoTime()
       val (stale, fresh, nTrue) = Quantize.ivfPqDriftCounts(spark, base,

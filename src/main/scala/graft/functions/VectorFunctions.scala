@@ -389,6 +389,14 @@ case class LshSignature(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toDoubleArray()
     val ps = b.asInstanceOf[ArrayData]
+    // a non-dividing plane count would silently TRUNCATE (fewer
+    // tables than the caller wired), and checkInputDataTypes cannot
+    // see array lengths — fail loud instead; one modulo per row is
+    // noise next to the dot loops
+    if (ps.numElements() % bitsPerTable != 0)
+      throw new IllegalArgumentException(
+        s"lsh_signature: ${ps.numElements()} planes is not a multiple " +
+          s"of bitsPerTable=$bitsPerTable")
     val numTables = ps.numElements() / bitsPerTable
     val out = new Array[Int](numTables)
     var t = 0
@@ -425,6 +433,11 @@ case class LshSignature(left: Expression, right: Expression,
       val i = ctx.freshName("i")
       s"""
          |double[] $xs = $a.toDoubleArray();
+         |if ($b.numElements() % $bitsPerTable != 0) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_signature: " + $b.numElements() + " planes is not a " +
+         |    "multiple of bitsPerTable=" + $bitsPerTable);
+         |}
          |int $numTables = $b.numElements() / $bitsPerTable;
          |int[] $out = new int[$numTables];
          |for (int $t = 0; $t < $numTables; $t++) {

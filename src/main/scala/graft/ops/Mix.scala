@@ -274,16 +274,60 @@ object Mix {
   /** Cross-split contamination: near-duplicate pairs (exact n-gram
     * Jaccard, the oracle-able pair source) that straddle the
     * train/test boundary — each one is test-set leakage. At scale the
-    * pair source swaps to [[Dedup.minhashLshPairs]] unchanged. */
-  def crossSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val splits = trainTestSplit(spark, dir)
-    Dedup.ngramJaccardPairs(spark, dir)
-      .select("doc_a", "doc_b")
-      .join(splits.select(col("doc_id").as("doc_a"),
-        col("split").as("split_a")), "doc_a")
-      .join(splits.select(col("doc_id").as("doc_b"),
-        col("split").as("split_b")), "doc_b")
-      .where(col("split_a") =!= col("split_b"))
+    * pair source swaps to [[Dedup.minhashLshPairs]] unchanged.
+    *
+    * The split lives in the pair SOURCE, not in a post-filter over
+    * all near-dup pairs: the old shape computed every near-dup pair
+    * via the full shingle self-join, then attached splits through two
+    * id joins and discarded the ~82% same-split majority. Here the
+    * label is a pure function of the text, so it rides each shingle
+    * row map-side, and the join runs TRAIN × TEST over the two
+    * disjoint sides — per shingle-frequency-c bucket that emits
+    * c·p(1−p)·c matches (~0.09c² at a 90/10 split) instead of the
+    * self-join's c²/2, a 5.5× cut of exactly the term that grows
+    * quadratically with near-dup clique size (the round-10 decade
+    * bench's workload shift), and the build side is the small test
+    * split. Output rows are identical — same-split pairs never
+    * contributed, and jaccard/sizes are split-independent. */
+  def crossSplitLeakage(spark: SparkSession, dir: String, n: Int = 3,
+      tau: Double = 0.5, trainPct: Int = 90): DataFrame = {
+    val toks = split(col("text"), " ")
+    // the split label is evaluated in a projection BELOW the
+    // explode's Generate — inlining it next to the generator hoists
+    // it into the post-Generate projection and re-runs the full-text
+    // md5 once per SHINGLE row instead of once per doc (measured 2×
+    // the whole query at the decade SF)
+    val sh = Tables.documents(spark, dir)
+      .where(size(toks) >= n)
+      .select(col("doc_id"),
+        when(contentBucket(col("text")) < trainPct, lit("train"))
+          .otherwise(lit("test")).as("split"),
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shs"))
+      .select(col("doc_id"), col("split"),
+        explode(col("shs")).as("shingle"))
+      .cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = sh.where(col("split") === "train").as("t")
+      .join(sh.where(col("split") === "test").as("e"),
+        col("t.shingle") === col("e.shingle"))
+      .select(
+        least(col("t.doc_id"), col("e.doc_id")).as("doc_a"),
+        greatest(col("t.doc_id"), col("e.doc_id")).as("doc_b"),
+        when(col("t.doc_id") < col("e.doc_id"), lit("train"))
+          .otherwise(lit("test")).as("split_a"),
+        when(col("t.doc_id") < col("e.doc_id"), lit("test"))
+          .otherwise(lit("train")).as("split_b"))
+      .groupBy("doc_a", "doc_b", "split_a", "split_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .where(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")) >= tau)
       .select("doc_a", "doc_b", "split_a", "split_b")
   }
 

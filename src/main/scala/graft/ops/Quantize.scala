@@ -443,7 +443,7 @@ object Quantize {
     * the embeddings table (or any external frame) instead; the index
     * is only ever read cell-pruned (asserted in QuantizeSpec). */
   def ivfPqTopK(spark: SparkSession, indexPath: String,
-      queriesIn: DataFrame, k: Int = 10, nprobe: Int = 14,
+      queriesIn: DataFrame, k: Int = 10, nprobe: Int = 0,
       rerank: Int = 20): DataFrame = {
     val data = spark.read.parquet(s"$indexPath/data")
     val packed = packBooks(spark.read.parquet(s"$indexPath/codebooks"))
@@ -451,6 +451,13 @@ object Quantize {
     val centArr = spark.read.parquet(s"$indexPath/centroids")
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cc"))
       .localCheckpoint()
+    // nprobe = 0 → auto-tune against THIS index's cell count (the
+    // sidecar is one tiny row, already checkpointed above) — see
+    // [[Similarity.nprobeAuto]]: a fixed budget quietly loses recall
+    // as indexes are provisioned with more cells
+    val np = if (nprobe > 0) nprobe
+      else Similarity.nprobeAuto(
+        centArr.select(size(col("cc"))).head().getInt(0))
     val dsub = expr("size(qvec) DIV size(books)")
     // per-query probe cells + ADC lookup table, one row per
     // (query, probed cell); bounded numQueries × nprobe
@@ -464,7 +471,7 @@ object Quantize {
           .as("lut"),
         explode(slice(reverse(array_sort(transform(col("cc"),
           c => struct(dot(col("qvec"), c.getField("cvec")).as("sim"),
-            c.getField("cid").as("cid"))))), 1, nprobe)
+            c.getField("cid").as("cid"))))), 1, np)
           .getField("cid")).as("cell"))
       .localCheckpoint()
     // static IN-list on the partition column → directory-level pruning
@@ -524,7 +531,7 @@ object Quantize {
     * driver (and the bench) time index construction + probe, not a
     * pre-warmed read. */
   def ivfPqTopKQuery(spark: SparkSession, dir: String,
-      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 0,
       rerank: Int = 20): DataFrame = {
     // one scratch build per (session, SF): q_ann_ivfpq and its recall
     // twin probe the SAME index — the build cost stays in the bench
@@ -548,7 +555,7 @@ object Quantize {
     * maintenance path has a driver-checked correctness row instead of
     * only a spec. */
   def ivfPqIncrTopKQuery(spark: SparkSession, dir: String,
-      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 0,
       rerank: Int = 20): DataFrame = {
     val idx = Scratch.cached(spark, s"ivfpq-incr:$dir", "graft-ivfpq-incr") {
       p =>
@@ -569,7 +576,7 @@ object Quantize {
     * same constant oracle, turning "append then probe still finds the
     * true neighbors" into a hard driver assertion. */
   def ivfPqIncrRecall(spark: SparkSession, dir: String,
-      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 0,
       rerank: Int = 20): DataFrame = {
     val got = ivfPqIncrTopKQuery(spark, dir, numQueries, k, nprobe, rerank)
       .select("query_id", "neighbor_id")
@@ -590,7 +597,7 @@ object Quantize {
     * composed IVF-PQ layout (both approximation axes at once: missed
     * cells AND quantized scoring). */
   def ivfPqRecallPerQuery(spark: SparkSession, dir: String,
-      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 0,
       rerank: Int = 20): DataFrame = {
     val got = ivfPqTopKQuery(spark, dir, numQueries, k, nprobe, rerank)
       .select("query_id", "neighbor_id")
@@ -610,7 +617,7 @@ object Quantize {
     * hash compare is a hard recall assertion over the flagship index
     * layout. Same determinism caveat as [[pqRecall]]. */
   def ivfPqRecall(spark: SparkSession, dir: String,
-      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 0,
       rerank: Int = 20): DataFrame =
     ivfPqRecallPerQuery(spark, dir, numQueries, k, nprobe, rerank)
       .agg(count(lit(1)).as("n_queries"),
@@ -630,7 +637,7 @@ object Quantize {
     * neighbor, so truth must not contain it either). Hash-exact vs a
     * constant oracle, the [[ivfPqRecall]] trick. */
   def ivfPqDeletedRecall(spark: SparkSession, dir: String,
-      numQueries: Int = 10, k: Int = 10, nprobe: Int = 14,
+      numQueries: Int = 10, k: Int = 10, nprobe: Int = 0,
       rerank: Int = 20): DataFrame = {
     // The tombstone write is the only difference from the shared gate
     // index ([[ivfPqTopKQuery]]'s Scratch key), and deletes never touch
@@ -711,7 +718,7 @@ object Quantize {
   def ivfPqDriftCounts(spark: SparkSession, base: DataFrame,
       scratchTag: String, batches: Int, alpha: Double = 0.15,
       numQueries: Int = 10, k: Int = 10, cells: Int = 16,
-      nprobe: Int = 14, rerank: Int = 20): (Long, Long, Long) = {
+      nprobe: Int = 0, rerank: Int = 20): (Long, Long, Long) = {
     val batchFrames = (1 to batches).map(b => driftedBatch(base, b, alpha))
     val full = (base +: batchFrames).reduce(_ unionByName _)
       .localCheckpoint()
@@ -780,7 +787,7 @@ object Quantize {
     * drift level at 20k), rebuild second. */
   def ivfPqDriftRecall(spark: SparkSession, dir: String,
       batches: Int = 4, alpha: Double = 0.15, numQueries: Int = 10,
-      k: Int = 10, nprobe: Int = 14, rerank: Int = 20): DataFrame = {
+      k: Int = 10, nprobe: Int = 0, rerank: Int = 20): DataFrame = {
     val base = Similarity.normalized(spark, dir).select("vec_id", "vec")
       .localCheckpoint()
     val (staleHits, freshHits, nTrue) = ivfPqDriftCounts(spark, base,

@@ -144,7 +144,8 @@ object Similarity {
     * with √n while nprobe stays O(10), and real corpora cluster, so
     * the probed FRACTION shrinks toward nprobe/cells ≪ 1. */
   def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
-      k: Int = 10, cells: Int = 16, nprobe: Int = 14): DataFrame = {
+      k: Int = 10, cells: Int = 16, nprobe: Int = 0): DataFrame = {
+    val np = if (nprobe > 0) nprobe else nprobeAuto(cells)
     val corpus = normalized(spark, dir).cache()
     val cents = cachedIvfCentroids(spark, dir, cells, corpus)
     def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
@@ -157,7 +158,7 @@ object Similarity {
       bestCells(col("vec"), 1).getItem(0).getField("cid"))
     val queries = corpus.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        explode(transform(bestCells(col("vec"), nprobe),
+        explode(transform(bestCells(col("vec"), np),
           s => s.getField("cid"))).as("cell"))
     val scored = assigned.join(broadcast(queries), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -170,12 +171,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Probe budget that tracks the cell count — the [[lshAutoBits]]
+    * discipline applied to nprobe, closing the round-10 StressDrift
+    * finding that at production cell counts the probe BUDGET binds
+    * recall, not index staleness, while every probe path defaulted a
+    * fixed 14 (coverage 14/cells → 0 as cells grow toward √n: the
+    * same quiet fixed-structure degradation that made fixed-bit
+    * sign-LSH quadratic). nprobe = ⌈3.5·√cells⌉, pinned by the two
+    * MEASURED points: 14 at the 16-cell gate (where the 0.9 recall
+    * band was calibrated on the near-random gate corpus) and 42 at
+    * StressDrift's 141 cells — exactly the sweep point that bought
+    * +0.07-0.19 recall over fixed-14 at every drift level. The √
+    * interpolation keeps the budget sublinear: coverage 3.5/√cells
+    * still shrinks toward 0 at scale (no return to scanning the
+    * index), while the absolute budget grows with the occupancy of
+    * √n-cell provisioning instead of freezing at the gate's
+    * constant. Floored at the historical 14 (gate SFs stay
+    * bit-identical) and capped at `cells` (can never probe more
+    * cells than exist). Every probe path takes `nprobe = 0` to mean
+    * this auto-tune; an explicit positive value always wins. */
+  def nprobeAuto(cells: Int): Int =
+    math.min(cells,
+      math.max(14, math.ceil(3.5 * math.sqrt(cells.toDouble)).toInt))
+
   /** Per-query IVF hit counts vs the TRUE top-k (the brute-force twin,
     * itself hash-proven against the DuckDB oracle): (query_id, n_hits
     * of k). The spec-level recall instrument. */
   def ivfRecallPerQuery(spark: SparkSession, dir: String,
       numQueries: Int = 10, k: Int = 10, cells: Int = 16,
-      nprobe: Int = 14): DataFrame = {
+      nprobe: Int = 0): DataFrame = {
     val ivf = ivfTopK(spark, dir, numQueries, k, cells, nprobe)
       .select("query_id", "neighbor_id")
     val brute = bruteForceTopK(spark, dir, numQueries, k)
@@ -198,7 +222,7 @@ object Similarity {
     * actual hit counts. Fully deterministic (seeded centroids), so
     * the 0.94 measured at the gate SF never drifts between runs. */
   def ivfRecall(spark: SparkSession, dir: String, numQueries: Int = 10,
-      k: Int = 10, cells: Int = 16, nprobe: Int = 14): DataFrame =
+      k: Int = 10, cells: Int = 16, nprobe: Int = 0): DataFrame =
     ivfRecallPerQuery(spark, dir, numQueries, k, cells, nprobe)
       .agg(count(lit(1)).as("n_queries"),
         (sum("n_hits") >= math.ceil(0.9 * k * numQueries).toLong)
@@ -236,7 +260,8 @@ object Similarity {
     * DIRECTORY level, so scan cost is nprobe/cells of the corpus. */
   def ivfTopKIndexed(spark: SparkSession, indexPath: String,
       cents: Array[(Int, Array[Double])], numQueries: Int = 10,
-      k: Int = 10, nprobe: Int = 14): DataFrame = {
+      k: Int = 10, nprobe: Int = 0): DataFrame = {
+    val np = if (nprobe > 0) nprobe else nprobeAuto(cents.length)
     val indexed = spark.read.parquet(indexPath)
     def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
       val scored = array(cents.map { case (cid, c) =>
@@ -246,7 +271,7 @@ object Similarity {
     }
     val queries = indexed.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        explode(transform(bestCells(col("vec"), nprobe),
+        explode(transform(bestCells(col("vec"), np),
           s => s.getField("cid"))).as("cell"))
     // static IN-list on the partition column → directory-level pruning
     // (a bare join would need DPP); bounded by numQueries × nprobe
@@ -597,17 +622,24 @@ object Similarity {
     // quadratic per clique — m copies of one vector contribute m²/2
     // pairs in EVERY probed cell (measured: the m² term dominated the
     // 1M-vector stress before this collapse, see SCALE.md). Grouping
-    // is by the vector VALUE (collision-proof, one (vec, id) shuffle
-    // of the same volume the normalize pass already moves); at 10⁹
-    // vectors swap the key for a 128-bit content hash.
-    val reps = corpusAll.groupBy("vec")
+    // is by a 128-bit CONTENT HASH of the vector (two independent
+    // xxhash64 seeds), not the vector value: equal vectors always
+    // share a key, so the grouping is identical up to a 128-bit
+    // collision (~n²/2¹²⁹ — negligible at any feasible corpus), and
+    // the group-by partials and the star join move a 16-byte key
+    // instead of the dim·8-byte vector — at 10⁹ × 64-dim that is the
+    // difference between a 16 GB and a 512 GB exchange.
+    val vhash = struct(xxhash64(col("vec")).as("h1"),
+      xxhash64(lit("graft:vhash2"), col("vec")).as("h2"))
+    val hashed = corpusAll.select(col("vec_id"), vhash.as("vh"))
+    val reps = hashed.groupBy("vh")
       .agg(min("vec_id").as("rep_id"))
     val corpus = corpusAll.join(
         reps.select(col("rep_id").as("vec_id")), Seq("vec_id"),
         "left_semi")
       .cache()
-    val stars = corpusAll.select(col("vec_id"), col("vec"))
-      .join(reps, "vec")
+    val stars = hashed
+      .join(reps, "vh")
       .where(col("vec_id") =!= col("rep_id"))
       .select(col("rep_id").as("src"), col("vec_id").as("dst"))
     val pairs = tauVerifiedPairs(corpus, tau, cells, nprobe, twoLevelFrom)

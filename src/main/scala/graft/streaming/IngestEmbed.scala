@@ -266,4 +266,189 @@ object IngestEmbed {
   /** The kept (semantically deduped) embedding corpus. */
   def keptEmbeddings(spark: SparkSession, workDir: String): DataFrame =
     spark.read.parquet(corpusPath(workDir))
+
+  /** ANN top-k over the ingest's vector index — the read side that
+    * makes `vindex/` a queryable artifact, not just dedup plumbing:
+    * probe each query's `nprobe` best cells (0 = auto-tune against
+    * the index's cell count, [[graft.ops.Similarity.nprobeAuto]] —
+    * a fixed budget quietly loses recall as the first batch's size,
+    * hence the frozen cell count, grows), scan ONLY those cell
+    * directories (static IN-list → directory-level pruning, the
+    * ivfTopKIndexed pattern), exact dot, per-query top-k. `queries`
+    * is a (query_id, qvec) side input of unit vectors — never
+    * fetched from the index itself (the [[graft.ops.Quantize
+    * .ivfPqTopK]] full-scan trap). */
+  def embedIndexTopK(spark: SparkSession, workDir: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 0): DataFrame = {
+    val centArr = spark.read.parquet(centsPath(workDir))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cc"))
+      .localCheckpoint()
+    val np = if (nprobe > 0) nprobe
+      else Similarity.nprobeAuto(
+        centArr.select(size(col("cc"))).head().getInt(0))
+    val probes = queries.select(col("query_id"), col("qvec"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("qvec"),
+        explode(slice(reverse(array_sort(transform(col("cc"),
+          c => struct(dot(col("qvec"), c.getField("cvec")).as("sim"),
+            c.getField("cid").as("cid"))))), 1, np)
+          .getField("cid")).as("cell"))
+      .localCheckpoint()
+    val probeCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = spark.read.parquet(dataPath(workDir))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("cell"), col("vec_id"), col("vec"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("vec"), col("qvec")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** REBUILD the ingest's vector index from the full kept history —
+    * the drift-repair operation [[applyEmbedBatch]]'s frozen-
+    * centroid design defers to (the FAISS periodic-rebuild model,
+    * same as [[graft.ops.Quantize.appendToIvfPqIndex]]'s): retrain
+    * centroids on everything kept so far (same granularity formula
+    * as the first-batch training, now at full-history n), re-assign
+    * every kept vector to its new nearest cell, and atomically swap
+    * `vindex/` via the two-rename discipline of
+    * [[graft.ops.Quantize.compactIvfPqIndex]] (loud interrupted-swap
+    * detection; a crash between the renames leaves `.old` for hand
+    * recovery, never a half-written live index). Rows keep their
+    * `batch` column, so the per-batch dynamic-overwrite idempotence
+    * of re-delivered micro-batches survives the rebuild. Cost: one
+    * centroid train + one full-history assignment write — O(history),
+    * paid on the operator's cadence, never per batch. */
+  def rebuildEmbedIndex(spark: SparkSession, workDir: String,
+      withinBatch: String = "pairs", nprobe: Int = 4): Unit = {
+    val hist = spark.read.parquet(dataPath(workDir))
+      .select("vec_id", "vec", "batch").localCheckpoint()
+    val nv = hist.count().toDouble
+    val k = math.min(4096, math.max(16,
+      (if (withinBatch == "screen") math.sqrt(nv)
+       else nprobe * math.sqrt(nv)).toLong)).toInt
+    val cents = Similarity
+      .ivfCentroidsDf(hist.select("vec_id", "vec"), k, iters = 2)
+      .localCheckpoint()
+    val fs = Ingest.fileSystem(spark, workDir)
+    val vindex = fs.makeQualified(
+      new Path(s"$workDir/vindex"))
+    val tmp = new Path(vindex.getParent, vindex.getName + ".rebuild.tmp")
+    val old = new Path(vindex.getParent, vindex.getName + ".old")
+    require(!fs.exists(old),
+      s"rebuildEmbedIndex: $old exists — a previous rebuild swap was " +
+        "interrupted; recover (restore or delete the .old copy) by hand")
+    fs.delete(tmp, true)
+    cents.write.parquet(s"$tmp/centroids")
+    Similarity.assignCells(hist.select("vec_id", "vec"), cents, nprobe = 1)
+      .join(hist, "vec_id")
+      .repartition(col("cell"))
+      .select(col("vec_id"), col("vec"), col("cell"), col("batch"))
+      .write.partitionBy("cell", "batch")
+      .parquet(s"$tmp/data")
+    require(fs.rename(vindex, old),
+      s"rebuildEmbedIndex: failed to move $vindex aside")
+    require(fs.rename(tmp, vindex),
+      s"rebuildEmbedIndex: failed to move rebuilt index into place")
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(dataPath(workDir))
+    spark.catalog.refreshByPath(centsPath(workDir))
+  }
+
+  /** Driver-gate row for STREAMING-index drift (`q_ingest_embed_drift`)
+    * — the round-10 verdict ask: [[applyEmbedBatch]] freezes
+    * first-batch centroids, the batch index has `q_ann_ivfpq_drift`,
+    * but nothing measured the streaming path's recall after drifted
+    * batches or defined the repair. This gate does both, with the
+    * [[graft.ops.Quantize.ivfPqDriftRecall]] thresholded-aggregate
+    * trick (hash-exact vs a constant oracle).
+    *
+    * Construction: the embeddings table splits into `batches`+1
+    * DISTINCT slices (vec_id mod batches+1) — batch b is slice b
+    * pulled by shift b·alpha ([[graft.ops.Quantize.driftedBatch]]),
+    * modeling NEW content arriving from a drifting distribution.
+    * (Drifting copies of the SAME vectors would be content near-dups
+    * of history — the ingest's own dedup would correctly collapse
+    * them and the drift measurement would dissolve; tau=0.9 keeps
+    * ordinary cross-slice similarities untouched either way.)
+    * Centroids freeze on the UN-drifted slice 0; queries are fresh
+    * drift-level-`batches`+1 vectors; ground truth is exact brute
+    * force over the kept corpus. Asserts: the stale frozen-centroid
+    * index holds the floor band; [[rebuildEmbedIndex]] restores the
+    * target band; the rebuild never regresses more than 0.1 (the
+    * no-regression form that is stable across SFs — the strict
+    * `fresh > stale` lesson of the batch gate). */
+  def ingestEmbedDriftGate(spark: SparkSession, dir: String,
+      batches: Int = 4, alpha: Double = 0.15, numQueries: Int = 10,
+      k: Int = 10, tau: Double = 0.9): DataFrame = {
+    import graft.ops.{Quantize, Scratch}
+    val m = batches + 1
+    def slice(b: Int): DataFrame =
+      graft.core.Tables.embeddings(spark, dir)
+        .where(pmod(col("vec_id"), lit(m)) === b)
+        .select("vec_id", "embedding")
+    def driftedSlice(b: Int): DataFrame =
+      Quantize.driftedBatch(normalizedFor(slice(b)), b, alpha)
+        .select(col("vec_id"), col("vec")
+          .cast("array<float>").as("embedding"))
+    val stale = Scratch.cached(spark,
+      s"ingest-drift-stale:$dir:$batches:$alpha:$tau",
+      "graft-ingest-drift") { p =>
+      applyEmbedBatch(spark, slice(0), 0L, p, tau = tau)
+      (1 to batches).foreach(b =>
+        applyEmbedBatch(spark, driftedSlice(b), b.toLong, p, tau = tau))
+    }
+    val rebuilt = Scratch.cached(spark,
+      s"ingest-drift-rebuilt:$dir:$batches:$alpha:$tau",
+      "graft-ingest-rebuilt") { p =>
+      val conf = spark.sessionState.newHadoopConf()
+      val src = new Path(stale)
+      val dst = new Path(p)
+      val fs = src.getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      rebuildEmbedIndex(spark, p)
+    }
+    val queries = Quantize.driftedBatch(
+        normalizedFor(slice(0).where(col("vec_id") < numQueries * m)),
+        batches + 1, alpha)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .localCheckpoint()
+    val keptNorm = normalizedFor(
+      keptEmbeddings(spark, stale).select("vec_id", "embedding"))
+      .localCheckpoint()
+    val truth = Similarity.bruteForceTopKFor(keptNorm, queries, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    def hitsOf(work: String): Long =
+      embedIndexTopK(spark, work, queries, k)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+    val (staleHits, freshHits) = (hitsOf(stale), hitsOf(rebuilt))
+    val nTrue = truth.count()
+    if (sys.env.contains("GRAFT_DRIFT_DEBUG"))
+      // scalastyle:off println — calibration instrument, opt-in only
+      println(f"[ingest-drift] stale=${staleHits.toDouble / nTrue}%.3f " +
+        f"rebuilt=${freshHits.toDouble / nTrue}%.3f n_true=$nTrue")
+    spark.range(1).select(
+      lit(numQueries.toLong).as("n_queries"),
+      lit(if (staleHits * 10L >= nTrue * 5L) 1 else 0)
+        .as("stale_recall_ge_50"),
+      lit(if (freshHits * 10L >= nTrue * 8L) 1 else 0)
+        .as("rebuilt_recall_ge_80"),
+      lit(if (freshHits * 10L >= staleHits * 10L - nTrue) 1 else 0)
+        .as("rebuild_no_regression"))
+  }
+
+  val ingestEmbedDriftGateSql: String =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+      |       1 AS stale_recall_ge_50, 1 AS rebuilt_recall_ge_80,
+      |       1 AS rebuild_no_regression
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
 }

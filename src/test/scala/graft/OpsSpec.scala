@@ -543,6 +543,36 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(gate(0).getInt(1) === 1, "aggregate IVF recall below 0.9")
   }
 
+  test("nprobeAuto: pinned at both measured points, capped at cells, " +
+    "and the auto budget recovers recall where fixed-14 coverage " +
+    "collapses") {
+    // formula pins — the 16-cell gate default (bit-identical gates)
+    // and the StressDrift sweep point that bought +0.07-0.19 recall
+    // are both reproduced exactly; budget never exceeds the cell
+    // count; coverage decays at scale (3.5% at 10k cells)
+    assert(Similarity.nprobeAuto(16) === 14)
+    assert(Similarity.nprobeAuto(141) === 42)
+    assert(Similarity.nprobeAuto(8) === 8)
+    assert(Similarity.nprobeAuto(10000) === 350)
+    // second cell scale: provision 4× the gate's cells on the same
+    // corpus. Fixed-14 coverage falls 87% → 22% and recall sags; the
+    // auto budget (28/64) must at least restore it — the measured
+    // defect shape the auto-tune exists to close.
+    val exact = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(spark, sf, numQueries = 10, k = 10,
+        cells = 64, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val fixed14 = recallAt(14)
+    val auto = recallAt(0)
+    assert(auto >= fixed14,
+      s"auto budget recall $auto below fixed-14's $fixed14 at 64 cells")
+    assert(auto >= 0.7, s"auto budget recall $auto below band at 64 cells")
+  }
+
   test("incremental LSH store: new batch finds near-dups in history " +
     "without rescanning it") {
     val store = java.nio.file.Files

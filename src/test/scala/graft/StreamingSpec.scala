@@ -479,9 +479,78 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     em.unpersist()
   }
 
+  test("rebuildEmbedIndex: retrains and reassigns the full kept " +
+    "history, swaps atomically with a loud interrupted-swap guard, " +
+    "and the rebuilt probe still finds true neighbors") {
+    val base = Files.createTempDirectory("graft-embed-rebuild").toString
+    val work = s"$base/work"
+    val em = Tables.embeddings(spark, sf).cache()
+    val n = em.count()
+    // high tau: only near-copies dedup, so the kept corpus stays
+    // near-complete and the recall measurement is over real data
+    val b0 = em.where(col("vec_id") < n / 2).select("vec_id", "embedding")
+    val b1 = em.where(col("vec_id") >= n / 2).select("vec_id", "embedding")
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark, b0, 0L, work,
+      tau = 0.95)
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark, b1, 1L, work,
+      tau = 0.95)
+    def keptIds: Set[Long] = graft.streaming.IngestEmbed
+      .keptEmbeddings(spark, work)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def idxIds: Seq[Long] = spark.read.parquet(s"$work/vindex/data")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val keptBefore = keptIds
+    val idxBefore = idxIds
+    assert(idxBefore.toSet === keptBefore,
+      "index rows diverge from the kept corpus before rebuild")
+
+    // interrupted-swap guard: a leftover vindex.old must fail loud
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val oldPath = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(s"$work/vindex"))
+        .getParent, "vindex.old")
+    fs.mkdirs(oldPath)
+    intercept[IllegalArgumentException] {
+      graft.streaming.IngestEmbed.rebuildEmbedIndex(spark, work)
+    }
+    fs.delete(oldPath, true)
+
+    graft.streaming.IngestEmbed.rebuildEmbedIndex(spark, work)
+    // kept corpus untouched; index holds exactly the kept rows, once
+    // each; the per-batch idempotence column survives the rebuild
+    assert(keptIds === keptBefore, "rebuild touched the kept corpus")
+    val idxAfter = idxIds
+    assert(idxAfter.toSet === keptBefore,
+      "rebuilt index rows diverge from the kept corpus")
+    assert(idxAfter.length === idxAfter.toSet.size,
+      "rebuilt index duplicated rows")
+    assert(spark.read.parquet(s"$work/vindex/data")
+      .columns.contains("batch"), "rebuild dropped the batch column")
+    // the rebuilt probe answers: ≥ 0.8 of the exact top-k over the
+    // kept corpus (auto probe budget)
+    val queries = graft.streaming.IngestEmbed.normalizedFor(
+        b0.where(col("vec_id") < 5))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val keptNorm = graft.streaming.IngestEmbed.normalizedFor(
+      graft.streaming.IngestEmbed.keptEmbeddings(spark, work)
+        .select("vec_id", "embedding"))
+    val truth = graft.ops.Similarity
+      .bruteForceTopKFor(keptNorm, queries, 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.streaming.IngestEmbed
+      .embedIndexTopK(spark, work, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"rebuilt-probe recall $recall below band")
+    em.unpersist()
+  }
+
   test("streaming embedding ingest, screen discipline: stream ≡ " +
     "sequential batches, duplicate-heavy batches collapse, and every " +
-    "drop has an exact ≥ tau witness that survived") {
+    "drop reaches a survivor through exact ≥ tau edges") {
     val base = Files.createTempDirectory("graft-embed-screen").toString
     val (src, work) = (s"$base/src", s"$base/work")
     Files.createDirectories(java.nio.file.Paths.get(src))
@@ -534,17 +603,17 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(kept === keptTwin,
       "screen-mode stream diverged from sequential batches")
 
-    // precision: every dropped batch-1 vector has an exact >= tau
-    // cosine witness among the OTHER batch-1 vectors — its chain
-    // neighbor (the same per-member guarantee the pair join's CC
-    // gives non-survivors: a tau edge into the component, not
-    // necessarily to the survivor itself)
+    // precision, part 1 — per-drop edge: every dropped batch-1 vector
+    // has an exact >= tau cosine witness among the OTHER batch-1
+    // vectors. The witness is the drop's chain neighbor and may
+    // itself have been dropped — this asserts an edge INTO the chain,
+    // not an edge to the survivor (part 2 carries that).
     val normAll = graft.streaming.IngestEmbed.normalizedFor(b1Aug)
       .localCheckpoint()
     val droppedB1 = normAll.where(!col("vec_id").isin(kept.toSeq: _*))
-    val keptB1 = normAll
+    val allB1 = normAll
       .select(col("vec_id").as("kid"), col("vec").as("kvec"))
-    val witnessed = droppedB1.crossJoin(keptB1)
+    val witnessed = droppedB1.crossJoin(allB1)
       .where(col("vec_id") =!= col("kid") &&
         graft.functions.VectorFunctions
           .dot(col("vec"), col("kvec")) >= 0.4)
@@ -554,6 +623,29 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .count()
     assert(unwitnessed === 0L,
       s"$unwitnessed dropped vectors have no exact-cosine witness")
+
+    // precision, part 2 — chain-transitive: under the full exact-tau
+    // closure over batch-1 vectors (all-pairs edges, spec scale only),
+    // every component that lost a member still has a KEPT member —
+    // i.e. each drop reaches a survivor through verified tau edges,
+    // the documented chain guarantee (a component whose every member
+    // was dropped would be data loss the per-edge check cannot see)
+    val tauEdges = normAll.as("a")
+      .join(normAll.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(graft.functions.VectorFunctions
+        .dot(col("a.vec"), col("b.vec")) >= 0.4)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val comps = graft.ops.Components.connectedComponents(
+      normAll.select(col("vec_id").as("node")), tauEdges)
+    val orphanComponents = comps
+      .withColumn("is_kept",
+        col("node").isin(kept.toSeq: _*).cast("int"))
+      .groupBy("component")
+      .agg(org.apache.spark.sql.functions.max("is_kept").as("any_kept"))
+      .where(col("any_kept") === 0)
+      .count()
+    assert(orphanComponents === 0L,
+      s"$orphanComponents tau-components lost every member to the screen")
     em.unpersist()
   }
 }
