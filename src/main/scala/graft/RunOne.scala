@@ -20,18 +20,29 @@ object RunOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name"))
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+    // `name` may be a comma-separated sequence: each runs in order in
+    // the SAME JVM/session (bench-board conditions) — the A/B tool for
+    // "query X is only slow when it runs after query Y" effects.
+    // GRAFT_RUNONE_RUNS>2 prints each query's whole run sequence —
+    // separates the JIT/codegen floor from the steady-state cost when
+    // a cheap query regresses on the board (the bench bills best-of-2,
+    // so a floor shift and a real regression look identical there).
+    val n = sys.env.get("GRAFT_RUNONE_RUNS").map(_.toInt).getOrElse(2)
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+      val fn = SparkEntry.queries.getOrElse(q,
+        sys.error(s"unknown query $q"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val runs = (1 to n).map { _ =>
+        val t = once(); spark.catalog.clearCache(); t
+      }
+      println(f"[runone] $q $sfDir best=${runs.min}%.2f s " +
+        s"(runs ${runs.map(t => f"$t%.2f").mkString(" / ")})")
     }
-    val a = once(); spark.catalog.clearCache()
-    val b = once(); spark.catalog.clearCache()
-    println(f"[runone] $name $sfDir best=${math.min(a, b)}%.2f s " +
-      f"(runs $a%.2f / $b%.2f)")
     spark.stop()
   }
 }

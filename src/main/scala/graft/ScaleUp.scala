@@ -21,13 +21,26 @@ import graft.core.Tables
   *    or newly-crossing keys;
   *  - `region`/`nation` stay fixed — they are the bounded dimension
   *    tables of the star schema (TPC-H semantics: sf scales facts);
-  *  - `documents` texts get a per-rep suffix (rep 0 verbatim) so the
-  *    corpus has 10× DISTINCT content — planted duplicate pairs stay
-  *    duplicated within each rep (both sides get the same suffix), so
-  *    dedup workloads scale honestly instead of collapsing to the
-  *    base corpus; n_chars tracks the new length (the generator's
-  *    n_chars = length(text) invariant, asserted by the provisioned
-  *    data);
+  *  - `documents` texts decorrelate at TOKEN grain (rep 0 verbatim):
+  *    every whitespace token gets a 2-char base-36 rep marker
+  *    appended. Within one rep the transform is a pure function of
+  *    the token, so planted duplicate/near-duplicate pairs keep their
+  *    exact shingle structure (both sides transform identically);
+  *    across reps every word n-gram differs, so cross-rep Jaccard is
+  *    0 and per-shingle frequency stays CONSTANT per decade. The r10
+  *    `suffix` mode (one trailing token per rep) left ~94% of word
+  *    shingles shared across reps — the scaled corpus became one
+  *    (mult·clique)-sized near-dup clique per base doc and every
+  *    shingle-join query's OUTPUT grew ∝ mult² (the "109× true work
+  *    per decade" SCALE.md triage) — a generator artifact, not an
+  *    engine property. `decorr` (the default) makes decade ratios
+  *    measure the ENGINE; pass `suffix` as the 4th arg for the
+  *    legacy clique-inflation corpus. Char k-grams interior to
+  *    tokens longer than k still share across reps under `decorr`
+  *    (winnowing-grain overlap is real corpus behavior, not a join
+  *    blow-up: hot short tokens all carry markers). n_chars tracks
+  *    the new length (the generator's n_chars = length(text)
+  *    invariant);
   *  - `embeddings` get the per-rep deterministic sign-flip (the
   *    StressSem decorrelated-copy construction, rep 0 verbatim):
   *    norm-preserving, and within-rep pairwise cosines are EXACTLY
@@ -42,13 +55,17 @@ import graft.core.Tables
   *    sub-microsecond bits do not survive the TIMESTAMP_MICROS
   *    rewrite, so ts_ns-grain comparisons only hold within one dir.
   *
-  * Run: `sbt "runMain graft.ScaleUp /tmp/sf1 10 /root/testdata/sf0.1"`.
+  * Run: `sbt "runMain graft.ScaleUp /tmp/sf1 10 /root/testdata/sf0.1"`
+  * (optionally ` decorr|suffix` as the 4th arg).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val src = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val textMode = args.lift(3).getOrElse("decorr")
+    require(textMode == "decorr" || textMode == "suffix",
+      s"text mode must be decorr|suffix, got $textMode")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -102,12 +119,24 @@ object ScaleUp {
       "event_id" -> eventStride, "user_id" -> custStride)
       .drop("ts_ns"), "events")
 
+    // token-grain decorrelation: marker is a pure function of rep,
+    // appended to every token — within-rep shingle structure is
+    // preserved exactly, cross-rep word n-grams never collide. The
+    // marker alphabet is [0-9a-z] (lower-case base 36, 2 chars,
+    // distinct per rep < 1296) so it absorbs into the token without
+    // introducing new whitespace/punctuation boundaries.
+    val mark = lpad(lower(conv(col("rep").cast("string"), 10, 36)), 2, "0")
+    val scaledText = textMode match {
+      case "decorr" =>
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, mark)))
+      case "suffix" =>
+        concat(col("text"), lit(" r"), col("rep").cast("string"))
+    }
     write(scaled(Tables.documents(spark, src))(
       "doc_id" -> docStride)
       .withColumn("text",
-        when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" r"),
-            col("rep").cast("string"))))
+        when(col("rep") === 0, col("text")).otherwise(scaledText))
       .withColumn("n_chars", length(col("text"))), "documents")
 
     write(scaled(Tables.embeddings(spark, src))(

@@ -244,6 +244,12 @@ object SparkEntry {
     "q_winnow_fp" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowing(s, d)
         .select("doc_id", "n_fingerprints")),
+    // ExactSubstr-grain dedup (Lee et al. 2022): duplicated-span
+    // detection + removal. Hash-exact oracles despite the xxhash64
+    // internals — the duplicate set is token equality, so the oracle
+    // groups on the window string and the hash never reaches output
+    "q_dup_spans" -> (graft.ops.Spans.dupSpans _),
+    "q_despanned_docs" -> (graft.ops.Spans.despannedDocs _),
     "q_winnow_fp_portable" -> ((s: SparkSession, d: String) =>
       graft.ops.TextStats.winnowingPortable(s, d)),
     "q_embed_near_dup" -> ((s: SparkSession, d: String) =>
@@ -362,6 +368,8 @@ object SparkEntry {
     "q_chunk_docs" -> graft.ops.Chunk.chunkDocsSql,
     "q_chunk_dedup" -> graft.ops.Chunk.chunkDedupSql,
     "q_repetition" -> graft.ops.Repetition.repetitionSignalsSql,
+    "q_dup_spans" -> graft.ops.Spans.dupSpansSql,
+    "q_despanned_docs" -> graft.ops.Spans.despannedDocsSql,
     "q_contamination_report" -> graft.ops.Decontaminate.contaminatedSql,
     "q_decontaminated_corpus" ->
       graft.ops.Decontaminate.decontaminatedCorpusSql,
