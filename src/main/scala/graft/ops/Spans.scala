@@ -43,9 +43,11 @@ import graft.core.Tables
   *    shuffles both sides by fp, and hot fps (corpus-wide boilerplate)
   *    are exactly the AQE skew-join case — no salting needed because
   *    the payload behind each fp is (doc_id, pos) pairs only.
-  *  - Position cover → maximal spans is the classic gaps-and-islands
-  *    window, partitioned BY DOCUMENT (never a global window): state
-  *    per task is bounded by tokens-per-doc.
+  *  - Duplicated window starts → maximal spans is a gaps-and-islands
+  *    window over START positions (one row per duplicated window, not
+  *    per covered token — fixed-length intervals merge by a gap-≤-k
+  *    test on sorted starts), partitioned BY DOCUMENT (never a global
+  *    window): state per task is bounded by tokens-per-doc.
   *  - Text reassembly never shuffles tokens: the merged spans per doc
   *    (an array of (s, e) — a handful of intervals, not per-token
   *    positions) join back to `documents` by doc_id and the cut is a
@@ -64,17 +66,21 @@ object Spans {
     * fp projection sits BELOW the Generate in its own select — inlining
     * it next to the posexplode would re-run the hash once per output
     * row of a hoisted projection (the q_split_leakage lesson). */
-  private def windowFps(docs: DataFrame, k: Int): DataFrame = {
-    val toks = split(col("text"), " ")
+  private def windowFps(docs: DataFrame, k: Int): DataFrame =
     docs
-      .where(size(toks) >= k)
+      // materialize the token array ONCE per row: referencing
+      // split(text) inside the transform lambda re-tokenizes the whole
+      // document per window (~tokens× redundant work; the measured 3.3 s
+      // → 0.6 s fix at sf0.1). The alias is multi-referenced and
+      // non-cheap, so CollapseProject leaves it in place.
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= k)
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
       .select(col("doc_id"), col("pos"),
         xxhash64(col("col")).as("fp"))
-  }
 
   /** Maximal duplicated spans: (doc_id, span_start, span_tokens),
     * span_start 0-based in token coordinates. A span is the merge of
@@ -92,18 +98,25 @@ object Spans {
     // materializing a corpus-sized explode at target scale).
     val dupFp = kg.groupBy("fp").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount).select("fp")
-    val covered = kg.join(dupFp, "fp")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-      .distinct()
-    // gaps-and-islands, per-doc window: consecutive covered positions
-    // share (p - row_number) and merge into one maximal span
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    covered
-      .withColumn("grp", col("p") - row_number().over(w))
+    // One row per duplicated WINDOW START — never per covered token
+    // position (an explode(sequence(pos, pos+k-1)) would multiply the
+    // shuffle k× and then need a distinct). Starts are unique per doc
+    // (kg has one row per (doc_id, pos); dupFp is unique fps), and for
+    // fixed-length windows interval merge degenerates to a gap test on
+    // sorted starts: two windows at s₁ < s₂ cover contiguous tokens
+    // iff s₂ − s₁ ≤ k, so a span breaks exactly where the gap exceeds
+    // k. Both window functions share one (doc_id, pos) sort.
+    val starts = kg.join(dupFp, "fp").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val break = when(col("pos") - lag("pos", 1).over(w) > k, 1)
+      .otherwise(0)
+    starts
+      .withColumn("grp", sum(break).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("p")).cast("long").as("span_start"),
-        count(lit(1)).as("span_tokens"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).cast("long")
+          .as("span_tokens"))
       .select("doc_id", "span_start", "span_tokens")
   }
 
@@ -121,14 +134,16 @@ object Spans {
       .agg(collect_list(struct(
         col("span_start").as("s"),
         (col("span_start") + col("span_tokens") - 1).as("e"))).as("spans"))
-    val toks = split(col("text"), " ")
     val inSpan = (i: Column, spans: Column) =>
       exists(spans, sp => i >= sp.getField("s") && i <= sp.getField("e"))
     docs.join(spans, Seq("doc_id"), "left")
+      // same once-per-row tokenization discipline as [[windowFps]]
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         when(col("spans").isNull, col("text"))
           .otherwise(concat_ws(" ",
-            filter(toks, (t, i) => !inSpan(i.cast("long"), col("spans")))))
+            filter(col("toks"),
+              (t, i) => !inSpan(i.cast("long"), col("spans")))))
           .as("clean_text"),
         coalesce(aggregate(col("spans"), lit(0L),
           (acc, sp) => acc + (sp.getField("e") - sp.getField("s") + lit(1L))),
