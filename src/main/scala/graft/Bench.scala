@@ -45,25 +45,39 @@ object Bench {
       System.err.println(s"[bench] skipping ${skip.size} queries: " +
         skip.toSeq.sorted.mkString(","))
 
-    // best-of-2 per query: the second run removes one-off JIT/IO noise
-    // while still timing a cold plan (plans aren't cached across runs)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => skip(n) }.map {
-      case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          force(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        }
-        val t = try math.min(once(), once())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-        // drop any cache the query built (LSH/IVF corpus caches) so
-        // later queries aren't timed under accumulated memory pressure
-        spark.catalog.clearCache()
-        name -> t
+    // best-of-2 per query, taken across two SEPARATED full passes over
+    // the board (pass A runs every query once, then pass B repeats).
+    // Adjacent duplicate runs — the old form — give no protection
+    // against time-LOCALIZED noise: a single multi-second host event
+    // (GC/page-flush burst) straddles both back-to-back runs of 2-5
+    // consecutive cheap queries and the board records a phantom 4-15×
+    // "regression" for an alphabetical window (observed twice: the r10
+    // media family, the r11 q_corpus_mix..q_cube window — neither
+    // reproducible in isolation). Separated passes keep the same total
+    // work and still time cold plans (plans aren't cached across
+    // runs); one-off JIT/scratch-build costs land in pass A and min()
+    // picks the steady pass, exactly as before.
+    val board = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+    def onePass(): Map[String, Double] = board.map { case (name, fn) =>
+      val t = try {
+        val t0 = System.nanoTime()
+        force(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+      // drop any cache the query built (LSH/IVF corpus caches) so
+      // later queries aren't timed under accumulated memory pressure
+      spark.catalog.clearCache()
+      name -> t
+    }.toMap
+    val passA = onePass()
+    val passB = onePass()
+    val results = board.map { case (name, _) =>
+      val (a, b) = (passA(name), passB(name))
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
     // streaming throughput + per-micro-batch latency: pace the file

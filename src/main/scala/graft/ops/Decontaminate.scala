@@ -35,15 +35,19 @@ object Decontaminate {
   /** Distinct hashed token n-grams per document: (doc_id, fp) with fp
     * = md5 of the space-joined window. Docs shorter than n tokens
     * produce none (they cannot contain a full window). */
-  def shingleFps(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(col("text"), " ")
+  def shingleFps(docs: DataFrame, n: Int): DataFrame =
     docs
-      .where(size(toks) >= n)
+      // tokenize ONCE per row: split(text) referenced inside the
+      // transform lambda re-tokenizes the document per window (the
+      // ops/Spans lesson; multi-ref non-cheap alias, so CollapseProject
+      // keeps the projection)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))).as("fp"))
-  }
+          sequence(lit(0), size(col("toks")) - n),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))))
+          .as("fp"))
 
   /** Per-document contamination report: for every training doc that
     * shares at least one n-gram with the eval set, the number of

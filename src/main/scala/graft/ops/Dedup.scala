@@ -97,15 +97,17 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document, as (doc_id, shingle)
     * pairs. Documents shorter than n tokens produce none. */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(col("text"), " ")
+  def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
-      .where(size(toks) >= n)
+      // tokenize ONCE per row (the ops/Spans lesson): split(text)
+      // inside the transform lambda re-tokenizes the doc per window
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
-  }
+          sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+          .as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ tau)
     * via shingle equi-join: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.

@@ -291,20 +291,22 @@ object Mix {
     * contributed, and jaccard/sizes are split-independent. */
   def crossSplitLeakage(spark: SparkSession, dir: String, n: Int = 3,
       tau: Double = 0.5, trainPct: Int = 90): DataFrame = {
-    val toks = split(col("text"), " ")
     // the split label is evaluated in a projection BELOW the
     // explode's Generate — inlining it next to the generator hoists
     // it into the post-Generate projection and re-runs the full-text
     // md5 once per SHINGLE row instead of once per doc (measured 2×
-    // the whole query at the decade SF)
+    // the whole query at the decade SF). The token array likewise
+    // materializes ONCE per row (the ops/Spans lesson: split inside
+    // the transform lambda re-tokenizes the doc per window).
     val sh = Tables.documents(spark, dir)
-      .where(size(toks) >= n)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
       .select(col("doc_id"),
         when(contentBucket(col("text")) < trainPct, lit("train"))
           .otherwise(lit("test")).as("split"),
         array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shs"))
+          sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shs"))
       .select(col("doc_id"), col("split"),
         explode(col("shs")).as("shingle"))
       .cache()
