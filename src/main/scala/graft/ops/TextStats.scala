@@ -305,8 +305,16 @@ object TextStats {
     * `array_intersect` (codegen'd native set intersection) beats a
     * `filter(_.isin(...))` lambda (interpreted, per-token linear scan)
     * by an order of magnitude — this runs at scan speed. */
-  def langIdCol(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
+  def langIdCol(text: Column): Column =
+    langIdCol(text, split(lower(text), "\\s+"))
+
+  /** Two-argument form: `toks` is the lower-cased whitespace token
+    * array, pre-materialized by the caller in its own projection so it
+    * is tokenized ONCE per row — the single-arg form embeds the split
+    * inside every per-language `array_intersect`, and whether codegen
+    * subexpression elimination collapses those copies depends on the
+    * surrounding tree (the ops/Spans lesson, expression-reuse flavor). */
+  def langIdCol(text: Column, toks: Column): Column = {
     val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         size(array_intersect(toks, array(words.map(lit): _*)))
@@ -314,9 +322,9 @@ object TextStats {
         lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
-    when(col("text").rlike("[\\u4e00-\\u9fff\\u3040-\\u30ff]"), lit("zh-ja"))
-      .when(col("text").rlike("[\\u0400-\\u04ff]"), lit("ru"))
-      .when(col("text").rlike("[\\u0600-\\u06ff]"), lit("ar"))
+    when(text.rlike("[\\u4e00-\\u9fff\\u3040-\\u30ff]"), lit("zh-ja"))
+      .when(text.rlike("[\\u0400-\\u04ff]"), lit("ru"))
+      .when(text.rlike("[\\u0600-\\u06ff]"), lit("ar"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
@@ -329,8 +337,11 @@ object TextStats {
     * uniformly English-vocab synthetic text, so agreement with it is not
     * a meaningful target. */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"), langIdCol(col("text")).as("lang_pred"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        langIdCol(col("text"), col("toks")).as("lang_pred"))
 
   /** Oracle form of [[langId]]: every signal is an integer count or a
     * script-range regex, so the heuristic is fully SQL-portable. The
