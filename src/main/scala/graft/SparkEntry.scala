@@ -106,6 +106,8 @@ object SparkEntry {
       graft.ops.Components.nearDupComponents(s, d, memo = true)),
     "q_dedup_survivors" -> ((s: SparkSession, d: String) =>
       graft.ops.Components.dedupNearSurvivors(s, d, memo = true)),
+    "q_dedup_best_survivors" -> ((s: SparkSession, d: String) =>
+      graft.ops.Components.bestQualitySurvivors(s, d, memo = true)),
     "q_corpus_clean" -> ((s: SparkSession, d: String) =>
       graft.ops.Components.cleanCorpus(s, d, memo = true)),
     "q_dedup_clusters_lsh" -> (graft.ops.Components.lshDedupClusters _),
@@ -125,6 +127,14 @@ object SparkEntry {
       graft.ops.Terms.topTermsPerDoc(s, d)),
     "q_bm25_topk" -> ((s: SparkSession, d: String) =>
       graft.ops.Terms.bm25TopK(s, d)),
+    // hybrid lexical+dense retrieval (query-by-example, RRF fusion)
+    "q_hybrid_rrf" -> ((s: SparkSession, d: String) =>
+      graft.ops.Retrieval.hybridRrfTopK(s, d)),
+    // per-source governance: domain caps + the admission ledger
+    "q_source_caps" -> ((s: SparkSession, d: String) =>
+      graft.ops.Corpus.sourceCappedCorpus(s, d)),
+    "q_source_cap_report" -> ((s: SparkSession, d: String) =>
+      graft.ops.Corpus.sourceCapReport(s, d)),
     // persisted term-bucketed postings index; same oracle as the flat
     // path (identical results through the pruned probe)
     "q_bm25_indexed" -> ((s: SparkSession, d: String) =>
@@ -347,7 +357,12 @@ object SparkEntry {
     "q_redact_docs" -> graft.ops.Redact.redactDocsSql,
     "q_near_dup_components" -> graft.ops.Components.nearDupComponentsSql,
     "q_dedup_survivors" -> graft.ops.Components.dedupNearSurvivorsSql,
+    "q_dedup_best_survivors" ->
+      graft.ops.Components.bestQualitySurvivorsSql,
     "q_corpus_clean" -> graft.ops.Components.cleanCorpusSql,
+    "q_hybrid_rrf" -> graft.ops.Retrieval.hybridRrfTopKSql,
+    "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
+    "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,
     "q_top_terms" -> graft.ops.Terms.topTermsPerDocSql,
     "q_bm25_topk" -> graft.ops.Terms.bm25TopKSql,

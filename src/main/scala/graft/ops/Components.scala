@@ -398,4 +398,61 @@ object Components {
         |           FROM reach GROUP BY src)
         |SELECT MIN(doc_id) AS doc_id, component, COUNT(*) AS n_members
         |FROM comp GROUP BY component""".stripMargin)
+
+  /** Quality-aware survivor selection: per near-dup component, keep
+    * the BEST document — highest stopword ratio (the fluency proxy of
+    * [[TextStats.qualityScores]]), doc_id ascending tie-break — not
+    * the arbitrary min-id of [[dedupNearSurvivors]]. This is what
+    * production dedup actually ships: near-duplicate clusters usually
+    * contain one clean copy and N boilerplate-wrapped or truncated
+    * ones, and keeping the first-seen id throws away the clean copy
+    * whenever it arrived late.
+    *
+    * Plan: the memoized component labels join the per-doc quality
+    * scalar (both (doc_id, few-columns) frames), then ONE shuffle by
+    * component runs both window functions (the argmax row_number and
+    * the n_members count share the partitioning). The ratio is
+    * exact-int/exact-int → one IEEE division, hash-portable; ties
+    * inside a clique of identical copies fall to doc_id, so the
+    * output is deterministic on any partitioning. */
+  def bestQualitySurvivors(spark: SparkSession, dir: String,
+      memo: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextStats.wsTokens(col("text"))
+    val quality = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      (size(filter(toks, t => t.isin(
+        TextStats.enStopwords.map(x => x: Any): _*))).cast("double") /
+        size(toks)).as("stopword_ratio"))
+    val wRank = Window.partitionBy("component")
+      .orderBy(col("stopword_ratio").desc, col("doc_id"))
+    val wSize = Window.partitionBy("component")
+    nearDupComponents(spark, dir, memo)
+      .join(quality, "doc_id")
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n_members", count(lit(1)).over(wSize))
+      .where(col("r") === 1)
+      .select("doc_id", "component", "n_members", "stopword_ratio")
+  }
+
+  val bestQualitySurvivorsSql: String = {
+    val stop = TextStats.enStopwords.map(s => s"'$s'").mkString(", ")
+    nearDupComponentsSql.replace(
+      """SELECT src AS doc_id, MIN(dst) AS component
+        |FROM reach GROUP BY src""".stripMargin,
+      s""", comp AS (SELECT src AS doc_id, MIN(dst) AS component
+         |           FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS stopword_ratio
+         |  FROM documents)
+         |SELECT doc_id, component, n_members, stopword_ratio FROM (
+         |  SELECT comp.doc_id, comp.component, q.stopword_ratio,
+         |         ROW_NUMBER() OVER (PARTITION BY comp.component
+         |           ORDER BY q.stopword_ratio DESC, comp.doc_id) AS r,
+         |         COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+         |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
+         |WHERE r = 1""".stripMargin)
+  }
 }

@@ -464,4 +464,80 @@ object Corpus {
        |       CAST(SUM(w) AS BIGINT) AS shard_tokens,
        |       string_agg(text, ' ' ORDER BY k) AS payload
        |FROM c GROUP BY shard_id""".stripMargin
+
+  /** Per-source document caps — web-crawl governance: no single
+    * domain may contribute more than `cap` documents, and the kept
+    * ones are the source's BEST by quality (stopword-ratio fluency
+    * proxy, doc_id tie-break), not its first `cap` arrivals.
+    *
+    * Scale shape: a bare `row_number() OVER (PARTITION BY source)`
+    * hashes every source into ONE task. Spark's WindowGroupLimit
+    * already bounds what SHUFFLES to that task (map-side top-cap per
+    * input task, visible in the plan), but the receiving partition
+    * still holds #input-tasks × cap rows — ~10⁶ tasks at 100 TB. The
+    * rank therefore runs in TWO stages, both windows, bit-identical
+    * to the single window because the global per-source top-`cap` all
+    * have bucket-rank ≤ cap in their salt bucket (the ordering is
+    * total — doc_id breaks every tie):
+    *   1. salted pre-rank: partition (source, pmod(doc_id, buckets)),
+    *      keep rank ≤ cap — balanced tasks, output ≤ buckets·cap rows
+    *      per source;
+    *   2. final rank: partition (source) over those ≤ buckets·cap
+    *      survivors — trivially small.
+    * The quality scalar is computed in the scan projection; only
+    * (doc_id, source, ratio) ever shuffles. */
+  def sourceCappedCorpus(spark: SparkSession, dir: String,
+      cap: Int = 20, saltBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextStats.wsTokens(col("text"))
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      (size(filter(toks, t => t.isin(
+        TextStats.enStopwords.map(x => x: Any): _*))).cast("double") /
+        size(toks)).as("stopword_ratio"))
+    val wPre = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(saltBuckets)))
+      .orderBy(col("stopword_ratio").desc, col("doc_id"))
+    val wFin = Window.partitionBy("source")
+      .orderBy(col("stopword_ratio").desc, col("doc_id"))
+    scored
+      .withColumn("r1", row_number().over(wPre))
+      .where(col("r1") <= cap).drop("r1")
+      .withColumn("src_rank", row_number().over(wFin))
+      .where(col("src_rank") <= cap)
+      .select("doc_id", "source", "stopword_ratio", "src_rank")
+  }
+
+  val sourceCappedCorpusSql: String = {
+    val stop = TextStats.enStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents)
+       |SELECT doc_id, source, stopword_ratio, src_rank FROM (
+       |  SELECT doc_id, source, stopword_ratio,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY stopword_ratio DESC, doc_id) AS src_rank
+       |  FROM q)
+       |WHERE src_rank <= 20""".stripMargin
+  }
+
+  /** The governance ledger for [[sourceCappedCorpus]]: per source, how
+    * many documents arrived and how many the cap admits. `n_kept` is
+    * exactly `LEAST(n_docs, cap)` because the cap ordering is total —
+    * one partial-agg shuffle on source, no second pass over the capped
+    * output needed. */
+  def sourceCapReport(spark: SparkSession, dir: String,
+      cap: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        least(col("n_docs"), lit(cap.toLong)).as("n_kept"))
+
+  val sourceCapReportSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |       LEAST(COUNT(*), 20) AS n_kept
+      |FROM documents GROUP BY source""".stripMargin
 }

@@ -1086,4 +1086,88 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       })
     }
   }
+
+  test("bestQualitySurvivors: one max-quality member per component, " +
+    "same component partition as the min-id survivors") {
+    val comps = graft.ops.Components.nearDupComponents(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quality = TextStats.qualityScores(spark, sf)
+      .select("doc_id", "stopword_ratio").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val best = graft.ops.Components.bestQualitySurvivors(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exactly one survivor per component, with the right member count
+    val byComp = comps.groupBy(_._2)
+    assert(best.map(_._2).toSet === byComp.keySet)
+    assert(best.length === byComp.size)
+    best.foreach { case (docId, comp, nMembers, ratio) =>
+      val members = byComp(comp).map(_._1)
+      assert(nMembers === members.length.toLong)
+      // argmax by (ratio desc, doc_id asc) over the component
+      val expected = members
+        .map(d => (d, quality(d)))
+        .minBy { case (d, q) => (-q, d) }
+      assert((docId, ratio) === expected,
+        s"component $comp kept $docId@$ratio, expected $expected")
+    }
+  }
+
+  test("sourceCappedCorpus: salted two-stage rank is bit-identical to " +
+    "the single-window plan and respects the cap") {
+    import org.apache.spark.sql.expressions.Window
+    val capped = graft.ops.Corpus
+      .sourceCappedCorpus(spark, sf, cap = 5, saltBuckets = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // per-source sizes respect the cap
+    capped.groupBy(_._2).values.foreach(rows =>
+      assert(rows.size <= 5))
+    // naive single window over the same quality scalar
+    val scored = graft.core.Tables.documents(spark, sf)
+      .join(TextStats.qualityScores(spark, sf)
+        .select("doc_id", "stopword_ratio"), "doc_id")
+      .select("doc_id", "source", "stopword_ratio")
+    val w = Window.partitionBy("source")
+      .orderBy(col("stopword_ratio").desc, col("doc_id"))
+    val naive = scored
+      .withColumn("src_rank", row_number().over(w))
+      .where(col("src_rank") <= 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(capped === naive)
+  }
+
+  test("hybridRrfTopK: k dense ranks per query, rrf reconstructs from " +
+    "the source ranks, fused order follows rrf") {
+    val rows = graft.ops.Retrieval.hybridRrfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4), r.getInt(5)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { qRows =>
+      assert(qRows.map(_._6).sorted.toSeq === (1 to qRows.length),
+        "fused ranks not dense")
+      qRows.foreach { case (q, d, lex, dense, rrf, _) =>
+        assert(d !== q, "the seed leaked into its own result list")
+        assert(lex.isDefined || dense.isDefined)
+        val expect = lex.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          dense.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        assert(rrf === expect)
+      }
+      // rank order IS (rrf desc, doc_id asc)
+      val ordered = qRows.sortBy(_._6).map(t => (t._5, t._2)).toSeq
+      assert(ordered.sliding(2).forall {
+        case Seq((s1, d1), (s2, d2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+        case _ => true
+      }, "fused ranking disagrees with the rrf score order")
+      // a doc ranked top-1 by BOTH lists must be the fused top-1
+      qRows.find(t => t._3.contains(1) && t._4.contains(1))
+        .foreach(t => assert(t._6 === 1))
+    }
+  }
 }
