@@ -127,9 +127,15 @@ object SparkEntry {
       graft.ops.Terms.topTermsPerDoc(s, d)),
     "q_bm25_topk" -> ((s: SparkSession, d: String) =>
       graft.ops.Terms.bm25TopK(s, d)),
-    // hybrid lexical+dense retrieval (query-by-example, RRF fusion)
+    // hybrid lexical+dense retrieval (query-by-example, RRF fusion);
+    // the IVF-probe dense side is the scale path, hash-gated against
+    // the exact hybrid by the overlap gate
     "q_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       graft.ops.Retrieval.hybridRrfTopK(s, d)),
+    "q_hybrid_rrf_ivf" -> ((s: SparkSession, d: String) =>
+      graft.ops.Retrieval.hybridRrfTopKIvf(s, d)),
+    "q_hybrid_rrf_gate" -> ((s: SparkSession, d: String) =>
+      graft.ops.Retrieval.hybridRrfOverlapGate(s, d)),
     // per-source governance: domain caps + the admission ledger
     "q_source_caps" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.sourceCappedCorpus(s, d)),
@@ -361,6 +367,7 @@ object SparkEntry {
       graft.ops.Components.bestQualitySurvivorsSql,
     "q_corpus_clean" -> graft.ops.Components.cleanCorpusSql,
     "q_hybrid_rrf" -> graft.ops.Retrieval.hybridRrfTopKSql,
+    "q_hybrid_rrf_gate" -> graft.ops.Retrieval.hybridRrfOverlapGateSql,
     "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
     "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,

@@ -55,6 +55,59 @@ object Retrieval {
   def hybridRrfTopK(spark: SparkSession, dir: String,
       numQueries: Int = 5, qTerms: Int = 2, k: Int = 10,
       k0: Int = 60): DataFrame = {
+    val corpus = Similarity.normalized(spark, dir)
+    val dense = Similarity.bruteForceTopKFor(corpus,
+        corpus.where(col("vec_id") < numQueries)
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec")), k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    fuseRrf(lexRanks(spark, dir, numQueries, qTerms, k), dense, k, k0)
+  }
+
+  /** The 10⁹-vector form: same lexical side and fusion, dense ranks
+    * from the IVF probe ([[Similarity.ivfTopK]], auto-tuned nprobe)
+    * instead of the corpus-scan brute force — the swap the scaladoc
+    * above promises, shipped. Rows-only (the probe is not
+    * DuckDB-runnable); [[hybridRrfOverlapGate]] hash-gates its
+    * agreement with the exact hybrid. */
+  def hybridRrfTopKIvf(spark: SparkSession, dir: String,
+      numQueries: Int = 5, qTerms: Int = 2, k: Int = 10,
+      k0: Int = 60): DataFrame = {
+    val dense = Similarity.ivfTopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    fuseRrf(lexRanks(spark, dir, numQueries, qTerms, k), dense, k, k0)
+  }
+
+  /** Driver-gate row for [[hybridRrfTopKIvf]]: the IVF-fused lists
+    * recover ≥ 80% of the exact hybrid's (query, doc) pairs in
+    * aggregate (measured 1.0 at the gate SFs — the IVF probe's 0.94+
+    * recall feeds through fusion; the band leaves room for honest
+    * probe misses at other corpora). Thresholded-aggregate oracle,
+    * the [[Similarity.ivfRecall]] pattern: DuckDB can't run the
+    * probe, but hash-matching the all-pass row turns the driver
+    * compare into a hard assertion. Deterministic (seeded centroids,
+    * total rank orders). */
+  def hybridRrfOverlapGate(spark: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val exact = hybridRrfTopK(spark, dir, numQueries, k = k)
+      .select("query_id", "doc_id")
+    val ivf = hybridRrfTopKIvf(spark, dir, numQueries, k = k)
+      .select("query_id", "doc_id")
+    val hits = ivf.join(exact, Seq("query_id", "doc_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+      hits.agg((count(lit(1)) >=
+        math.ceil(0.8 * k * numQueries).toLong)
+        .cast("int").as("overlap_ge_80")))
+  }
+
+  val hybridRrfOverlapGateSql: String =
+    """SELECT CAST(50 AS BIGINT) AS n_exact, 1 AS overlap_ge_80""".stripMargin
+
+  /** Lexical ranks (query_id, doc_id, lex_rank ≤ k) for the first
+    * `numQueries` seed documents. */
+  private def lexRanks(spark: SparkSession, dir: String,
+      numQueries: Int, qTerms: Int, k: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // one tokenization pass feeds seed-term selection AND scoring
     // (the bm25TopKWith discipline: localCheckpoint, reused 4×)
@@ -86,19 +139,16 @@ object Retrieval {
         expr(Terms.bm25ScoreExpr).as("sc"))
     val wLex = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
-    val lex = scored.groupBy("query_id", "doc_id")
+    scored.groupBy("query_id", "doc_id")
       .agg(sum("sc").as("score"))
       .withColumn("lex_rank", row_number().over(wLex))
       .where(col("lex_rank") <= k)
       .select("query_id", "doc_id", "lex_rank")
+  }
 
-    val corpus = Similarity.normalized(spark, dir)
-    val dense = Similarity.bruteForceTopKFor(corpus,
-        corpus.where(col("vec_id") < numQueries)
-          .select(col("vec_id").as("query_id"), col("vec").as("qvec")), k)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("dense_rank"))
-
+  /** RRF fusion of two (query_id, doc_id, *_rank) frames. */
+  private def fuseRrf(lex: DataFrame, dense: DataFrame, k: Int,
+      k0: Int): DataFrame = {
     // RRF: using-column full outer coalesces the keys; each side's
     // reciprocal term is computed then added in literal order
     val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")

@@ -1170,4 +1170,22 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
         .foreach(t => assert(t._6 === 1))
     }
   }
+
+  test("hybridRrfTopKIvf: high overlap with the exact hybrid; " +
+    "the overlap gate row is all-pass") {
+    val exact = graft.ops.Retrieval.hybridRrfTopK(spark, sf)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.ops.Retrieval.hybridRrfTopKIvf(spark, sf)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frac = exact.intersect(ivf).size.toDouble / exact.size
+    info(s"ivf-hybrid overlap fraction: $frac")
+    assert(frac >= 0.8, s"overlap $frac below the gate band")
+    val gate = graft.ops.Retrieval.hybridRrfOverlapGate(spark, sf)
+      .collect()
+    assert(gate.length === 1)
+    assert(gate.head.getLong(0) === 50L)
+    assert(gate.head.getInt(1) === 1)
+  }
 }
