@@ -136,6 +136,12 @@ object SparkEntry {
       graft.ops.Retrieval.hybridRrfTopKIvf(s, d)),
     "q_hybrid_rrf_gate" -> ((s: SparkSession, d: String) =>
       graft.ops.Retrieval.hybridRrfOverlapGate(s, d)),
+    // retriever training data: lexically-close/semantically-far
+    "q_hard_negatives" -> ((s: SparkSession, d: String) =>
+      graft.ops.Retrieval.hardNegatives(s, d)),
+    // tokenizer prep: per-doc OOV rate against the top-V vocabulary
+    "q_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      graft.ops.Terms.vocabCoverage(s, d)),
     // per-source governance: domain caps + the admission ledger
     "q_source_caps" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.sourceCappedCorpus(s, d)),
@@ -368,6 +374,8 @@ object SparkEntry {
     "q_corpus_clean" -> graft.ops.Components.cleanCorpusSql,
     "q_hybrid_rrf" -> graft.ops.Retrieval.hybridRrfTopKSql,
     "q_hybrid_rrf_gate" -> graft.ops.Retrieval.hybridRrfOverlapGateSql,
+    "q_hard_negatives" -> graft.ops.Retrieval.hardNegativesSql,
+    "q_vocab_coverage" -> graft.ops.Terms.vocabCoverageSql,
     "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
     "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,

@@ -104,6 +104,82 @@ object Retrieval {
   val hybridRrfOverlapGateSql: String =
     """SELECT CAST(50 AS BIGINT) AS n_exact, 1 AS overlap_ge_80""".stripMargin
 
+  /** Hard-negative mining — the training-data op behind every dense
+    * retriever (DPR, Contriever): candidates that score HIGH lexically
+    * but LOW semantically are the informative negatives (BM25-random
+    * negatives are too easy; in-batch negatives too few). Per seed:
+    * the BM25 top-`kLex` candidates whose exact cosine to the seed is
+    * below `tau` — lexically confusable, semantically unrelated.
+    *
+    * Scale shape: the lexical side is the audited BM25 plan; the
+    * cosine check joins the (numQueries·kLex)-row candidate list to
+    * the embedding table BY ID — one semi-join-sized probe, never a
+    * scan-vs-scan similarity pass, and the seed vectors broadcast.
+    * The `< tau` filter on an exact dot is the [[q_embed_near_dup]]
+    * oracle pattern (both engines compute the same IEEE dot on the
+    * same doubles), so the row set is hash-exact. */
+  def hardNegatives(spark: SparkSession, dir: String,
+      numQueries: Int = 5, qTerms: Int = 2, kLex: Int = 20,
+      tau: Double = 0.1): DataFrame = {
+    val corpus = Similarity.normalized(spark, dir)
+    val queries = corpus.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    lexRanks(spark, dir, numQueries, qTerms, kLex)
+      .join(corpus.select(col("vec_id").as("doc_id"), col("vec")),
+        "doc_id")
+      .join(broadcast(queries), "query_id")
+      .where(graft.functions.VectorFunctions
+        .dot(col("vec"), col("qvec")) < tau)
+      .select("query_id", "doc_id", "lex_rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t.term, COUNT(*) AS tf
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |                 CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+       |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |qsel AS (
+       |  SELECT doc_id AS query_id, term FROM (
+       |    SELECT tf.doc_id, tf.term,
+       |           ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |             ORDER BY CAST(tf.tf AS DOUBLE) / d.df DESC, tf.term) AS r
+       |    FROM tf JOIN d ON tf.term = d.term
+       |    WHERE tf.doc_id < 5)
+       |  WHERE r <= 2),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         CAST((2 * CAST(s.n AS DECIMAL(38,0)) - 2 * d.df + 1) * 22
+       |              * CAST(s.s AS DECIMAL(38,0)) * tf.tf AS DOUBLE)
+       |       / CAST((2 * CAST(d.df AS DECIMAL(38,0)) + 1)
+       |              * (10 * CAST(s.s AS DECIMAL(38,0)) * tf.tf
+       |                 + 3 * CAST(s.s AS DECIMAL(38,0))
+       |                 + 9 * CAST(s.n AS DECIMAL(38,0)) * dl.dl)
+       |              AS DOUBLE) AS sc
+       |  FROM qsel q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN d ON d.term = q.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE tf.doc_id != q.query_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT query_id, doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY SUM(sc) DESC, doc_id) AS lex_rank
+       |    FROM scored GROUP BY query_id, doc_id)
+       |  WHERE lex_rank <= 20),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT l.query_id, l.doc_id, l.lex_rank
+       |FROM lex l
+       |JOIN c e ON e.vec_id = l.doc_id
+       |JOIN c q ON q.vec_id = l.query_id
+       |WHERE list_cosine_similarity(q.v, e.v) < 0.1""".stripMargin
+
   /** Lexical ranks (query_id, doc_id, lex_rank ≤ k) for the first
     * `numQueries` seed documents. */
   private def lexRanks(spark: SparkSession, dir: String,

@@ -617,4 +617,54 @@ object Terms {
   /** Oracle for the delete gate: the same pipeline over only the
     * surviving documents. */
   val bm25DeletedTopKSql: String = bm25SqlFor("doc_id % 3 <> 0")
+
+  /** Vocabulary coverage — the tokenizer-prep audit every pipeline
+    * runs before committing a vocab: build the top-`vocabSize`
+    * vocabulary by corpus frequency (total tf descending, term
+    * ascending tie-break), then report each document's token count,
+    * out-of-vocabulary token count, and OOV ratio. High-OOV documents
+    * are the ones a frozen tokenizer will shred into bytes.
+    *
+    * Scale shape: ONE [[termFrequencies]] pass feeds both sides
+    * (localCheckpoint — the bm25TopKWith discipline); the vocabulary
+    * head arrives via TakeOrderedAndProject (distributed partial
+    * top-V, no global sort) and broadcasts back onto the tf stream;
+    * the per-doc rollup is one partial-agg shuffle on doc_id carrying
+    * three longs. Integer counts + one IEEE division → hash-exact.
+    * `vocabSize` defaults to 20 because the synthetic corpus has a
+    * 31-term vocabulary (production: 10⁴-10⁵ — still a broadcast). */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      vocabSize: Int = 20): DataFrame = {
+    val tf = termFrequencies(Tables.documents(spark, dir))
+      .localCheckpoint()
+    val vocab = tf.groupBy("term")
+      .agg(sum("tf").cast("long").as("total_tf"))
+      .orderBy(col("total_tf").desc, col("term"))
+      .limit(vocabSize)
+      .select("term")
+    tf.join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf"))
+          .otherwise(lit(0))).cast("long").as("n_oov"))
+      .withColumn("oov_ratio",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t.term, COUNT(*) AS tf
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+      |  GROUP BY 1, 2),
+      |v AS (SELECT term FROM (
+      |        SELECT term, SUM(tf) AS total_tf FROM tf GROUP BY term)
+      |      ORDER BY total_tf DESC, term LIMIT 20)
+      |SELECT doc_id,
+      |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(SUM(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS DOUBLE)
+      |         / SUM(tf) AS oov_ratio
+      |FROM tf LEFT JOIN v ON tf.term = v.term
+      |GROUP BY doc_id""".stripMargin
 }

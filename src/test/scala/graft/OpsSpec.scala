@@ -1188,4 +1188,61 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(gate.head.getLong(0) === 50L)
     assert(gate.head.getInt(1) === 1)
   }
+
+  test("hardNegatives: exactly the lexical candidates whose exact " +
+    "cosine to the seed is below tau") {
+    val norm = Similarity.normalized(spark, sf)
+      .select("vec_id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Long, b: Long): Double =
+      norm(a).zip(norm(b)).map { case (x, y) => x * y }.sum
+    val negs = graft.ops.Retrieval.hardNegatives(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(negs.nonEmpty)
+    negs.foreach { case (q, d, _) =>
+      assert(cos(q, d) < 0.1 + 1e-9,
+        s"returned ($q,$d) is not semantically far: ${cos(q, d)}")
+    }
+    // complement check: lexical top-20 docs NOT returned are close
+    val negSet = negs.map(t => (t._1, t._2)).toSet
+    val hybrid = graft.ops.Retrieval.hybridRrfTopK(spark, sf, k = 20)
+      .where(col("lex_rank").isNotNull)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    hybrid.filterNot(negSet).foreach { case (q, d) =>
+      assert(cos(q, d) >= 0.1 - 1e-9,
+        s"excluded ($q,$d) but cosine ${cos(q, d)} < tau")
+    }
+  }
+
+  test("vocabCoverage: per-doc OOV reconstructs from term frequencies; " +
+    "a full-size vocab has zero OOV") {
+    val rows = graft.ops.Terms.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, oov, ratio) =>
+      assert(oov >= 0 && oov <= n)
+      assert(ratio === oov.toDouble / n)
+    }
+    assert(rows.exists(_._3 > 0), "top-20 vocab of a 31-term corpus " +
+      "should leave some tokens OOV")
+    // naive recompute: vocab = top-20 terms by total tf (term tie-break)
+    val tf = graft.ops.Terms.termFrequencies(
+      graft.core.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val vocab = tf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (t, total) => (-total, t) }.take(20).map(_._1).toSet
+    val expect = tf.groupBy(_._1).map { case (doc, ts) =>
+      (doc, ts.map(_._3).sum,
+        ts.filterNot(t => vocab(t._2)).map(_._3).sum)
+    }
+    expect.foreach { case (doc, n, oov) =>
+      val got = rows.find(_._1 == doc).get
+      assert((got._2, got._3) === ((n, oov)), s"doc $doc")
+    }
+    // a vocab covering every term => zero OOV everywhere
+    val full = graft.ops.Terms.vocabCoverage(spark, sf, vocabSize = 64)
+      .agg(sum("n_oov")).collect().head.getLong(0)
+    assert(full === 0L)
+  }
 }
