@@ -142,6 +142,17 @@ object SparkEntry {
     // tokenizer prep: per-doc OOV rate against the top-V vocabulary
     "q_vocab_coverage" -> ((s: SparkSession, d: String) =>
       graft.ops.Terms.vocabCoverage(s, d)),
+    // BPE tokenizer training: pair stats, learned merges, pricing
+    "q_bpe_pair_stats" -> ((s: SparkSession, d: String) =>
+      graft.ops.Tokenize.bpePairStats(s, d)),
+    "q_bpe_merges" -> ((s: SparkSession, d: String) =>
+      graft.ops.Tokenize.bpeMerges(s, d)),
+    "q_bpe_merges_gate" -> ((s: SparkSession, d: String) =>
+      graft.ops.Tokenize.bpeMergesGate(s, d)),
+    "q_bpe_encode" -> ((s: SparkSession, d: String) =>
+      graft.ops.Tokenize.bpeEncodeCounts(s, d)),
+    "q_bpe_encode_gate" -> ((s: SparkSession, d: String) =>
+      graft.ops.Tokenize.bpeEncodeGate(s, d)),
     // per-source governance: domain caps + the admission ledger
     "q_source_caps" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.sourceCappedCorpus(s, d)),
@@ -376,6 +387,9 @@ object SparkEntry {
     "q_hybrid_rrf_gate" -> graft.ops.Retrieval.hybridRrfOverlapGateSql,
     "q_hard_negatives" -> graft.ops.Retrieval.hardNegativesSql,
     "q_vocab_coverage" -> graft.ops.Terms.vocabCoverageSql,
+    "q_bpe_pair_stats" -> graft.ops.Tokenize.bpePairStatsSql,
+    "q_bpe_merges_gate" -> graft.ops.Tokenize.bpeMergesGateSql,
+    "q_bpe_encode_gate" -> graft.ops.Tokenize.bpeEncodeGateSql,
     "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
     "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,

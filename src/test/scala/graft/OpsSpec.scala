@@ -1245,4 +1245,83 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       .agg(sum("n_oov")).collect().head.getLong(0)
     assert(full === 0L)
   }
+
+  /** Reference BPE trainer: in-memory, leftmost-greedy merges over a
+    * word-frequency map — the semantics Tokenize must reproduce
+    * EXACTLY (count desc, then (left, right) lexicographic ties). */
+  private def naiveBpe(wordCounts: Map[String, Long], nMerges: Int)
+      : (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
+    var words: Map[Seq[String], Long] =
+      wordCounts.map { case (w, c) => (w.map(_.toString), c) }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val pairs = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) += c
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairs.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        merges += ((l, r, c))
+        words = words.toSeq
+          .map { case (syms, n) => (applyMerge(syms, l, r), n) }
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      }
+    }
+    val enc = wordCounts.keys.map { w =>
+      var syms: Seq[String] = w.map(_.toString)
+      for ((l, r, _) <- merges) syms = applyMerge(syms, l, r)
+      (w, syms)
+    }.toMap
+    (merges.toSeq, enc)
+  }
+
+  test("bpeTrainMerges: exact merge-sequence equality with the naive " +
+    "in-memory trainer; encode counts reconstruct per doc") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wc = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, a) => (w, a.length.toLong) }
+    val (expMerges, expEnc) = naiveBpe(wc, 16)
+    val got = graft.ops.Tokenize.bpeTrainMerges(spark, sf, 16)
+    assert(got.map(m => (m._2, m._3, m._4)) === expMerges,
+      "merge sequence diverged from the reference trainer")
+    assert(got.map(_._1) === (1 to got.length))
+
+    // per-doc BPE token counts = sum over the doc's words of the
+    // naive encoder's token count
+    val counts = graft.ops.Tokenize.bpeEncodeCounts(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val exp = (ws.length.toLong,
+        ws.map(w => expEnc(w).length.toLong).sum,
+        ws.map(_.length.toLong).sum)
+      assert(counts(id) === exp, s"doc $id")
+    }
+
+    // gates all-green on the spec corpus
+    val mg = graft.ops.Tokenize.bpeMergesGate(spark, sf).collect().head
+    assert((mg.getString(0), mg.getString(1), mg.getLong(2)) ===
+      ((expMerges.head._1, expMerges.head._2, expMerges.head._3)))
+    assert(mg.getInt(3) === 1)
+    val eg = graft.ops.Tokenize.bpeEncodeGate(spark, sf).collect().head
+    assert(eg.getInt(2) === 1 && eg.getInt(3) === 1)
+  }
 }
