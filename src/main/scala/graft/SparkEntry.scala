@@ -153,6 +153,15 @@ object SparkEntry {
       graft.ops.Tokenize.bpeEncodeCounts(s, d)),
     "q_bpe_encode_gate" -> ((s: SparkSession, d: String) =>
       graft.ops.Tokenize.bpeEncodeGate(s, d)),
+    // model-scored selection: hashed linear classifier + DSIR
+    "q_quality_model_scores" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.qualityModelScores(s, d)),
+    "q_quality_model_report" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.qualityModelReport(s, d)),
+    "q_dsir_weights" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.dsirWeights(s, d)),
+    "q_dsir_selected" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.dsirSelected(s, d)),
     // per-source governance: domain caps + the admission ledger
     "q_source_caps" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.sourceCappedCorpus(s, d)),
@@ -390,6 +399,10 @@ object SparkEntry {
     "q_bpe_pair_stats" -> graft.ops.Tokenize.bpePairStatsSql,
     "q_bpe_merges_gate" -> graft.ops.Tokenize.bpeMergesGateSql,
     "q_bpe_encode_gate" -> graft.ops.Tokenize.bpeEncodeGateSql,
+    "q_quality_model_scores" -> graft.ops.Classify.qualityModelScoresSql,
+    "q_quality_model_report" -> graft.ops.Classify.qualityModelReportSql,
+    "q_dsir_weights" -> graft.ops.Classify.dsirWeightsSql,
+    "q_dsir_selected" -> graft.ops.Classify.dsirSelectedSql,
     "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
     "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Model-scored data SELECTION — the two classifier-shaped filters a
+  * pretraining pipeline runs after the heuristic gates:
+  *
+  *  - a hashed LINEAR text classifier (the fastText shape used for
+  *    quality filtering in the GPT-3 / CCNet data recipes: score =
+  *    Σ_token w[h(token)], keep if positive). Here the weight table is
+  *    derived deterministically from md5 so the oracle can recompute
+  *    it — swapping in a REAL trained model is a broadcast join of a
+  *    (term, weight) table in place of the inline hash, same plan.
+  *  - DSIR-style IMPORTANCE weighting (Xie et al., NeurIPS 2023):
+  *    score each doc by how target-domain-like its term distribution
+  *    is, via per-term target/source frequency ratios, then keep the
+  *    top-N. DSIR proper multiplies probability ratios in log space;
+  *    the shipped scorer uses quantized rational ratios (integer
+  *    micro-units) so every engine computes bit-identical scores —
+  *    the log swap is one line but transcendental, so not oracle-able.
+  *
+  * Scale shape (both): ONE corpus-scale pass — [[Terms.termFrequencies]]
+  * (explode absorbed map-side, shuffle carries distinct (doc, term))
+  * — then arithmetic per row and ONE doc_id partial-agg shuffle.
+  * Weights are computed INLINE from the term (no join) for the hashed
+  * model; the DSIR ratio table is vocabulary-sized and joins on term,
+  * the tf table's natural key (broadcast at test scale, AQE shuffle
+  * join at a 10⁷-term production vocabulary). All integer arithmetic
+  * until one final IEEE division per output row — hash-exact vs the
+  * DuckDB oracle by construction.
+  *
+  * Determinism note: the md5-derived pseudo-weights reuse the
+  * portable-twin discipline (Dedup.scala): Spark
+  * `conv(substring(md5(x), 25, 8), 16, 10)` ≡ DuckDB
+  * `CAST(('0x' || substr(md5(x), 25, 8)) AS BIGINT)` — the low 32
+  * hash bits as an integer both engines agree on. */
+object Classify {
+
+  /** Pseudo-weight in milli-units: md5-low-bits(term) → [-1000, 1000].
+    * Stands in for a trained model's per-feature weight. */
+  private def wMilli(term: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(concat(lit("graft:w:"), term)), 25, 8),
+      16, 10).cast("long"), lit(2001L)) - 1000L
+
+  /** Per-document linear-model scores: integer score in milli-units,
+    * the real-valued score (ONE IEEE division), and the keep/drop
+    * decision. */
+  def qualityModelScores(spark: SparkSession, dir: String): DataFrame =
+    Terms.termFrequencies(Tables.documents(spark, dir))
+      .select(col("doc_id"), (col("tf") * wMilli(col("term"))).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").cast("long").as("score_milli"))
+      .select(col("doc_id"), col("score_milli"),
+        (col("score_milli") / lit(1000.0)).as("score"),
+        when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop"))
+          .as("label"))
+
+  val qualityModelScoresSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t.term, COUNT(*) AS tf
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(tf * (CAST(('0x' || substr(md5('graft:w:' || term), 25, 8))
+      |                             AS BIGINT) % 2001 - 1000)) AS BIGINT)
+      |           AS score_milli
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, score_milli,
+      |       CAST(score_milli AS DOUBLE) / 1000.0 AS score,
+      |       CASE WHEN score_milli > 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM s""".stripMargin
+
+  /** Admission report per source: docs, keeps, and the exact average
+    * score — the per-domain acceptance-rate table a curation review
+    * reads. */
+  def qualityModelReport(spark: SparkSession, dir: String): DataFrame =
+    qualityModelScores(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("label") === "keep").cast("long")).as("n_keep"),
+        sum("score_milli").cast("long").as("sum_milli"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        (col("sum_milli") / (lit(1000.0) * col("n_docs"))).as("avg_score"))
+
+  val qualityModelReportSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t.term, COUNT(*) AS tf
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(tf * (CAST(('0x' || substr(md5('graft:w:' || term), 25, 8))
+      |                             AS BIGINT) % 2001 - 1000)) AS BIGINT)
+      |           AS score_milli
+      |  FROM tf GROUP BY doc_id)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN s.score_milli > 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_keep,
+      |       CAST(SUM(s.score_milli) AS DOUBLE)
+      |         / (1000.0 * COUNT(*)) AS avg_score
+      |FROM s JOIN documents d ON d.doc_id = s.doc_id
+      |GROUP BY d.source""".stripMargin
+
+  /** Per-term DSIR ratio table in micro-units:
+    * ((target_tf + 1) · 10⁶) div (source_tf + 1) — add-one smoothed,
+    * floor-divided (positive operands, so Spark `div` ≡ DuckDB `//`).
+    * Vocabulary-sized. */
+  private def dsirRatios(docs: DataFrame, targetSource: String): DataFrame =
+    Terms.termFrequencies(docs)
+      .join(docs.select(col("doc_id"),
+        (col("source") === targetSource).cast("long").as("is_t")), "doc_id")
+      .groupBy("term")
+      .agg(sum(col("tf") * col("is_t")).as("t_cnt"),
+        sum(col("tf") * (lit(1L) - col("is_t"))).as("s_cnt"))
+      .select(col("term"),
+        expr("((t_cnt + 1) * 1000000L) div (s_cnt + 1)").as("ratio_micro"))
+
+  /** Per-document DSIR importance: Σ tf · ratio_micro(term), plus the
+    * real-valued importance (one division). `targetSource` plays the
+    * target-domain corpus; everything else is the source pool. */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Terms.termFrequencies(docs)
+      .join(broadcast(dsirRatios(docs, targetSource)), "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("ratio_micro")).cast("long")
+        .as("importance_micro"))
+      .select(col("doc_id"), col("importance_micro"),
+        (col("importance_micro") / lit(1e6)).as("importance"))
+  }
+
+  private val dsirMicroSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t.term, COUNT(*) AS tf
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT tf.term,
+      |         ((SUM(CASE WHEN d.source = 'src0' THEN tf.tf ELSE 0 END) + 1)
+      |          * 1000000)
+      |         // (SUM(CASE WHEN d.source = 'src0' THEN 0 ELSE tf.tf END) + 1)
+      |           AS ratio_micro
+      |  FROM tf JOIN documents d ON d.doc_id = tf.doc_id
+      |  GROUP BY tf.term),
+      |imp AS (
+      |  SELECT tf.doc_id,
+      |         CAST(SUM(tf.tf * r.ratio_micro) AS BIGINT) AS importance_micro
+      |  FROM tf JOIN r ON r.term = tf.term
+      |  GROUP BY tf.doc_id)""".stripMargin
+
+  val dsirWeightsSql: String = dsirMicroSql +
+    """
+      |SELECT doc_id, importance_micro,
+      |       CAST(importance_micro AS DOUBLE) / 1000000.0 AS importance
+      |FROM imp""".stripMargin
+
+  /** Top-N most target-like documents — the DSIR selection step.
+    * Sort+limit fuses to TakeOrderedAndProject (distributed partial
+    * top-N, no global sort). */
+  def dsirSelected(spark: SparkSession, dir: String,
+      targetSource: String = "src0", n: Int = 100): DataFrame =
+    dsirWeights(spark, dir, targetSource)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+      .orderBy(col("importance_micro").desc, col("doc_id"))
+      .limit(n)
+      .select("doc_id", "source", "importance_micro")
+
+  val dsirSelectedSql: String = dsirMicroSql +
+    """
+      |SELECT i.doc_id, d.source, i.importance_micro
+      |FROM imp i JOIN documents d ON d.doc_id = i.doc_id
+      |ORDER BY i.importance_micro DESC, i.doc_id LIMIT 100""".stripMargin
+}

@@ -1246,6 +1246,59 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(full === 0L)
   }
 
+  test("qualityModelScores/dsirWeights: exact vs naive in-memory " +
+    "scorers; selection is the true top-N") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tf(text: String): Map[String, Long] =
+      text.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, a) => (t, a.length.toLong) }
+    def md5low(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(24), 16)
+    }
+    // hashed linear model
+    val expScore = docs.map { case (id, text, _) =>
+      (id, tf(text).map { case (t, c) =>
+        c * (md5low("graft:w:" + t) % 2001 - 1000)
+      }.sum)
+    }.toMap
+    val got = graft.ops.Classify.qualityModelScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    assert(got.nonEmpty && got.map(_._1).toSet === expScore.keySet)
+    got.foreach { case (id, milli, label) =>
+      assert(milli === expScore(id), s"doc $id")
+      assert(label === (if (milli > 0) "keep" else "drop"))
+    }
+    assert(got.exists(_._3 == "keep") && got.exists(_._3 == "drop"),
+      "pseudo-weights should split the corpus")
+
+    // DSIR: naive ratio table + per-doc importance
+    val termSide = docs.flatMap { case (_, text, src) =>
+      tf(text).map { case (t, c) => (t, src == "src0", c) } }
+    val ratios = termSide.groupBy(_._1).map { case (t, rows) =>
+      val tc = rows.filter(_._2).map(_._3).sum
+      val sc = rows.filterNot(_._2).map(_._3).sum
+      (t, ((tc + 1) * 1000000L) / (sc + 1))
+    }
+    val expImp = docs.map { case (id, text, _) =>
+      (id, tf(text).map { case (t, c) => c * ratios(t) }.sum)
+    }.toMap
+    val gotImp = graft.ops.Classify.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotImp === expImp)
+
+    // selection = the naive top-100 (importance desc, doc_id asc)
+    val expTop = expImp.toSeq.sortBy { case (id, w) => (-w, id) }
+      .take(100).map(_._1)
+    val gotTop = graft.ops.Classify.dsirSelected(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(gotTop === expTop)
+  }
+
   /** Reference BPE trainer: in-memory, leftmost-greedy merges over a
     * word-frequency map — the semantics Tokenize must reproduce
     * EXACTLY (count desc, then (left, right) lexicographic ties). */
