@@ -162,6 +162,13 @@ object SparkEntry {
       graft.ops.Classify.dsirWeights(s, d)),
     "q_dsir_selected" -> ((s: SparkSession, d: String) =>
       graft.ops.Classify.dsirSelected(s, d)),
+    // LM fluency filtering: rational-exact scores + true perplexity
+    "q_bigram_lm_scores" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.bigramLmScores(s, d)),
+    "q_bigram_lm_ppl" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.bigramLmPerplexity(s, d)),
+    "q_bigram_lm_ppl_gate" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.bigramLmPerplexityGate(s, d)),
     // per-source governance: domain caps + the admission ledger
     "q_source_caps" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.sourceCappedCorpus(s, d)),
@@ -403,6 +410,8 @@ object SparkEntry {
     "q_quality_model_report" -> graft.ops.Classify.qualityModelReportSql,
     "q_dsir_weights" -> graft.ops.Classify.dsirWeightsSql,
     "q_dsir_selected" -> graft.ops.Classify.dsirSelectedSql,
+    "q_bigram_lm_scores" -> graft.ops.Classify.bigramLmScoresSql,
+    "q_bigram_lm_ppl_gate" -> graft.ops.Classify.bigramLmPerplexityGateSql,
     "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
     "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,

@@ -161,6 +161,109 @@ object Classify {
       |       CAST(importance_micro AS DOUBLE) / 1000000.0 AS importance
       |FROM imp""".stripMargin
 
+  /** Positional adjacent word pairs (doc_id, l, r) — token grain, one
+    * row per bigram. The token array materializes ONCE per row in a
+    * projection BELOW the explode's Generate (the q_split_leakage /
+    * ops/Spans hoist lesson), and this frame is deliberately NOT
+    * cached: it is corpus-sized, so the LM build and the scoring pass
+    * each re-scan parquet rather than pinning a copy of the corpus. */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("l"),
+        element_at(col("toks"), col("i") + 1).as("r"))
+
+  /** Observed-bigram conditional probabilities in micro-units:
+    * (c(l,r) · 10⁶) div c(l·) — the corpus bigram LM table. Sized by
+    * OBSERVED bigrams (≤ corpus tokens, vastly fewer in practice). */
+  private def bigramLm(docs: DataFrame): DataFrame = {
+    val pairs = bigramPairs(docs)
+    val c12 = pairs.groupBy("l", "r").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("l").agg(count(lit(1)).as("c1"))
+    c12.join(c1, "l")
+      .select(col("l"), col("r"),
+        expr("(c12 * 1000000L) div c1").as("p_micro"))
+  }
+
+  /** Per-document fluency under the corpus bigram LM — the
+    * perplexity-filter shape (CCNet / Wenzek et al. 2020) with an
+    * ARITHMETIC-mean likelihood in integer micro-units so the score
+    * is cross-engine exact: fluency = (Σ p_micro) / (10⁶ · n_pairs),
+    * one IEEE division of two exactly-represented integers. The
+    * geometric-mean (true perplexity) twin is [[bigramLmPerplexity]].
+    * Two corpus scans by design (LM build + scoring) — caching the
+    * token-grain pair frame would pin a corpus-sized intermediate. */
+  def bigramLmScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bigramPairs(docs)
+      .join(broadcast(bigramLm(docs)), Seq("l", "r"))
+      .groupBy("doc_id")
+      .agg(sum("p_micro").cast("long").as("sum_micro"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("doc_id"), col("sum_micro"), col("n_pairs"),
+        (col("sum_micro") /
+          (col("n_pairs").cast("double") * lit(1e6))).as("fluency"))
+  }
+
+  private val bigramSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, toks[CAST(i AS INT)] AS l,
+      |         toks[CAST(i AS INT) + 1] AS r
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents) d,
+      |       UNNEST(range(1, len(toks))) AS g(i)
+      |  WHERE len(toks) >= 2),
+      |lm AS (
+      |  SELECT l, r, (COUNT(*) * 1000000)
+      |           // (SUM(COUNT(*)) OVER (PARTITION BY l)) AS p_micro
+      |  FROM p GROUP BY l, r)""".stripMargin
+
+  val bigramLmScoresSql: String = bigramSql +
+    """,
+      |s AS (
+      |  SELECT p.doc_id, CAST(SUM(lm.p_micro) AS BIGINT) AS sum_micro,
+      |         CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM p JOIN lm ON lm.l = p.l AND lm.r = p.r
+      |  GROUP BY p.doc_id)
+      |SELECT doc_id, sum_micro, n_pairs,
+      |       CAST(sum_micro AS DOUBLE)
+      |         / (CAST(n_pairs AS DOUBLE) * 1000000.0) AS fluency
+      |FROM s""".stripMargin
+
+  /** TRUE perplexity under the corpus bigram LM: exp(−avg ln P) —
+    * what a production CCNet-style filter thresholds. P is the same
+    * quantized p_micro/10⁶ the rational scorer uses, so the two
+    * queries grade the same model. Transcendental + float-sum
+    * ordering, so no hash oracle; the spec checks a naive in-JVM
+    * computation to 1e-12 relative and [[bigramLmPerplexityGate]]
+    * differentials the row count. ppl ≥ 1 always (P ≤ 1 ⇒
+    * −avg ln P ≥ 0). */
+  def bigramLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bigramPairs(docs)
+      .join(broadcast(bigramLm(docs)
+        .select(col("l"), col("r"),
+          (col("p_micro") / lit(1e6)).as("p"))), Seq("l", "r"))
+      .groupBy("doc_id")
+      .agg(exp(-avg(log(col("p")))).as("ppl"))
+  }
+
+  /** Gate: n_docs is a true differential column (DuckDB recounts the
+    * scoreable docs); all_ge_1 pins the analytic lower bound. */
+  def bigramLmPerplexityGate(spark: SparkSession, dir: String): DataFrame =
+    bigramLmPerplexity(spark, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        min((col("ppl") >= 1.0).cast("int")).as("all_ge_1"))
+
+  val bigramLmPerplexityGateSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, 1 AS all_ge_1
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) >= 2""".stripMargin
+
   /** Top-N most target-like documents — the DSIR selection step.
     * Sort+limit fuses to TakeOrderedAndProject (distributed partial
     * top-N, no global sort). */

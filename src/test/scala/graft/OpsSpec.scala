@@ -1299,6 +1299,33 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(gotTop === expTop)
   }
 
+  test("bigramLmScores/perplexity: exact vs naive corpus bigram LM") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val pairs = docs.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(p => (id, p)) }
+    val c12 = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = pairs.groupBy(_._2._1).view.mapValues(_.length.toLong).toMap
+    def pMicro(p: (String, String)): Long = c12(p) * 1000000L / c1(p._1)
+    val exp = pairs.groupBy(_._1).map { case (id, ps) =>
+      (id, (ps.map(p => pMicro(p._2)).sum, ps.length.toLong)) }
+    val got = graft.ops.Classify.bigramLmScores(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === exp)
+
+    val expPpl = pairs.groupBy(_._1).map { case (id, ps) =>
+      (id, math.exp(-ps.map(p =>
+        math.log(pMicro(p._2) / 1e6)).sum / ps.length)) }
+    val gotPpl = graft.ops.Classify.bigramLmPerplexity(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotPpl.keySet === expPpl.keySet)
+    gotPpl.foreach { case (id, p) =>
+      assert(math.abs(p - expPpl(id)) <= 1e-12 * expPpl(id), s"doc $id")
+      assert(p >= 1.0)
+    }
+  }
+
   /** Reference BPE trainer: in-memory, leftmost-greedy merges over a
     * word-frequency map — the semantics Tokenize must reproduce
     * EXACTLY (count desc, then (left, right) lexicographic ties). */
