@@ -153,6 +153,11 @@ object SparkEntry {
       graft.ops.Tokenize.bpeEncodeCounts(s, d)),
     "q_bpe_encode_gate" -> ((s: SparkSession, d: String) =>
       graft.ops.Tokenize.bpeEncodeGate(s, d)),
+    // causal-LM sequence packing: docs split across fixed-length cuts
+    "q_pack_sequences" -> ((s: SparkSession, d: String) =>
+      graft.ops.Pack.docSequences(s, d)),
+    "q_sequence_manifest" -> ((s: SparkSession, d: String) =>
+      graft.ops.Pack.sequenceManifest(s, d)),
     // model-scored selection: hashed linear classifier + DSIR
     "q_quality_model_scores" -> ((s: SparkSession, d: String) =>
       graft.ops.Classify.qualityModelScores(s, d)),
@@ -406,6 +411,8 @@ object SparkEntry {
     "q_bpe_pair_stats" -> graft.ops.Tokenize.bpePairStatsSql,
     "q_bpe_merges_gate" -> graft.ops.Tokenize.bpeMergesGateSql,
     "q_bpe_encode_gate" -> graft.ops.Tokenize.bpeEncodeGateSql,
+    "q_pack_sequences" -> graft.ops.Pack.docSequencesSql,
+    "q_sequence_manifest" -> graft.ops.Pack.sequenceManifestSql,
     "q_quality_model_scores" -> graft.ops.Classify.qualityModelScoresSql,
     "q_quality_model_report" -> graft.ops.Classify.qualityModelReportSql,
     "q_dsir_weights" -> graft.ops.Classify.dsirWeightsSql,

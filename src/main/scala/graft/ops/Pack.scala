@@ -224,4 +224,97 @@ object Pack {
       "SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS shard_tokens, " +
         "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM (SELECT doc_id, w, cum_tokens,")
       .replace("FROM c", "FROM c) GROUP BY shard_id")
+
+  /** SEQUENCE packing — the causal-LM layout step shard packing is
+    * not: concatenate the corpus token stream in key order and cut it
+    * every `seqLen` tokens, SPLITTING documents across cuts. Each
+    * output row is one (document × sequence) span: where the doc's
+    * tokens land in the sequence (`seq_off`), where the span starts
+    * inside the doc (`doc_off`), and its length — exactly the
+    * manifest a packed-attention loader needs to build position ids
+    * and cross-document attention masks.
+    *
+    * Scale shape: global token offsets come from the SAME two-pass
+    * distributed prefix sum as [[packIntoShards]] (no global window);
+    * after that, everything is per-row integer arithmetic plus one
+    * explode whose fan-out is ⌈doc_tokens/seqLen⌉ + 1 — total output
+    * rows ≈ n_docs + total_tokens/seqLen, linear. All integers, so
+    * hash-exact vs the oracle's window cumsum. */
+  def packSequences(df: DataFrame, orderCol: String, weight: Column,
+      seqLen: Long): DataFrame =
+    packIntoShards(df, orderCol, weight, budget = Long.MaxValue)
+      .where(col("w") > 0)
+      .withColumn("start_off", col("cum_tokens") - col("w"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_off div $seqLen"),
+        expr(s"(cum_tokens - 1) div $seqLen"))))
+      .select(col(orderCol), col("seq_id"),
+        (greatest(col("start_off"), col("seq_id") * seqLen) -
+          col("seq_id") * seqLen).as("seq_off"),
+        (greatest(col("start_off"), col("seq_id") * seqLen) -
+          col("start_off")).as("doc_off"),
+        (least(col("cum_tokens"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("start_off"), col("seq_id") * seqLen)).as("n_toks"),
+        col("w").as("doc_tokens"))
+
+  /** Documents → 512-token training sequences (whitespace token
+    * weights, doc_id order — the oracle query). */
+  def docSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), "doc_id",
+      size(split(col("text"), " ")), seqLen = 512L)
+
+  val docSequencesSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |         CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS cum
+      |  FROM w),
+      |s AS (SELECT doc_id, w, cum - w AS s0, cum FROM c WHERE w > 0),
+      |x AS (
+      |  SELECT doc_id, w, s0, cum, CAST(q AS BIGINT) AS seq_id
+      |  FROM s, UNNEST(range(s0 // 512, (cum - 1) // 512 + 1)) AS g(q))
+      |SELECT doc_id, seq_id,
+      |       CAST(GREATEST(s0, seq_id * 512) - seq_id * 512 AS BIGINT)
+      |         AS seq_off,
+      |       CAST(GREATEST(s0, seq_id * 512) - s0 AS BIGINT) AS doc_off,
+      |       CAST(LEAST(cum, (seq_id + 1) * 512)
+      |            - GREATEST(s0, seq_id * 512) AS BIGINT) AS n_toks,
+      |       w AS doc_tokens
+      |FROM x""".stripMargin
+
+  /** Per-sequence manifest: span count, fill (== seqLen everywhere but
+    * the tail), and how many spans are document FRAGMENTS (a doc cut
+    * by a sequence boundary) — the packing-efficiency report. One
+    * seq_id partial-agg shuffle over the span frame. */
+  def sequenceManifest(spark: SparkSession, dir: String): DataFrame =
+    docSequences(spark, dir)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("n_toks").cast("long").as("seq_tokens"),
+        sum((col("n_toks") < col("doc_tokens")).cast("long"))
+          .as("n_fragments"))
+
+  val sequenceManifestSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |         CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS cum
+      |  FROM w),
+      |s AS (SELECT doc_id, w, cum - w AS s0, cum FROM c WHERE w > 0),
+      |x AS (
+      |  SELECT doc_id, w, s0, cum, CAST(q AS BIGINT) AS seq_id
+      |  FROM s, UNNEST(range(s0 // 512, (cum - 1) // 512 + 1)) AS g(q))
+      |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |       CAST(SUM(LEAST(cum, (seq_id + 1) * 512)
+      |                - GREATEST(s0, seq_id * 512)) AS BIGINT) AS seq_tokens,
+      |       CAST(SUM(CASE WHEN LEAST(cum, (seq_id + 1) * 512)
+      |                          - GREATEST(s0, seq_id * 512) < w
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fragments
+      |FROM x GROUP BY seq_id""".stripMargin
   }

@@ -156,6 +156,53 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(packed(7) === auto)
   }
 
+  test("packSequences: spans tile every doc and fill every sequence " +
+    "to exactly seqLen except the tail; partition-count-invariant") {
+    val spans = graft.ops.Pack.docSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(spans.nonEmpty)
+    // per doc: fragments reconstruct the doc contiguously
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._4) // by doc_off
+      assert(sorted.map(_._5).sum === sorted.head._6, s"doc $doc tokens")
+      var expectOff = 0L
+      sorted.foreach { case (_, _, _, off, n, _) =>
+        assert(off === expectOff, s"doc $doc gap at $off"); expectOff += n
+      }
+      // consecutive fragments land in consecutive sequences
+      assert(sorted.map(_._2) === (sorted.head._2 until
+        sorted.head._2 + sorted.length))
+    }
+    // per sequence: exactly 512 tokens except the last; offsets tile
+    val last = spans.map(_._2).max
+    spans.groupBy(_._2).foreach { case (seq, ss) =>
+      val total = ss.map(_._5).sum
+      if (seq < last) assert(total === 512L, s"seq $seq fill")
+      else assert(total <= 512L)
+      val sorted = ss.sortBy(_._3)
+      var expectOff = 0L
+      sorted.foreach { case (_, _, off, _, n, _) =>
+        assert(off === expectOff, s"seq $seq gap"); expectOff += n
+      }
+    }
+    // fragment accounting matches the manifest
+    val man = graft.ops.Pack.sequenceManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    spans.groupBy(_._2).foreach { case (seq, ss) =>
+      assert(man(seq) === ((ss.length.toLong, ss.map(_._5).sum,
+        ss.count(s => s._5 < s._6).toLong)))
+    }
+    // the prefix sum behind it is partition-layout-invariant
+    val alt = graft.ops.Pack.packSequences(
+        graft.core.Tables.documents(spark, sf).repartition(7), "doc_id",
+        size(split(col("text"), " ")), seqLen = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(alt === spans.toSet)
+  }
+
   // ----- semantic (embedding) dedup -----
 
   test("semanticDedup refines the exact embedding clustering: pair " +
