@@ -179,11 +179,17 @@ object Classify {
 
   /** Observed-bigram conditional probabilities in micro-units:
     * (c(l,r) · 10⁶) div c(l·) — the corpus bigram LM table. Sized by
-    * OBSERVED bigrams (≤ corpus tokens, vastly fewer in practice). */
+    * OBSERVED bigrams (≤ corpus tokens, vastly fewer in practice).
+    * ONE corpus scan: the left-context totals c(l·) ROLL UP from the
+    * bigram counts (every pair instance is counted exactly once), so
+    * they aggregate the vocabulary²-sized c12 table — checkpointed,
+    * the bounded-intermediate discipline — instead of re-scanning the
+    * corpus. */
   private def bigramLm(docs: DataFrame): DataFrame = {
-    val pairs = bigramPairs(docs)
-    val c12 = pairs.groupBy("l", "r").agg(count(lit(1)).as("c12"))
-    val c1 = pairs.groupBy("l").agg(count(lit(1)).as("c1"))
+    val c12 = bigramPairs(docs).groupBy("l", "r")
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = c12.groupBy("l").agg(sum("c12").as("c1"))
     c12.join(c1, "l")
       .select(col("l"), col("r"),
         expr("(c12 * 1000000L) div c1").as("p_micro"))
