@@ -47,12 +47,24 @@ object Classify {
 
   /** Per-document linear-model scores: integer score in milli-units,
     * the real-valued score (ONE IEEE division), and the keep/drop
-    * decision. */
+    * decision.
+    *
+    * ONE shuffle: the weight is evaluated per TOKEN (in a projection
+    * BELOW the explode's Generate — the hoist rule) and the doc_id
+    * partial aggregation absorbs the token stream map-side, so the
+    * exchange carries one row per document. The (doc, term)-grain
+    * alternative (aggregate tf first, hash per distinct pair) trades
+    * ~3× fewer md5 calls for an extra corpus-type-sized exchange —
+    * measured a wash on local[32] at ×100 (24.1 vs 23.8 s, shuffle is
+    * memory-speed there); on a real cluster the network exchange is
+    * the scarce resource, so the one-shuffle form ships. */
   def qualityModelScores(spark: SparkSession, dir: String): DataFrame =
-    Terms.termFrequencies(Tables.documents(spark, dir))
-      .select(col("doc_id"), (col("tf") * wMilli(col("term"))).as("contrib"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), wMilli(col("term")).as("w"))
       .groupBy("doc_id")
-      .agg(sum("contrib").cast("long").as("score_milli"))
+      .agg(sum("w").cast("long").as("score_milli"))
       .select(col("doc_id"), col("score_milli"),
         (col("score_milli") / lit(1000.0)).as("score"),
         when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop"))

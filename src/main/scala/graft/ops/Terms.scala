@@ -625,20 +625,27 @@ object Terms {
     * out-of-vocabulary token count, and OOV ratio. High-OOV documents
     * are the ones a frozen tokenizer will shred into bytes.
     *
-    * Scale shape: ONE [[termFrequencies]] pass feeds both sides
-    * (localCheckpoint — the bm25TopKWith discipline); the vocabulary
-    * head arrives via TakeOrderedAndProject (distributed partial
-    * top-V, no global sort) and broadcasts back onto the tf stream;
-    * the per-doc rollup is one partial-agg shuffle on doc_id carrying
-    * three longs. Integer counts + one IEEE division → hash-exact.
+    * Scale shape: TWO corpus scans, deliberately — the vocabulary
+    * side aggregates the token stream straight to term grain (one
+    * term-keyed exchange, partials absorbed map-side) and the
+    * coverage side runs its own tf pass; checkpointing one shared tf
+    * frame to feed both was measured ~1.5× SLOWER at ×100
+    * (27.9 → 17-20 s at /tmp/sf10) because it pins a
+    * corpus-type-sized intermediate to executor storage. The
+    * vocabulary head arrives via TakeOrderedAndProject (distributed
+    * partial top-V, no global sort) and broadcasts back onto the tf
+    * stream; the per-doc rollup is one partial-agg shuffle on doc_id
+    * carrying three longs. Integer counts + one IEEE division →
+    * hash-exact.
     * `vocabSize` defaults to 20 because the synthetic corpus has a
     * 31-term vocabulary (production: 10⁴-10⁵ — still a broadcast). */
   def vocabCoverage(spark: SparkSession, dir: String,
       vocabSize: Int = 20): DataFrame = {
     val tf = termFrequencies(Tables.documents(spark, dir))
-      .localCheckpoint()
-    val vocab = tf.groupBy("term")
-      .agg(sum("tf").cast("long").as("total_tf"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("total_tf"))
       .orderBy(col("total_tf").desc, col("term"))
       .limit(vocabSize)
       .select("term")
