@@ -59,16 +59,22 @@ object Classify {
     * memory-speed there); on a real cluster the network exchange is
     * the scarce resource, so the one-shuffle form ships. */
   def qualityModelScores(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    scoreDocs(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("score_milli"),
+        (col("score_milli") / lit(1000.0)).as("score"),
+        when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop"))
+          .as("label"))
+
+  /** (doc_id, score_milli) for ANY (doc_id, text) frame — the reusable
+    * inference core: streaming ingest screens each micro-batch through
+    * this ([[graft.streaming.Ingest.qualityScreen]]). */
+  def scoreDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       .select(col("doc_id"), wMilli(col("term")).as("w"))
       .groupBy("doc_id")
       .agg(sum("w").cast("long").as("score_milli"))
-      .select(col("doc_id"), col("score_milli"),
-        (col("score_milli") / lit(1000.0)).as("score"),
-        when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop"))
-          .as("label"))
 
   val qualityModelScoresSql: String =
     """WITH tf AS (

@@ -341,9 +341,27 @@ object Ingest {
     * into `corpusDir/ingest_batch=<batchId>`. Safe to call again with
     * the same id after a crash at any point; a fully committed batch
     * returns immediately. */
+  /** Quality-model admission screen: the [[graft.ops.Classify]] hashed
+    * linear classifier as the ingest door — only positively-scored
+    * documents are admitted. Deterministic (a pure function of text),
+    * so stream ≡ batch composition is preserved and a re-delivered
+    * batch screens identically; codegen'd (explode + partial-agg +
+    * semi-join), never an interpreted per-row lambda. Rejected docs
+    * are screened BEFORE fingerprinting — their fps never enter the
+    * store, the quality gate is at the door, and a duplicate of a
+    * rejected doc is (deterministically) rejected again, never
+    * shadow-deduped. */
+  val qualityScreen: DataFrame => DataFrame = { batch =>
+    batch.join(
+      graft.ops.Classify.scoreDocs(batch)
+        .where(col("score_milli") > 0).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
   def applyIngestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, corpusDir: String, storeDir: String,
-      storeBuckets: Int = 0): Unit = {
+      storeBuckets: Int = 0,
+      admit: DataFrame => DataFrame = identity): Unit = {
     val fs = fileSystem(spark, corpusDir)
     val corpusQ = qualified(spark, corpusDir)
     val commitDir = new Path(corpusQ, s"ingest_batch=$batchId")
@@ -356,7 +374,7 @@ object Ingest {
     // the store, or the anti-join would drop those docs and the
     // commit would lose them
     if (!fs.exists(new Path(stageDir, "_SUCCESS"))) {
-      ingestBatch(batch, readStore(spark, storeDir))
+      ingestBatch(admit(batch), readStore(spark, storeDir))
         .drop("fp")
         .write.mode("overwrite").parquet(stageDir.toString)
     }
@@ -419,14 +437,15 @@ object Ingest {
     * it leaves a committed batch plus an uncompacted store. */
   def runIngest(spark: SparkSession, srcDir: String, schema: StructType,
       corpusDir: String, storeDir: String, checkpointDir: String,
-      storeBuckets: Int = 0, compactEvery: Int = 0): Unit = {
+      storeBuckets: Int = 0, compactEvery: Int = 0,
+      admit: DataFrame => DataFrame = identity): Unit = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyIngestBatch(batch.sparkSession, batch, id, corpusDir,
-          storeDir, storeBuckets)
+          storeDir, storeBuckets, admit)
         if (compactEvery > 0 && id % compactEvery == (compactEvery - 1))
           compactStore(batch.sparkSession, storeDir)
       }

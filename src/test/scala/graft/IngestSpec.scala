@@ -95,6 +95,58 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     docs.unpersist()
   }
 
+  test("quality-screened ingest: only positively-scored docs admitted, " +
+    "rejects never fingerprint, stream == screened sequential batches") {
+    val base = Files.createTempDirectory("graft-ingest-screen").toString
+    val (src, corpus, store, ckpt) =
+      (s"$base/src", s"$base/corpus", s"$base/store", s"$base/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).cache()
+
+    val b1 = docs.where(col("doc_id") < 250)
+    // batch 2: the rest + re-delivered batch-1 content under new ids
+    val b2 = docs.where(col("doc_id") >= 250)
+      .unionByName(b1.limit(25).withColumn("doc_id", col("doc_id") + 5000))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    drop(b1, "b1"); drop(b2, "b2")
+
+    Ingest.runIngest(spark, src, Schemas.documents, corpus, store, ckpt,
+      admit = Ingest.qualityScreen)
+
+    // oracle: screen each batch, then first-arrival dedup the union
+    val union = b1.unionByName(b2)
+    val keepIds = graft.ops.Classify.scoreDocs(union)
+      .where(col("score_milli") > 0).select("doc_id")
+    val screened = union.join(keepIds, Seq("doc_id"), "left_semi")
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+    val expected = screened.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val got = spark.read.schema(Schemas.documents).parquet(corpus)
+    assert(got.count() === expected.count())
+    assert(got.select("doc_id").exceptAll(expected).count() === 0)
+    // the screen actually rejected something, and no reject slipped in
+    assert(got.count() < union.count())
+    val admittedScores = graft.ops.Classify.scoreDocs(
+      got.select("doc_id", "text"))
+    assert(admittedScores.where(col("score_milli") <= 0).count() === 0)
+    // rejects never fingerprinted: store holds exactly the screened fps
+    val fps = spark.read.parquet(store)
+    assert(fps.count() === screened.select("fp").distinct().count())
+
+    // re-run with no new files: still a no-op under the screen
+    Ingest.runIngest(spark, src, Schemas.documents, corpus, store, ckpt,
+      admit = Ingest.qualityScreen)
+    assert(spark.read.schema(Schemas.documents).parquet(corpus).count()
+      === expected.count())
+    docs.unpersist()
+  }
+
   test("runIngest with an in-stream compaction cadence: results are " +
     "identical to the uncompacted run and the store ends compact") {
     val base = Files.createTempDirectory("graft-ingest-compact").toString
