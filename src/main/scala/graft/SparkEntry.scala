@@ -153,6 +153,11 @@ object SparkEntry {
       graft.ops.Tokenize.bpeEncodeCounts(s, d)),
     "q_bpe_encode_gate" -> ((s: SparkSession, d: String) =>
       graft.ops.Tokenize.bpeEncodeGate(s, d)),
+    // curation governance: per-source dedup + corpus-shape reports
+    "q_dedup_report" -> ((s: SparkSession, d: String) =>
+      graft.ops.Dedup.dedupReport(s, d)),
+    "q_length_histogram" -> ((s: SparkSession, d: String) =>
+      graft.ops.Profile.lengthHistogram(s, d)),
     // causal-LM sequence packing: docs split across fixed-length cuts
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       graft.ops.Pack.docSequences(s, d)),
@@ -411,6 +416,8 @@ object SparkEntry {
     "q_bpe_pair_stats" -> graft.ops.Tokenize.bpePairStatsSql,
     "q_bpe_merges_gate" -> graft.ops.Tokenize.bpeMergesGateSql,
     "q_bpe_encode_gate" -> graft.ops.Tokenize.bpeEncodeGateSql,
+    "q_dedup_report" -> graft.ops.Dedup.dedupReportSql,
+    "q_length_histogram" -> graft.ops.Profile.lengthHistogramSql,
     "q_pack_sequences" -> graft.ops.Pack.docSequencesSql,
     "q_sequence_manifest" -> graft.ops.Pack.sequenceManifestSql,
     "q_quality_model_scores" -> graft.ops.Classify.qualityModelScoresSql,

@@ -492,4 +492,62 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Per-source dedup GOVERNANCE report — the curation-dashboard
+    * rollup a corpus review reads before admitting a domain: document
+    * count, distinct-content count, the duplication rate, and how much
+    * of the source's content also appears in OTHER sources
+    * (cross-source boilerplate — licensing pages, templated headers —
+    * is the classic cross-domain contamination signal).
+    *
+    * Scale shape: ONE text scan → (fp, source) pairs; a distinct at
+    * (fp, source) grain; cross-source fps fall out of a (fp)-grain
+    * aggregate (count of distinct sources per fp) joined back at the
+    * 16-byte fp key — text never survives the first projection, and
+    * the dup_rate division is the only float (one IEEE op, exact both
+    * engines). */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame =
+    dedupReportFor(Tables.documents(spark, dir))
+
+  /** The report over ANY (text, source) frame — the spec plants
+    * cross-source duplicates through this seam (the registered table
+    * has none at small SFs). */
+  def dedupReportFor(docs: DataFrame): DataFrame = {
+    val fpSrc = docs
+      .select(TextStats.fingerprint(col("text")).as("fp"), col("source"))
+    val perPair = fpSrc.groupBy("fp", "source")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val shared = perPair.groupBy("fp")
+      .agg(count(lit(1)).as("n_sources"))
+      .where(col("n_sources") > 1)
+      .select("fp")
+    perPair.join(shared.withColumn("is_shared", lit(1L)),
+        Seq("fp"), "left")
+      .groupBy("source")
+      .agg(sum("n").cast("long").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("is_shared").isNotNull, col("n"))
+          .otherwise(lit(0L))).cast("long").as("n_cross_source"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (lit(1.0) - col("n_unique") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        col("n_cross_source"))
+  }
+
+  val dedupReportSql: String =
+    """WITH f AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |         source
+      |  FROM documents),
+      |pp AS (SELECT fp, source, COUNT(*) AS n FROM f GROUP BY 1, 2),
+      |sh AS (SELECT fp FROM pp GROUP BY fp HAVING COUNT(*) > 1)
+      |SELECT pp.source,
+      |       CAST(SUM(pp.n) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(*) AS BIGINT) AS n_unique,
+      |       1.0 - COUNT(*) / CAST(SUM(pp.n) AS DOUBLE) AS dup_rate,
+      |       CAST(SUM(CASE WHEN sh.fp IS NOT NULL THEN pp.n ELSE 0 END)
+      |            AS BIGINT) AS n_cross_source
+      |FROM pp LEFT JOIN sh ON sh.fp = pp.fp
+      |GROUP BY pp.source""".stripMargin
 }

@@ -100,4 +100,37 @@ object Profile {
       num("o_totalprice"), other("o_orderdate"), str("o_orderpriority"))
       .mkString("\n", "\nUNION ALL\n", "")
   }
+
+  /** Token-length histogram per source in power-of-two buckets — the
+    * corpus-shape profile a mixing/packing review reads (a source
+    * whose mass sits in 1-8-token docs is boilerplate; one with 4k+
+    * tails needs chunking). The bucket is INTEGER-exact on every
+    * engine: floor(log2 n) + 1 computed as the binary-digit count
+    * `length(bin(n))` — no transcendental log whose last ulp could
+    * flip a boundary doc into the next bucket. One text scan, one
+    * partial-agg shuffle carrying (source × buckets) rows.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        length(bin(col("n_tokens"))).as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+
+  val lengthHistogramSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT source, CAST(length(bin(n_tokens)) AS INT) AS bucket,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |       MIN(n_tokens) AS min_tokens,
+      |       MAX(n_tokens) AS max_tokens
+      |FROM t GROUP BY 1, 2""".stripMargin
 }

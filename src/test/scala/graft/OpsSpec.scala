@@ -1299,6 +1299,62 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(gotTop === expTop)
   }
 
+  test("dedupReport/lengthHistogram: exact vs naive per-source rollups") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def fp(t: String): String = {
+      val norm = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val fpSrc = docs.map { case (_, t, s) => (fp(t), s) }
+    val bySrcFp = fpSrc.groupBy(identity).view.mapValues(_.length).toMap
+    val fpSources = fpSrc.distinct.groupBy(_._1).view.mapValues(_.length)
+    val shared = fpSources.filter(_._2 > 1).keySet
+    val expect = fpSrc.map(_._2).distinct.map { s =>
+      val pairs = bySrcFp.filter(_._1._2 == s)
+      val nDocs = pairs.values.sum.toLong
+      val nUniq = pairs.size.toLong
+      val cross = pairs.filter(p => shared(p._1._1)).values.sum.toLong
+      (s, (nDocs, nUniq, 1.0 - nUniq.toDouble / nDocs, cross))
+    }.toMap
+    val got = graft.ops.Dedup.dedupReport(spark, sf).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === expect)
+
+    // planted duplicates: the corpus has none at spec SF, so exercise
+    // within-source dup_rate and cross-source sharing explicitly
+    import spark.implicits._
+    val planted = Seq(
+      ("alpha beta", "s1"), ("alpha beta", "s1"), // within-source dup
+      ("alpha beta", "s2"),                       // cross-source copy
+      ("gamma", "s2"), ("delta", "s3")).toDF("text", "source")
+    val rep = graft.ops.Dedup.dedupReportFor(planted).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(rep("s1") === ((2L, 1L, 0.5, 2L)))
+    assert(rep("s2") === ((2L, 2L, 0.0, 1L)))
+    assert(rep("s3") === ((1L, 1L, 0.0, 0L)))
+
+    val hist = graft.ops.Profile.lengthHistogram(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val expHist = docs.map { case (_, t, s) =>
+      (s, t.split(" ").length.toLong)
+    }.groupBy { case (s, n) =>
+      (s, java.lang.Long.toBinaryString(n).length)
+    }.map { case (k, v) =>
+      (k, (v.length.toLong, v.map(_._2).sum, v.map(_._2).min, v.map(_._2).max))
+    }
+    assert(hist === expHist)
+    // buckets really are [2^(b-1), 2^b)
+    hist.foreach { case ((_, b), (_, _, mn, mx)) =>
+      assert(mn >= (1L << (b - 1)) && mx < (1L << b))
+    }
+  }
+
   test("bigramLmScores/perplexity: exact vs naive corpus bigram LM") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
