@@ -145,8 +145,11 @@ object Classify {
   def dsirWeights(spark: SparkSession, dir: String,
       targetSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // no broadcast hint: the ratio table is vocabulary-sized (10⁷
+    // rows in production) — AQE broadcasts while small, shuffle-joins
+    // on the tf table's natural key when not.
     Terms.termFrequencies(docs)
-      .join(broadcast(dsirRatios(docs, targetSource)), "term")
+      .join(dsirRatios(docs, targetSource), "term")
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("ratio_micro")).cast("long")
         .as("importance_micro"))
@@ -208,9 +211,19 @@ object Classify {
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint()
     val c1 = c12.groupBy("l").agg(sum("c12").as("c1"))
-    c12.join(c1, "l")
+    val lm = c12.join(c1, "l")
       .select(col("l"), col("r"),
         expr("(c12 * 1000000L) div c1").as("p_micro"))
+    // Size-GATED broadcast: the LM table is sized by OBSERVED bigrams
+    // — not vocabulary-bounded, so an unconditional broadcast() would
+    // OOM the driver at corpus scale. But AQE cannot rescue the small
+    // case on its own here: the checkpointed c12 is a stats-less leaf
+    // (the Pack.autoParts MaxValue pathology), so the planner assumes
+    // it is huge and sort-merge-joins, shuffling the corpus-sized
+    // pair stream (measured 2.4× the whole query at sf1). The
+    // checkpoint is already materialized, so counting it is a cheap
+    // bounded action — hint broadcast only under ~5M entries.
+    if (c12.count() < 5000000L) broadcast(lm) else lm
   }
 
   /** Per-document fluency under the corpus bigram LM — the
@@ -224,7 +237,7 @@ object Classify {
   def bigramLmScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     bigramPairs(docs)
-      .join(broadcast(bigramLm(docs)), Seq("l", "r"))
+      .join(bigramLm(docs), Seq("l", "r"))
       .groupBy("doc_id")
       .agg(sum("p_micro").cast("long").as("sum_micro"),
         count(lit(1)).as("n_pairs"))
@@ -268,10 +281,17 @@ object Classify {
     * −avg ln P ≥ 0). */
   def bigramLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // floor the quantized probability at one micro-unit: a bigram
+    // whose true ratio underflows the quantization (c12/c1 < 1e-6)
+    // would otherwise hit log(0) = NULL, which avg() silently SKIPS —
+    // dropping exactly the most surprising bigrams a perplexity
+    // filter exists to punish. The clamp keeps their surprisal finite
+    // and maximal; the spec's naive twin applies the same floor.
     bigramPairs(docs)
-      .join(broadcast(bigramLm(docs)
+      .join(bigramLm(docs)
         .select(col("l"), col("r"),
-          (col("p_micro") / lit(1e6)).as("p"))), Seq("l", "r"))
+          (greatest(col("p_micro"), lit(1L)) / lit(1e6)).as("p")),
+        Seq("l", "r"))
       .groupBy("doc_id")
       .agg(exp(-avg(log(col("p")))).as("ppl"))
   }

@@ -418,12 +418,9 @@ object Components {
   def bestQualitySurvivors(spark: SparkSession, dir: String,
       memo: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextStats.wsTokens(col("text"))
     val quality = Tables.documents(spark, dir).select(
       col("doc_id"),
-      (size(filter(toks, t => t.isin(
-        TextStats.enStopwords.map(x => x: Any): _*))).cast("double") /
-        size(toks)).as("stopword_ratio"))
+      TextStats.stopwordRatio(col("text")).as("stopword_ratio"))
     val wRank = Window.partitionBy("component")
       .orderBy(col("stopword_ratio").desc, col("doc_id"))
     val wSize = Window.partitionBy("component")

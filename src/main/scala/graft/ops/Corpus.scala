@@ -489,12 +489,9 @@ object Corpus {
   def sourceCappedCorpus(spark: SparkSession, dir: String,
       cap: Int = 20, saltBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextStats.wsTokens(col("text"))
     val scored = Tables.documents(spark, dir).select(
       col("doc_id"), col("source"),
-      (size(filter(toks, t => t.isin(
-        TextStats.enStopwords.map(x => x: Any): _*))).cast("double") /
-        size(toks)).as("stopword_ratio"))
+      TextStats.stopwordRatio(col("text")).as("stopword_ratio"))
     val wPre = Window
       .partitionBy(col("source"), pmod(col("doc_id"), lit(saltBuckets)))
       .orderBy(col("stopword_ratio").desc, col("doc_id"))

@@ -186,7 +186,11 @@ object Retrieval {
       numQueries: Int, qTerms: Int, k: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // one tokenization pass feeds seed-term selection AND scoring
-    // (the bm25TopKWith discipline: localCheckpoint, reused 4×)
+    // (the bm25TopKWith discipline: localCheckpoint, reused 4×).
+    // No explicit unpersist: consumers evaluate lazily, so the blocks
+    // are released by ContextCleaner once the frame is unreachable —
+    // eager Bridge.unpersistCheckpoint here would truncate lineage
+    // under a still-referenced plan
     val tf = Terms.termFrequencies(docs).localCheckpoint()
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("long").as("n"),

@@ -60,11 +60,24 @@ object TextStats {
     * punctuation density, digit density, stopword ratio, mean token
     * length. All ratios are exact-int / exact-int, so the doubles are
     * bit-deterministic across engines and partitionings. */
+  /** Stopword-hit count over a token array — THE fluency proxy every
+    * quality-ranked op shares ([[qualityScores]],
+    * `Corpus.sourceCappedCorpus`, `Components.bestQualitySurvivors`);
+    * one definition so a stopword-list or normalization change can
+    * never make them rank by different scores. */
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isin(enStopwords.map(x => x: Any): _*)))
+
+  /** stopword_ratio of a text column: stopword tokens / tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    stopwordHits(toks).cast("double") / size(toks)
+  }
+
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     val toks = wsTokens(col("text"))
     val nToks = size(toks)
-    val stopHits = size(filter(toks,
-      t => t.isin(enStopwords.map(x => x: Any): _*)))
+    val stopHits = stopwordHits(toks)
     val nPunct = length(col("text")) -
       length(regexp_replace(col("text"), "[!-/:-@\\[-`{-~]", ""))
     val nDigits = length(col("text")) -

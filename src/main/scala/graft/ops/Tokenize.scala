@@ -20,13 +20,20 @@ import graft.core.Tables
   *    counts before the merge loop. We keep the word table
   *    DISTRIBUTED (no driver collect): each merge round is one
   *    vocabulary-sized partial-agg shuffle + a 1-row driver take.
-  *  - Merge application is a codegen string op: symbols are joined on
-  *    a `` separator and a merge of pair (l, r) is
-  *    `replace(syms, "l␁r", "lr")` — Spark's `StringReplace` scans
-  *    left-to-right non-overlapping, which IS the BPE leftmost-greedy
-  *    merge rule ("aaa" + merge (a,a) → ["aa", "a"]).
+  *  - Merge application is a SYMBOL-ARRAY fold (an `aggregate`
+  *    higher-order function): the accumulator appends each symbol, or
+  *    fuses it with the previous one when the two form the merge
+  *    pair — exactly the BPE leftmost-greedy rule ("aaa" + merge
+  *    (a,a) → ["aa", "a"]). A flat-string `replace` over
+  *    separator-joined symbols was the first cut and is WRONG: its
+  *    pattern can match with `l` as the TAIL of a longer symbol
+  *    (merge (b,c) on symbols [ab, c] fused them to [abc]),
+  *    corrupting every later pair count — caught in review, pinned
+  *    by the planted-corpus spec. The fold runs interpreted, but
+  *    ONLY at vocabulary grain; the corpus never flows through it
+  *    (the interpreted-lambda pitfall concerns corpus-grain rows).
   *  - ENCODING also runs at vocabulary grain: each distinct word is
-  *    encoded once (a chain of nMerges `replace` nodes, all codegen),
+  *    encoded once (a chain of nMerges fold nodes),
   *    then per-doc token counts come from joining the (doc, word, tf)
   *    frequencies to the word→n_tokens table — the corpus text is
   *    never re-scanned per merge. The word table broadcasts at test
@@ -35,7 +42,7 @@ import graft.core.Tables
   *    tf table's natural key.
   *
   * Determinism: pair counts are integers; the merge argmax tie-breaks
-  * (count desc, left asc, right asc); `replace` is exact — the whole
+  * (count desc, left asc, right asc); the fold is exact — the whole
   * trainer is a pure function of the corpus, so the spec can demand
   * EXACT merge-sequence equality with an in-memory reference trainer.
   *
@@ -85,14 +92,38 @@ object Tokenize {
   /** Adjacent symbol-pair counts of the CURRENT `(syms, wc)` table
     * (vocabulary grain — runs once per merge round). */
   private def pairCounts(words: DataFrame): DataFrame =
-    words.select(col("wc"), split(col("syms"), SEP).as("a"))
-      .where(size(col("a")) >= 2)
+    words.where(size(col("syms")) >= 2)
       .select(col("wc"),
-        explode(sequence(lit(0), size(col("a")) - 2)).as("i"),
-        col("a"))
-      .select(element_at(col("a"), col("i") + 1).as("l"),
-        element_at(col("a"), col("i") + 2).as("r"), col("wc"))
+        explode(sequence(lit(0), size(col("syms")) - 2)).as("i"),
+        col("syms"))
+      .select(element_at(col("syms"), col("i") + 1).as("l"),
+        element_at(col("syms"), col("i") + 2).as("r"), col("wc"))
       .groupBy("l", "r").agg(sum("wc").as("pair_count"))
+
+  /** One BPE merge applied to a symbol array at SYMBOL grain:
+    * append, or fuse with the previous symbol when (previous, this)
+    * == (l, r). Leftmost-greedy by construction — after a fusion the
+    * new symbol `lr` can never pair with the next element as `l`
+    * unless `lr == l`, exactly the reference semantics ("aaa" +
+    * (a,a) → ["aa", "a"]). Symbols compare WHOLE, so a merge can
+    * never fire on the tail of a longer symbol — the flat-string
+    * replace defect this fold replaced. */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Distinct words as symbol arrays: (word, syms, wc). The original
+    * word rides through the merge loop so the trainer's FINAL state is
+    * also the encoded-vocabulary table. */
+  private def charWords(docs: DataFrame): DataFrame =
+    wordCounts(docs)
+      .select(col("word"),
+        filter(split(col("word"), ""), s => length(s) > 0).as("syms"),
+        col("wc"))
 
   /** Train `nMerges` BPE merges. Returns (rank, left_sym, right_sym,
     * pair_count) in training order. The merge loop runs `nMerges`
@@ -100,13 +131,26 @@ object Tokenize {
     * table is re-checkpointed each round so lineage stays O(1). Stops
     * early when every word is a single symbol. */
   def bpeTrainMerges(spark: SparkSession, dir: String,
-      nMerges: Int = 16): Seq[(Int, String, String, Long)] = {
-    var words = wordCounts(Tables.documents(spark, dir))
-      .select(array_join(
-          filter(split(col("word"), ""), s => length(s) > 0),
-          SEP).as("syms"),
-        col("wc"))
-      .localCheckpoint()
+      nMerges: Int = 16): Seq[(Int, String, String, Long)] =
+    bpeTrainMergesOf(Tables.documents(spark, dir), nMerges)
+
+  /** The trainer over ANY (text) frame — the planted-corpus spec
+    * seam. */
+  def bpeTrainMergesOf(docs: DataFrame,
+      nMerges: Int): Seq[(Int, String, String, Long)] =
+    runTrain(docs, nMerges, keepWords = false)._1
+
+  /** The merge loop. Each round applies ONE depth-1 [[applyMerge]] to
+    * a checkpointed vocabulary-sized frame — never a nested fold
+    * chain: 16 stacked `aggregate` lambdas re-evaluate their child
+    * per element and went exponential-interpreted (measured 233 s at
+    * sf1 where the per-round form is milliseconds). When `keepWords`,
+    * the FINAL (word, syms, wc) state — the fully-encoded vocabulary —
+    * is returned checkpointed instead of being freed, so encoding
+    * needs no re-application of merges at all. */
+  private def runTrain(docs: DataFrame, nMerges: Int, keepWords: Boolean)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var words = charWords(docs).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var rank = 1
@@ -120,29 +164,45 @@ object Tokenize {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, c))
-        val next = words.withColumn("syms",
-          org.apache.spark.sql.functions.replace(
-            col("syms"), lit(l + SEP + r), lit(l + r)))
+        val next = words
+          .withColumn("syms", applyMerge(col("syms"), l, r))
           .localCheckpoint()
         org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(words)
         words = next
         rank += 1
       }
     }
-    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(words)
-    merges.toSeq
+    if (!keepWords)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(words)
+    (merges.toSeq, words)
   }
 
   /** The trained merge table as a DataFrame — memoized per (session,
     * dir): the trainer is deterministic, so every gate in one session
-    * rides one training run. Bounded: nMerges rows. */
+    * rides one training run. Bounded: nMerges rows. One run seeds the
+    * [[bpeWords]] memo too (Scratch builds outside its map, so the
+    * nested publish is the documented reentrancy-safe pattern). */
   def bpeMerges(spark: SparkSession, dir: String,
       nMerges: Int = 16): DataFrame =
     Scratch.memo(spark, s"bpe-merges:$dir:$nMerges") {
       import spark.implicits._
-      bpeTrainMerges(spark, dir, nMerges)
-        .toDF("rank", "left_sym", "right_sym", "pair_count")
+      val (m, words) =
+        runTrain(Tables.documents(spark, dir), nMerges, keepWords = true)
+      Scratch.memo(spark, s"bpe-words:$dir:$nMerges")(words)
+      m.toDF("rank", "left_sym", "right_sym", "pair_count")
     }
+
+  /** The fully-encoded vocabulary (word, syms, wc) — the trainer's own
+    * final state, memoized: encoding a corpus never re-applies merges.
+    * Bounded by the vocabulary (10⁷ words in production — the same
+    * order as the sanctioned component-label memo). */
+  def bpeWords(spark: SparkSession, dir: String,
+      nMerges: Int = 16): DataFrame = {
+    bpeMerges(spark, dir, nMerges) // ensure one training run published both
+    Scratch.memo(spark, s"bpe-words:$dir:$nMerges") {
+      runTrain(Tables.documents(spark, dir), nMerges, keepWords = true)._2
+    }
+  }
 
   /** Gate for the (non-SQL-expressible) iterative trainer. The first
     * three columns are a TRUE differential test — DuckDB recomputes
@@ -158,8 +218,11 @@ object Tokenize {
         col("pair_count").as("first_count"))
     val mono = m.as("a").join(m.as("b"),
         col("a.rank") + 1 === col("b.rank"))
-      .agg(min((col("a.pair_count") >= col("b.pair_count")).cast("int"))
-        .as("counts_nonincreasing"))
+      // coalesce: with a single learned merge the rank+1 self-join is
+      // empty and min() would yield NULL where the oracle pins 1
+      .agg(coalesce(
+        min((col("a.pair_count") >= col("b.pair_count")).cast("int")),
+        lit(1)).as("counts_nonincreasing"))
     first.crossJoin(mono)
   }
 
@@ -179,23 +242,18 @@ object Tokenize {
       |       pair_count AS first_count, 1 AS counts_nonincreasing
       |FROM s ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin
 
-  /** Encoded distinct words: (word, wc, encoded, n_tokens). The merge
-    * chain is nMerges nested codegen `replace` nodes applied ONCE per
-    * distinct word. */
-  private def encodedWords(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMerges(spark, dir).orderBy("rank")
-      .select("left_sym", "right_sym").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val chars = array_join(
-      filter(split(col("word"), ""), s => length(s) > 0), SEP)
-    val encoded = merges.foldLeft(chars: Column) { case (acc, (l, r)) =>
-      org.apache.spark.sql.functions.replace(
-        acc, lit(l + SEP + r), lit(l + r))
-    }
-    wordCounts(Tables.documents(spark, dir))
-      .withColumn("encoded", encoded)
-      .withColumn("n_tokens", size(split(col("encoded"), SEP)))
-  }
+  /** Encoded distinct words: (word, wc, encoded, n_tokens) — read
+    * straight off the trainer's memoized final state ([[bpeWords]]):
+    * no merge is ever re-applied to encode, and the vocabulary table
+    * is bit-identical to what training produced. (A foldLeft of
+    * nMerges stacked `aggregate` lambdas was the first cut — nested
+    * HOFs re-evaluate their child per element and went
+    * exponential-interpreted, 233 s at sf1 for a vocabulary the
+    * trainer walks in milliseconds per round.) */
+  private def encodedWords(spark: SparkSession, dir: String): DataFrame =
+    bpeWords(spark, dir)
+      .withColumn("encoded", array_join(col("syms"), SEP))
+      .withColumn("n_tokens", size(col("syms")))
 
   /** Per-document BPE token pricing: whitespace tokens, BPE tokens,
     * chars — the tokens-per-doc accounting a budget-mixed pretraining
@@ -206,8 +264,10 @@ object Tokenize {
     val perWord = encodedWords(spark, dir)
       .select(col("word").as("term"), col("n_tokens"),
         length(col("word")).as("n_chars_w"))
+    // no broadcast hint: a production vocabulary is 10⁷ words — AQE
+    // broadcasts while small, shuffle-joins on the natural key when not
     Terms.termFrequencies(Tables.documents(spark, dir))
-      .join(broadcast(perWord), "term")
+      .join(perWord, "term")
       .groupBy("doc_id")
       .agg(sum(col("tf")).cast("long").as("n_tokens_ws"),
         sum(col("tf") * col("n_tokens")).cast("long").as("n_tokens_bpe"),

@@ -1370,9 +1370,12 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(got === exp)
 
+    // same one-micro-unit floor as the engine: an underflowed
+    // quantized probability must cost maximal finite surprisal, not
+    // vanish as log(0) = NULL
     val expPpl = pairs.groupBy(_._1).map { case (id, ps) =>
       (id, math.exp(-ps.map(p =>
-        math.log(pMicro(p._2) / 1e6)).sum / ps.length)) }
+        math.log(math.max(pMicro(p._2), 1L) / 1e6)).sum / ps.length)) }
     val gotPpl = graft.ops.Classify.bigramLmPerplexity(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(gotPpl.keySet === expPpl.keySet)
@@ -1423,6 +1426,28 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       (w, syms)
     }.toMap
     (merges.toSeq, enc)
+  }
+
+  test("bpeTrainMergesOf: symbol-boundary regression — a merge pair " +
+    "never fires on the tail of a longer symbol") {
+    // merge 1 is (a,b) [count 4]; after it, "abc" is [ab, c]. Merge 2
+    // is (b,c) [count 3 from the standalone "bc" words] and must NOT
+    // touch [ab, c] — the flat-string replace defect fused it to
+    // [abc]. The reference trainer is the arbiter.
+    import spark.implicits._
+    val docs = Seq("ab ab ab bc bc bc abc").toDF("text")
+    val wc = Map("ab" -> 3L, "bc" -> 3L, "abc" -> 1L)
+    val (expMerges, expEnc) = naiveBpe(wc, 3)
+    val got = graft.ops.Tokenize.bpeTrainMergesOf(docs, 3)
+    assert(got.map(m => (m._2, m._3, m._4)) === expMerges)
+    assert(expMerges.map(m => (m._1, m._2)) ===
+      Seq(("a", "b"), ("b", "c"), ("ab", "c")))
+    // the discriminator: after merge 2, "abc" must still be [ab, c]
+    // (the flat-replace defect fused it to one symbol, so its round 3
+    // found NO pairs and trained only 2 merges; the correct trainer
+    // finds (ab, c) with count 1)
+    assert(got.length === 3 && got(2)._4 === 1L)
+    assert(expEnc("abc").length === 1)
   }
 
   test("bpeTrainMerges: exact merge-sequence equality with the naive " +
