@@ -158,6 +158,12 @@ object SparkEntry {
       graft.ops.Dedup.dedupReport(s, d)),
     "q_length_histogram" -> ((s: SparkSession, d: String) =>
       graft.ops.Profile.lengthHistogram(s, d)),
+    // snapshot versioning: added/removed/changed/moved between
+    // corpus versions, fp-grain joins only
+    "q_snapshot_diff" -> ((s: SparkSession, d: String) =>
+      graft.ops.Snapshot.snapshotDiffDocs(s, d)),
+    "q_snapshot_diff_report" -> ((s: SparkSession, d: String) =>
+      graft.ops.Snapshot.snapshotDiffReport(s, d)),
     // causal-LM sequence packing: docs split across fixed-length cuts
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       graft.ops.Pack.docSequences(s, d)),
@@ -179,6 +185,11 @@ object SparkEntry {
       graft.ops.Classify.bigramLmPerplexity(s, d)),
     "q_bigram_lm_ppl_gate" -> ((s: SparkSession, d: String) =>
       graft.ops.Classify.bigramLmPerplexityGate(s, d)),
+    // CCNet head/middle/tail perplexity buckets (distributed NTILE)
+    "q_ppl_buckets" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.pplBuckets(s, d)),
+    "q_ppl_bucket_report" -> ((s: SparkSession, d: String) =>
+      graft.ops.Classify.pplBucketReport(s, d)),
     // per-source governance: domain caps + the admission ledger
     "q_source_caps" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.sourceCappedCorpus(s, d)),
@@ -219,6 +230,10 @@ object SparkEntry {
     "q_token_budget_mix" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.tokenBudgetMix(s, d)),
     "q_token_budget_audit" -> (graft.ops.Mix.tokenBudgetMixAudit _),
+    // temperature mixing: p_s ∝ n_s^½ (XLM-R recipe), exact isqrt
+    "q_temperature_mix" -> ((s: SparkSession, d: String) =>
+      graft.ops.Mix.temperatureMix(s, d)),
+    "q_temperature_mix_audit" -> (graft.ops.Mix.temperatureMixAudit _),
     // shard packing (distributed prefix sum) + corpus shuffle
     "q_pack_shards" -> (graft.ops.Pack.packDocs _),
     "q_shard_manifest" -> (graft.ops.Pack.shardManifest _),
@@ -417,6 +432,8 @@ object SparkEntry {
     "q_bpe_merges_gate" -> graft.ops.Tokenize.bpeMergesGateSql,
     "q_bpe_encode_gate" -> graft.ops.Tokenize.bpeEncodeGateSql,
     "q_dedup_report" -> graft.ops.Dedup.dedupReportSql,
+    "q_snapshot_diff" -> graft.ops.Snapshot.snapshotDiffDocsSql,
+    "q_snapshot_diff_report" -> graft.ops.Snapshot.snapshotDiffReportSql,
     "q_length_histogram" -> graft.ops.Profile.lengthHistogramSql,
     "q_pack_sequences" -> graft.ops.Pack.docSequencesSql,
     "q_sequence_manifest" -> graft.ops.Pack.sequenceManifestSql,
@@ -426,6 +443,8 @@ object SparkEntry {
     "q_dsir_selected" -> graft.ops.Classify.dsirSelectedSql,
     "q_bigram_lm_scores" -> graft.ops.Classify.bigramLmScoresSql,
     "q_bigram_lm_ppl_gate" -> graft.ops.Classify.bigramLmPerplexityGateSql,
+    "q_ppl_buckets" -> graft.ops.Classify.pplBucketsSql,
+    "q_ppl_bucket_report" -> graft.ops.Classify.pplBucketReportSql,
     "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
     "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,
@@ -441,6 +460,8 @@ object SparkEntry {
     "q_corpus_mix_summary" -> graft.ops.Mix.corpusMixSummarySql,
     "q_token_budget_mix" -> graft.ops.Mix.tokenBudgetMixSql,
     "q_token_budget_audit" -> graft.ops.Mix.tokenBudgetMixAuditSql,
+    "q_temperature_mix" -> graft.ops.Mix.temperatureMixSql,
+    "q_temperature_mix_audit" -> graft.ops.Mix.temperatureMixAuditSql,
     "q_pack_shards" -> graft.ops.Pack.packDocsSql,
     "q_shard_manifest" -> graft.ops.Pack.shardManifestSql,
     "q_pack_payloads" -> graft.ops.Pack.packedPayloadsSql,

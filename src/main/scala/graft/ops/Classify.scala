@@ -325,4 +325,113 @@ object Classify {
       |SELECT i.doc_id, d.source, i.importance_micro
       |FROM imp i JOIN documents d ON d.doc_id = i.doc_id
       |ORDER BY i.importance_micro DESC, i.doc_id LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------
+  // CCNet perplexity buckets (Wenzek et al., LREC 2020 §4.3): rank
+  // every document by its LM fluency WITHIN its source and cut the
+  // ranking into head / middle / tail terciles — the bucket is the
+  // unit CCNet publishes and downstream recipes sample from (train
+  // on head+middle, drop tail). The score is the bigram LM's exact
+  // integer mean (nano-units of the quantized per-pair probability),
+  // so both engines agree on every comparison bit-for-bit.
+  //
+  // Scale shape — the reason this is NOT one `NTILE(3) OVER
+  // (PARTITION BY source ...)`: that window puts an entire source in
+  // ONE task (a source is 10-60% of a 100 TB corpus). Instead the
+  // per-source rank rides the distributed prefix-sum machinery
+  // (Pack.assignStableIds): a string sort key `source:inv_mean:id`
+  // keeps each source contiguous in ONE range-partitioned global
+  // order, weight-1 prefix sums are global positions, and
+  // rank-within-source = position − the source's first position
+  // (one source-grain broadcast join). The tercile then comes from
+  // the NTILE closed form over (rank, n): tiles 1..r get q+1 rows,
+  // the rest get q, where q = n div 3, r = n mod 3. The DuckDB
+  // oracle uses the textbook window NTILE(3) — the hash match is a
+  // differential proof that the distributed form ≡ the window
+  // function, not just a recomputation.
+  //
+  // Carried columns (source, mean_nano, doc_id) are parsed BACK out
+  // of the sort key after the prefix sum (the corpusShuffle
+  // discipline) so the rank machinery never shuffles anything wider
+  // than the key itself. Precondition: source names contain no ':'
+  // (the testdata's `srcN`; a production run would hex-escape).
+  // Documents with < 2 tokens have no bigram and no fluency — CCNet
+  // cannot grade them either; they are absent, as in the oracle.
+
+  /** Per-document CCNet bucket: (doc_id, source, mean_nano, bucket)
+    * with bucket ∈ head | middle | tail by per-source fluency
+    * tercile (head = most fluent under the corpus bigram LM). */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bigramLmScores(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+      .select(col("source"), col("doc_id"),
+        expr("sum_micro * 1000 div n_pairs").as("mean_nano"))
+    // fluency DESC ⇒ invert on a fixed width (mean_nano ≤ 10⁹:
+    // p_micro ≤ 10⁶ per pair ⇒ mean ≤ 10⁹ nano-units)
+    val keyed = scored.select(concat(
+      col("source"), lit(":"),
+      lpad((lit(9999999999L) - col("mean_nano")).cast("string"), 10, "0"),
+      lit(":"),
+      lpad(col("doc_id").cast("string"), 12, "0")).as("skey"))
+    val pos = Pack.assignStableIds(keyed, "skey")
+      .select(col("row_idx"), split(col("skey"), ":").as("parts"))
+      .select(col("parts").getItem(0).as("source"),
+        (lit(9999999999L) - col("parts").getItem(1).cast("long"))
+          .as("mean_nano"),
+        col("parts").getItem(2).cast("long").as("doc_id"),
+        col("row_idx"))
+    // source-grain frame (bounded by the source vocabulary): first
+    // global position + row count per source
+    val bounds = pos.groupBy("source")
+      .agg(min("row_idx").as("s_off"), count(lit(1)).as("n"))
+    pos.join(broadcast(bounds), "source")
+      .withColumn("rnk", col("row_idx") - col("s_off") + 1)
+      .withColumn("tr", expr(
+        """CASE WHEN rnk <= (n % 3) * (n div 3 + 1)
+          |     THEN (rnk + n div 3) div (n div 3 + 1)
+          |     ELSE n % 3 + (rnk - (n % 3) * (n div 3 + 1)
+          |                   + n div 3 - 1) div (n div 3)
+          |END""".stripMargin))
+      .select(col("doc_id"), col("source"), col("mean_nano"),
+        when(col("tr") === 1, "head")
+          .when(col("tr") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  val pplBucketsSql: String = bigramSql +
+    """,
+      |s AS (
+      |  SELECT p.doc_id, CAST(SUM(lm.p_micro) AS BIGINT) AS sum_micro,
+      |         CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM p JOIN lm ON lm.l = p.l AND lm.r = p.r
+      |  GROUP BY p.doc_id),
+      |b AS (
+      |  SELECT s.doc_id, d.source,
+      |         (s.sum_micro * 1000) // s.n_pairs AS mean_nano
+      |  FROM s JOIN documents d ON d.doc_id = s.doc_id)
+      |SELECT doc_id, source, mean_nano,
+      |       CASE NTILE(3) OVER (PARTITION BY source
+      |                           ORDER BY mean_nano DESC, doc_id)
+      |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+      |       END AS bucket
+      |FROM b""".stripMargin
+
+  /** Governance rollup of [[pplBuckets]]: per (source, bucket) doc
+    * counts and the fluency range the bucket spans — min ≥ next
+    * bucket's max by construction, the monotonicity a reader checks
+    * first. One partial-agg shuffle on a 3·sources-row grain. */
+  def pplBucketReport(spark: SparkSession, dir: String): DataFrame =
+    pplBuckets(spark, dir)
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("mean_nano").as("min_mean_nano"),
+        max("mean_nano").as("max_mean_nano"))
+
+  val pplBucketReportSql: String =
+    s"""WITH pb AS ($pplBucketsSql)
+       |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       MIN(mean_nano) AS min_mean_nano,
+       |       MAX(mean_nano) AS max_mean_nano
+       |FROM pb GROUP BY source, bucket""".stripMargin
 }

@@ -257,6 +257,129 @@ object Mix {
        |       COALESCE(agg.n_rows, 0) AS n_rows
        |FROM src LEFT JOIN agg ON src.source = agg.source""".stripMargin
 
+  /** Temperature-scaled source mixing (the multilingual-pretraining
+    * recipe of XLM-R / mBERT, Conneau et al. 2020 §5: sample source s
+    * with p_s ∝ n_s^α, α = 1/2) — the principled middle ground
+    * between proportional sampling (big sources drown small ones)
+    * and uniform (tiny sources overfit). Per-DOCUMENT effective
+    * epochs are e_s = √(n_max / n_s), normalized so the LARGEST
+    * source runs exactly 1.0 epochs and every smaller source is
+    * upsampled by the square-root of its deficit, capped at
+    * `maxEpochsPct` so a trace source cannot explode.
+    *
+    * The weight is derived FROM THE DATA and kept integer-exact so
+    * both engines agree bit-for-bit: wp = isqrt(10⁴·n_max div n_s)
+    * in percent units, where isqrt is an EXACT integer square root —
+    * floor(√x) from the hardware double sqrt, then a ±1 integer
+    * correction that repairs any rounding at the boundary (x ≤
+    * 10⁴·n_max < 2⁵² keeps the double exact; the correction makes
+    * the result provably exact regardless). n_s is the source's
+    * TOKEN total, the unit temperature sampling is defined over.
+    *
+    * Scale shape: one map-side-combined aggregate to source grain
+    * (~20 rows), a 1-row max broadcast, weights broadcast back onto
+    * the scan, then the same zero-shuffle deterministic
+    * `explode(sequence)` fan-out as [[corpusMix]]. */
+  /** EXACT integer square root (⌊√x⌋ for 0 ≤ x < 2⁶²): the hardware
+    * double sqrt is within 1 ulp, so its floor is within ±1 of the
+    * true root; the two integer comparisons repair the boundary.
+    * Exactness is engine-independent — the same expression in DuckDB
+    * lands on the same integer even if its double sqrt rounds
+    * differently. Property-tested around perfect squares in
+    * CurationSpec. */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    s0 + when((s0 + 1) * (s0 + 1) <= x, 1L).otherwise(0L) -
+      when(s0 * s0 > x, 1L).otherwise(0L)
+  }
+
+  def temperatureMix(spark: SparkSession, dir: String,
+      maxEpochsPct: Long = 1000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(TextStats.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val srcTok = docs.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+    val weights = srcTok
+      .crossJoin(broadcast(srcTok.agg(max("src_tokens").as("max_tokens"))))
+      .withColumn("x", expr("10000 * max_tokens DIV src_tokens"))
+      .select(col("source"),
+        least(isqrt(col("x")), lit(maxEpochsPct)).as("wp"))
+    docs.join(broadcast(weights), "source")
+      .withColumn("repeats",
+        expr("wp DIV 100") +
+          when(contentBucket(col("text")) < col("wp") % 100, 1L)
+            .otherwise(0L))
+      // wp ≥ 100 by construction (n_s ≤ n_max ⇒ x ≥ 10⁴ ⇒ isqrt ≥
+      // 100): temperature only UPsamples, so no source ever drops out
+      .where(col("repeats") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(0L), col("repeats") - 1)).as("epoch"))
+  }
+
+  private val temperatureWeightsSql: String =
+    s"""d AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |st AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM d GROUP BY source),
+       |w1 AS (
+       |  SELECT source, src_tokens,
+       |         (10000 * (SELECT MAX(src_tokens) FROM st)) // src_tokens
+       |           AS x
+       |  FROM st),
+       |w2 AS (
+       |  SELECT source, src_tokens, x,
+       |         CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS s0
+       |  FROM w1),
+       |w AS (
+       |  SELECT source, src_tokens,
+       |         LEAST(s0 + CASE WHEN (s0+1)*(s0+1) <= x THEN 1 ELSE 0 END
+       |                  - CASE WHEN s0*s0 > x THEN 1 ELSE 0 END,
+       |               1000) AS wp
+       |  FROM w2),
+       |r AS (
+       |  SELECT d.doc_id, d.source, d.n_tokens,
+       |         CAST(w.wp // 100 + CASE WHEN $bucketSqlExpr < w.wp % 100
+       |                                 THEN 1 ELSE 0 END AS BIGINT)
+       |           AS repeats
+       |  FROM d JOIN w ON d.source = w.source)""".stripMargin
+
+  val temperatureMixSql: String =
+    s"""WITH $temperatureWeightsSql
+       |SELECT doc_id, source, n_tokens,
+       |       CAST(unnest(range(repeats)) AS BIGINT) AS epoch
+       |FROM r WHERE repeats > 0""".stripMargin
+
+  /** Per-source audit of [[temperatureMix]]: raw vs achieved token
+    * share. achieved/src ≈ √(n_max/n_s) — the flattening a reader
+    * verifies against the α = 1/2 contract. */
+  def temperatureMixAudit(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_tokens").as("achieved_tokens"))
+      .join(Tables.documents(spark, dir)
+          .groupBy("source")
+          .agg(sum(size(TextStats.wsTokens(col("text"))).cast("long"))
+            .as("src_tokens")),
+        Seq("source"))
+      .select("source", "src_tokens", "achieved_tokens", "n_rows")
+
+  val temperatureMixAuditSql: String =
+    s"""WITH $temperatureWeightsSql,
+       |m AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(unnest(range(repeats)) AS BIGINT) AS epoch
+       |  FROM r WHERE repeats > 0)
+       |SELECT m.source, st.src_tokens,
+       |       CAST(SUM(m.n_tokens) AS BIGINT) AS achieved_tokens,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows
+       |FROM m JOIN st ON m.source = st.source
+       |GROUP BY m.source, st.src_tokens""".stripMargin
+
   /** Content-hash train/test split: bucket < trainPct → train. */
   def trainTestSplit(spark: SparkSession, dir: String,
       trainPct: Int = 90): DataFrame =
