@@ -72,6 +72,13 @@ object SparkEntry {
     "q_revenue_by_region" -> (Relational.revenueByRegion _),
     "q_revenue_by_priority" -> (Relational.revenueByPriority _),
     "q_asof_join" -> (AsOfJoin.eventsWithLatestOrder _),
+    // binned range joins: equi-join-on-bin plans for predicates Spark
+    // would otherwise nested-loop (band / point-in-interval / overlap)
+    "q_band_join" -> (graft.engine.RangeJoin.partPriceBands _),
+    "q_interval_join" -> (graft.engine.RangeJoin.inTransitByPriority _),
+    "q_interval_attach" -> (graft.engine.RangeJoin.marchTransitAttach _),
+    "q_interval_overlap" ->
+      (graft.engine.RangeJoin.supplierTransitOverlaps _),
     // §2.1 + §2.2 + §2.9 streaming: file stream → stateful agg →
     // complete-mode memory sink (S2, A1-A5, K1); oracle = batch SQL,
     // proving stream == batch.
@@ -190,6 +197,12 @@ object SparkEntry {
       graft.ops.Classify.pplBuckets(s, d)),
     "q_ppl_bucket_report" -> ((s: SparkSession, d: String) =>
       graft.ops.Classify.pplBucketReport(s, d)),
+    // curriculum schedule: easy→hard phase order + in-phase shuffle,
+    // one prefix-sum global order (no per-phase window)
+    "q_curriculum" -> ((s: SparkSession, d: String) =>
+      graft.ops.Curriculum.curriculumSchedule(s, d)),
+    "q_curriculum_audit" -> ((s: SparkSession, d: String) =>
+      graft.ops.Curriculum.curriculumAudit(s, d)),
     // per-source governance: domain caps + the admission ledger
     "q_source_caps" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.sourceCappedCorpus(s, d)),
@@ -401,6 +414,11 @@ object SparkEntry {
     "q_revenue_by_region" -> Relational.revenueByRegionSql,
     "q_revenue_by_priority" -> Relational.revenueByPrioritySql,
     "q_asof_join" -> AsOfJoin.eventsWithLatestOrderSql,
+    "q_band_join" -> graft.engine.RangeJoin.partPriceBandsSql,
+    "q_interval_join" -> graft.engine.RangeJoin.inTransitByPrioritySql,
+    "q_interval_attach" -> graft.engine.RangeJoin.marchTransitAttachSql,
+    "q_interval_overlap" ->
+      graft.engine.RangeJoin.supplierTransitOverlapsSql,
     "q_stream_agg" -> StreamAggregator.streamAggSql,
     "q_stream_join" -> graft.streaming.StreamJoin.flaggedFollowupsSql,
     "q_sessions" -> Sessionize.sessionsSql,
@@ -445,6 +463,8 @@ object SparkEntry {
     "q_bigram_lm_ppl_gate" -> graft.ops.Classify.bigramLmPerplexityGateSql,
     "q_ppl_buckets" -> graft.ops.Classify.pplBucketsSql,
     "q_ppl_bucket_report" -> graft.ops.Classify.pplBucketReportSql,
+    "q_curriculum" -> graft.ops.Curriculum.curriculumScheduleSql,
+    "q_curriculum_audit" -> graft.ops.Curriculum.curriculumAuditSql,
     "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
     "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,
