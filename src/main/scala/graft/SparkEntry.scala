@@ -75,6 +75,9 @@ object SparkEntry {
     // binned range joins: equi-join-on-bin plans for predicates Spark
     // would otherwise nested-loop (band / point-in-interval / overlap)
     "q_band_join" -> (graft.engine.RangeJoin.partPriceBands _),
+    // grain-collapsed twin: the distributive band aggregate at the
+    // domain-bounded (brand, cents, cnt) cell grain
+    "q_band_join_agg" -> (graft.engine.RangeJoin.partPriceBandsAgg _),
     "q_interval_join" -> (graft.engine.RangeJoin.inTransitByPriority _),
     "q_interval_attach" -> (graft.engine.RangeJoin.marchTransitAttach _),
     "q_interval_overlap" ->
@@ -266,6 +269,15 @@ object SparkEntry {
       graft.ops.Decontaminate.decontaminatedCorpus(s, d)),
     "q_governed_corpus" -> ((s: SparkSession, d: String) =>
       graft.ops.Decontaminate.governedCorpus(s, d, memoComponents = true)),
+    // fuzzy (MinHash-LSH) decontamination: production xxhash64 form is
+    // rows-only; the md5 portable twin + composed corpus are the
+    // hash-exact proofs of the same cross-corpus banding machinery
+    "q_fuzzy_contamination" -> ((s: SparkSession, d: String) =>
+      graft.ops.Decontaminate.fuzzyContamination(s, d)),
+    "q_fuzzy_contamination_portable" -> ((s: SparkSession, d: String) =>
+      graft.ops.Decontaminate.fuzzyContaminationPortable(s, d)),
+    "q_fuzzy_decontaminated" -> ((s: SparkSession, d: String) =>
+      graft.ops.Decontaminate.fuzzyDecontaminatedCorpus(s, d)),
     // the full end-to-end pipeline (ingest → dedup → decontaminate →
     // quality → shuffle → pack) as ONE hash-oracled artifact. The
     // three variants share the memoized survivor set (safe here: the
@@ -415,6 +427,7 @@ object SparkEntry {
     "q_revenue_by_priority" -> Relational.revenueByPrioritySql,
     "q_asof_join" -> AsOfJoin.eventsWithLatestOrderSql,
     "q_band_join" -> graft.engine.RangeJoin.partPriceBandsSql,
+    "q_band_join_agg" -> graft.engine.RangeJoin.partPriceBandsAggSql,
     "q_interval_join" -> graft.engine.RangeJoin.inTransitByPrioritySql,
     "q_interval_attach" -> graft.engine.RangeJoin.marchTransitAttachSql,
     "q_interval_overlap" ->
@@ -495,6 +508,10 @@ object SparkEntry {
     "q_decontaminated_corpus" ->
       graft.ops.Decontaminate.decontaminatedCorpusSql,
     "q_governed_corpus" -> graft.ops.Decontaminate.governedCorpusSql,
+    "q_fuzzy_contamination_portable" ->
+      graft.ops.Decontaminate.fuzzyContaminationPortableSql,
+    "q_fuzzy_decontaminated" ->
+      graft.ops.Decontaminate.fuzzyDecontaminatedCorpusSql,
     "q_ann_topk" -> Similarity.bruteForceTopKSql,
     "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
     "q_semantic_dedup_centroid_gate" ->

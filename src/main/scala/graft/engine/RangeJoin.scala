@@ -176,6 +176,69 @@ object RangeJoin {
       |  ON a.p_partkey < b.p_partkey AND ABS(a.cents - b.cents) <= 25
       |GROUP BY 1, 2""".stripMargin
 
+  /** Band AGGREGATE with the pair enumeration collapsed to the value
+    * grain — the band-join analog of the [[inTransitByPriority]]
+    * sweep. [[partPriceBands]] enumerates part pairs: its join output
+    * is density-quadratic (10× parts in the same price domain → 100×
+    * pairs per decade). But `n_pairs` and `sum_gap_cents` are
+    * DISTRIBUTIVE over pair multiplicity, so the enumeration is
+    * unnecessary: collapse parts to (brand, cents, cnt) cells first —
+    * the cell count is bounded by |brands| × |price domain in cents|,
+    * a CONSTANT per decade — run the binned band join at the cell
+    * grain, and recover pair counts by combinatorics (cnt_a·cnt_b
+    * across distinct cells, C(cnt,2) within a cell, gap 0).
+    *
+    * Exactly-once at the cell grain: the bin trick gives each
+    * qualifying ordered cell pair once; keeping the lexicographically
+    * smaller (cents, brand) side as `a` keeps each UNORDERED distinct
+    * cell pair once. Brand pairs are canonicalized `least/greatest`
+    * (key order is meaningless at the collapsed grain), so this is a
+    * companion query, not a drop-in twin of [[partPriceBands]].
+    *
+    * Decade exponent: ×10 (one scan + a domain-bounded join) where
+    * the attach form is ×100. The DuckDB oracle computes the NAIVE
+    * part-pair join — the hash match is a differential proof of the
+    * grain collapse. */
+  def partPriceBandsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cells = spark.read.parquet(s"$dir/part.parquet")
+      .groupBy(col("p_brand"), cents(col("p_retailprice")).as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = cells.select(col("p_brand").as("brand_a"),
+      col("cents").as("a_cents"), col("cnt").as("a_cnt"))
+    val b = cells.select(col("p_brand").as("brand_b"),
+      col("cents").as("b_cents"), col("cnt").as("b_cnt"))
+    val cross = bandJoin(a, b, "a_cents", "b_cents", 25.0)
+      .where(col("a_cents") < col("b_cents") ||
+        (col("a_cents") === col("b_cents") && col("brand_a") < col("brand_b")))
+      .select(least(col("brand_a"), col("brand_b")).as("brand_lo"),
+        greatest(col("brand_a"), col("brand_b")).as("brand_hi"),
+        (col("a_cnt") * col("b_cnt")).as("pairs"),
+        (abs(col("a_cents") - col("b_cents")) * col("a_cnt") * col("b_cnt"))
+          .as("gap"))
+    val within = cells.select(col("p_brand").as("brand_lo"),
+      col("p_brand").as("brand_hi"),
+      // Column./ is IEEE double division; the product is even, so the
+      // long cast is exact and keeps n_pairs integer like the oracle
+      (col("cnt") * (col("cnt") - 1) / 2).cast("long").as("pairs"),
+      lit(0L).as("gap"))
+    cross.unionByName(within)
+      .groupBy("brand_lo", "brand_hi")
+      .agg(sum("pairs").as("n_pairs"), sum("gap").as("sum_gap_cents"))
+      .where(col("n_pairs") > 0)
+  }
+
+  val partPriceBandsAggSql: String =
+    """WITH c AS (SELECT p_partkey, p_brand,
+      |                 CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      |           FROM part)
+      |SELECT LEAST(a.p_brand, b.p_brand) AS brand_lo,
+      |       GREATEST(a.p_brand, b.p_brand) AS brand_hi,
+      |       COUNT(*) AS n_pairs,
+      |       SUM(ABS(a.cents - b.cents)) AS sum_gap_cents
+      |FROM c a JOIN c b
+      |  ON a.p_partkey < b.p_partkey AND ABS(a.cents - b.cents) <= 25
+      |GROUP BY 1, 2""".stripMargin
+
   /** Deterministic synthetic transit interval for a lineitem:
     * [shipdate, shipdate + 1 + (7·orderkey + linenumber) mod 28] days
     * — the testdata has no receiptdate, so the interval is derived,

@@ -121,4 +121,163 @@ object Decontaminate {
        |FROM (${Components.cleanCorpusSql}) clean
        |WHERE source <> 'src19'
        |  AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
+
+  // ----- Fuzzy (MinHash-LSH) decontamination -----
+  //
+  // Exact n-gram overlap misses a paraphrased or lightly-edited eval
+  // document; published training-data reports pair the exact check
+  // with a document-level FUZZY check (near-duplicate similarity to
+  // any eval doc above a threshold). Semantics: flag a training doc
+  // whose estimated Jaccard to ANY eval doc is ≥ tau, candidates from
+  // the same MinHash-LSH banding as the dedup family — but the band
+  // join is CROSS-CORPUS (train bands × eval bands), so its cost is
+  // train_bands × eval-bucket occupancy, never train². The eval side
+  // is held-out-sized; AQE broadcasts its band table at runtime.
+  // [[fuzzyContaminationFor]] takes any two corpora; the registered
+  // queries run it across the content-hash train/test split.
+
+  /** Fuzzy contamination report between two (doc_id, text) corpora:
+    * one row per flagged TRAIN doc — (doc_id, n_eval_matches,
+    * max_est_jaccard) over eval docs with estimated Jaccard ≥ tau.
+    * Production hash (xxhash64, 64 hashes / 16 bands); the md5
+    * [[fuzzyContaminationPortable]] twin is the DuckDB-oracled proof
+    * of the same machinery. */
+  def fuzzyContaminationFor(trainDocs: DataFrame, evalDocs: DataFrame,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.5): DataFrame = {
+    // both signature tables are consumed twice (banding + verify);
+    // the dedup-family cache discipline
+    val tSigs = Dedup.minhashSignatures(trainDocs, n, numHashes).cache()
+    val eSigs = Dedup.minhashSignatures(evalDocs, n, numHashes).cache()
+    val cand = Dedup.bandRows(tSigs, numHashes, bands)
+      .select(col("doc_id").as("train_id"), col("band"), col("band_hash"))
+      .join(Dedup.bandRows(eSigs, numHashes, bands)
+          .select(col("doc_id").as("eval_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("train_id", "eval_id").distinct()
+    cand
+      .join(tSigs.select(col("doc_id").as("train_id"),
+        col("minhash").as("mh_t")), "train_id")
+      .join(eSigs.select(col("doc_id").as("eval_id"),
+        col("minhash").as("mh_e")), "eval_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("mh_t"), col("mh_e"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes)
+      .where(col("est_jaccard") >= tau)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max("est_jaccard").as("max_est_jaccard"))
+  }
+
+  /** The two sides of the content-hash 90/10 split ([[Mix.trainTestSplit]]
+    * semantics). The registered fuzzy queries screen TRAIN against
+    * TEST — the LSH fuzzy twin of [[Mix.crossSplitLeakage]] — rather
+    * than against `src19`: planted near-dup cliques are uniform over
+    * content hashes, so the split sides reliably share near-dups at
+    * every SF and data vintage, where per-source contamination is
+    * vintage luck (measured: zero src19 near-dups at the sf0.01
+    * vintage that had 24 cross-source pairs elsewhere). */
+  private def splitSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("__bucket", Mix.contentBucket(col("text")))
+    (docs.where(col("__bucket") < 90).drop("__bucket"),
+      docs.where(col("__bucket") >= 90).drop("__bucket"))
+  }
+
+  /** Registered production form: fuzzy leakage screen of the train
+    * split against the test split. Rows-only (seeded xxhash64); the
+    * portable twin is the hash-exact gate. */
+  def fuzzyContamination(spark: SparkSession, dir: String): DataFrame = {
+    val (train, test) = splitSides(spark, dir)
+    fuzzyContaminationFor(train, test)
+  }
+
+  /** Oracle twin: the full cross-corpus LSH pipeline on the portable
+    * md5 16-hash / 4-band signatures ([[Dedup.portableMinhashSigs]]) —
+    * every intermediate is integer or exactly-representable (k/16)
+    * arithmetic, so the report hash-matches DuckDB computing the same
+    * banding from scratch. */
+  def fuzzyContaminationPortable(spark: SparkSession, dir: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val (train, test) = splitSides(spark, dir)
+    val tSigs = Dedup.portableMinhashSigs(train, n).cache()
+    val eSigs = Dedup.portableMinhashSigs(test, n).cache()
+    val cand = Dedup.portableBandRows(tSigs)
+      .select(col("doc_id").as("train_id"), col("band"), col("band_hash"))
+      .join(Dedup.portableBandRows(eSigs)
+          .select(col("doc_id").as("eval_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("train_id", "eval_id").distinct()
+    val matches = (0 until 16).map(s =>
+      when(col(s"t.mh_$s") === col(s"e.mh_$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(tSigs.as("t"), col("train_id") === col("t.doc_id"))
+      .join(eSigs.as("e"), col("eval_id") === col("e.doc_id"))
+      .select(col("train_id"), col("eval_id"),
+        (matches.cast("double") / 16).as("est_jaccard"))
+      .where(col("est_jaccard") >= tau)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max("est_jaccard").as("max_est_jaccard"))
+  }
+
+  val fuzzyContaminationPortableSql: String = {
+    val minExprs = (0 until 16).map(s =>
+      s"min(CAST(('0x' || substr(md5('$s:' || s), 25, 8)) AS BIGINT)) AS mh_$s")
+      .mkString(",\n       ")
+    val bandSelects = (0 until 4).map { b =>
+      val slice = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, split, $b AS band, md5($slice) AS band_hash FROM mh"
+    }.mkString("\nUNION ALL\n")
+    val matchSum = (0 until 16)
+      .map(s => s"CASE WHEN t.mh_$s = e.mh_$s THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |                  CASE WHEN ${Mix.bucketSqlExpr} < 90
+       |                       THEN 'train' ELSE 'test' END AS split,
+       |                  string_split(text, ' ') AS toks
+       |           FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, split,
+       |              array_to_string(toks[i:i+2], ' ') AS s
+       |       FROM d, UNNEST(range(1, len(toks)-1)) AS u(i)
+       |       WHERE len(toks) >= 3),
+       |mh AS (SELECT doc_id, any_value(split) AS split,
+       |       $minExprs
+       |       FROM sh GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |   AND a.split = 'train' AND b.split = 'test'),
+       |scored AS (
+       |  SELECT train_id, CAST($matchSum AS DOUBLE) / 16 AS est_jaccard
+       |  FROM cand
+       |  JOIN mh t ON cand.train_id = t.doc_id
+       |  JOIN mh e ON cand.eval_id = e.doc_id
+       |  WHERE CAST($matchSum AS DOUBLE) / 16 >= 0.5)
+       |SELECT train_id AS doc_id, COUNT(*) AS n_eval_matches,
+       |       MAX(est_jaccard) AS max_est_jaccard
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
+  /** The leakage-free train corpus: the train split minus every
+    * fuzzy-flagged doc (portable form, so the whole artifact stays
+    * hash-oracled) — what a pipeline ships to training after the
+    * split screen. One anti-join over the tiny flagged set; AQE
+    * broadcasts it. */
+  def fuzzyDecontaminatedCorpus(spark: SparkSession, dir: String): DataFrame =
+    splitSides(spark, dir)._1
+      .join(fuzzyContaminationPortable(spark, dir)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+
+  val fuzzyDecontaminatedCorpusSql: String =
+    s"""WITH fuzzy AS ($fuzzyContaminationPortableSql)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE ${Mix.bucketSqlExpr} < 90
+       |  AND doc_id NOT IN (SELECT doc_id FROM fuzzy)""".stripMargin
 }

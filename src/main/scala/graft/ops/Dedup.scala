@@ -253,7 +253,7 @@ object Dedup {
   }
 
   /** Banding of a signature table: (doc_id, band, band_hash). */
-  private def bandRows(sigs: DataFrame, numHashes: Int,
+  private[ops] def bandRows(sigs: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     sigs.select(col("doc_id"), col("minhash"),
@@ -303,31 +303,40 @@ object Dedup {
       n: Int = 3, tau: Double = 0.5): DataFrame =
     minhashLshPairsPortableFor(Tables.documents(spark, dir), n, tau)
 
+  /** Engine-portable 16-hash MinHash signatures: (doc_id, mh_0..mh_15)
+    * with each component a seeded-md5-low-32-bits min — arithmetic
+    * both engines compute identically (the oracle-twin hash). */
+  private[ops] def portableMinhashSigs(docs: DataFrame, n: Int): DataFrame = {
+    def pHash(seed: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"$seed:"), c)), 25, 8), 16, 10)
+        .cast("long")
+    val minCols = (0 until 16).map(s =>
+      min(pHash(s, col("shingle"))).as(s"mh_$s"))
+    shingles(docs, n).groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** 4-band banding of [[portableMinhashSigs]] output: (doc_id, band,
+    * band_hash) with band_hash = md5 of the stringified 4-slice. */
+  private[ops] def portableBandRows(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until 4).map(r =>
+          col(s"mh_${b * 4 + r}").cast("string")): _*))
+          .as("band_hash"))
+    }
+    sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"))
+  }
+
   /** [[minhashLshPairsPortable]] over any (doc_id, text) frame. */
   def minhashLshPairsPortableFor(docs: DataFrame,
       n: Int = 3, tau: Double = 0.5): DataFrame = {
     val numHashes = 16
-    val bands = 4
-    val rowsPerBand = numHashes / bands
-    def pHash(seed: Int, c: Column): Column =
-      conv(substring(md5(concat(lit(s"$seed:"), c)), 25, 8), 16, 10)
-        .cast("long")
-    val sh = shingles(docs, n)
-    val minCols = (0 until numHashes).map(s =>
-      min(pHash(s, col("shingle"))).as(s"mh_$s"))
-    val sigs = sh.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .cache()
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
-          col(s"mh_${b * rowsPerBand + r}").cast("string")): _*))
-          .as("band_hash"))
-    }
-    val banded = sigs.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.band_hash").as("band_hash"))
+    val sigs = portableMinhashSigs(docs, n).cache()
+    val banded = portableBandRows(sigs)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

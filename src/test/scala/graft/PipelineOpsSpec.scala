@@ -86,6 +86,56 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(governed.nonEmpty)
   }
 
+  test("fuzzyContaminationFor: near-copy of an eval doc flagged, " +
+    "unrelated docs absent, production and portable paths agree on ids") {
+    import graft.ops.Decontaminate
+    // two eval docs; train doc 1 is a near-copy of eval 100 (one word
+    // changed out of 12 -> 3-gram Jaccard ~0.6), train 2 unrelated
+    val evalText =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val evalDocs = Seq((100L, evalText),
+      (101L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val trainDocs = Seq(
+      (1L, evalText.replace("epsilon", "EPSILON")), // near-copy of 100
+      (2L, "totally different words with no shared trigrams at all " +
+        "nothing matches here truly"),
+      (3L, evalText)                                // exact copy of 100
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.fuzzyContaminationFor(trainDocs, evalDocs,
+        tau = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 3L), s"got $got")
+    assert(got(3L) === 1L, "exact copy matches exactly one eval doc")
+    // the registered production vs portable forms flag the same docs
+    // on the real corpus (hash family differs; candidate semantics
+    // must agree at this tau where est-jaccard noise is immaterial)
+    val prod = Decontaminate.fuzzyContamination(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val port = Decontaminate.fuzzyContaminationPortable(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // 16-hash estimates are coarser than 64-hash: require agreement
+    // up to a small symmetric difference, and substantial overlap
+    val sym = (prod diff port) union (port diff prod)
+    assert(prod.nonEmpty && port.nonEmpty)
+    assert(sym.size.toDouble <= 0.5 * math.max(prod.size, port.size),
+      s"prod=${prod.size} port=${port.size} sym=${sym.size}")
+  }
+
+  test("fuzzyDecontaminatedCorpus = train split minus fuzzy flags") {
+    import graft.ops.{Decontaminate, Mix}
+    val got = Decontaminate.fuzzyDecontaminatedCorpus(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val train = graft.core.Tables.documents(spark, sf)
+      .where(Mix.contentBucket(col("text")) < 90)
+      .select("doc_id").as[Long].collect().toSet
+    val fuzzy = Decontaminate.fuzzyContaminationPortable(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === train -- fuzzy)
+    assert(got.nonEmpty)
+    assert(fuzzy.subsetOf(train), "flags must come from the train side")
+  }
+
   // ----- repetition signals -----
 
   test("repetition signals on crafted repetitive vs distinct docs") {

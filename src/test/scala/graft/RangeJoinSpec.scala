@@ -119,6 +119,24 @@ class RangeJoinSpec extends AnyFunSuite with SharedSpark {
     assert(got === Set((1L, 10L)), "cross-key pair must not match")
   }
 
+  test("partPriceBandsAgg equals the naive pair enumeration at the " +
+    "canonical brand-pair grain") {
+    val dir = sf
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+    val naive = part.as("a").join(part.as("b"),
+        col("a.p_partkey") < col("b.p_partkey") &&
+          abs(col("a.cents") - col("b.cents")) <= 25)
+      .groupBy(least(col("a.p_brand"), col("b.p_brand")).as("brand_lo"),
+        greatest(col("a.p_brand"), col("b.p_brand")).as("brand_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("a.cents") - col("b.cents"))).as("sum_gap_cents"))
+    val got = RangeJoin.partPriceBandsAgg(spark, dir)
+    assert(sortedRows(got) === sortedRows(naive))
+    assertEquiJoinPlan(got)
+  }
+
   // ----- registered queries vs their naive forms on real data -----
 
   test("q_band_join / q_interval_join / q_interval_overlap match naive " +
