@@ -206,6 +206,11 @@ object SparkEntry {
       graft.ops.Curriculum.curriculumSchedule(s, d)),
     "q_curriculum_audit" -> ((s: SparkSession, d: String) =>
       graft.ops.Curriculum.curriculumAudit(s, d)),
+    // length-bucketed token-capped batching (dynamic-batching manifest)
+    "q_length_batches" -> ((s: SparkSession, d: String) =>
+      graft.ops.Pack.lengthBucketBatches(s, d)),
+    "q_batch_manifest" -> ((s: SparkSession, d: String) =>
+      graft.ops.Pack.batchManifest(s, d)),
     // per-source governance: domain caps + the admission ledger
     "q_source_caps" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.sourceCappedCorpus(s, d)),
@@ -478,6 +483,8 @@ object SparkEntry {
     "q_ppl_bucket_report" -> graft.ops.Classify.pplBucketReportSql,
     "q_curriculum" -> graft.ops.Curriculum.curriculumScheduleSql,
     "q_curriculum_audit" -> graft.ops.Curriculum.curriculumAuditSql,
+    "q_length_batches" -> graft.ops.Pack.lengthBucketBatchesSql,
+    "q_batch_manifest" -> graft.ops.Pack.batchManifestSql,
     "q_source_caps" -> graft.ops.Corpus.sourceCappedCorpusSql,
     "q_source_cap_report" -> graft.ops.Corpus.sourceCapReportSql,
     "q_term_stats" -> graft.ops.Terms.termStatsSql,

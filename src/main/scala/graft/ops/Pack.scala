@@ -317,4 +317,91 @@ object Pack {
       |                          - GREATEST(s0, seq_id * 512) < w
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fragments
       |FROM x GROUP BY seq_id""".stripMargin
+
+  /** Length-bucketed, token-capped BATCHING — the dynamic-batching
+    * manifest for variable-length training (pad-to-max within batch):
+    * whole documents grouped into batches whose token totals are
+    * capacity-quantized at `cap`, restricted to power-of-two length
+    * buckets so in-batch padding waste is bounded by 2× (pad-to-max
+    * inside a bucket at most doubles the shortest member). The
+    * complement of [[packSequences]]: packing SPLITS docs to fill
+    * fixed sequences; batching keeps docs WHOLE and bounds the batch.
+    *
+    * Semantics (engine-portable, hash-oracled): bucket = bit length
+    * of the whitespace token count (the [[Profile.lengthHistogram]]
+    * integer form); in-bucket order = seeded md5 of doc_id (the
+    * [[corpusShuffle]] decorrelation discipline); batch_id = exclusive
+    * per-bucket running token sum DIV cap — the same quantized-cumsum
+    * rule as [[packIntoShards]], so a batch may overhang `cap` by less
+    * than one document, never more.
+    *
+    * Scale shape: ONE global prefix sum over the bucket-contiguous
+    * composite key `bucket:md5:doc_id` (buckets are contiguous in
+    * that order, so the per-bucket cumsum = global cumsum − bucket
+    * start). Bucket starts come from a ≤64-row aggregate broadcast
+    * back — there is NO per-bucket window (a bucket is a constant
+    * fraction of the corpus; `PARTITION BY bucket` would funnel it
+    * through one task). */
+  def lengthBucketBatches(spark: SparkSession, dir: String,
+      cap: Long = 2048L, seed: Int = 0): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .select(concat(
+        lpad(length(bin(col("n_toks"))).cast("string"), 2, "0"),
+        lit(":"),
+        md5(concat(lit(s"graft:batch:$seed:"), col("doc_id").cast("string"))),
+        lit(":"),
+        lpad(col("doc_id").cast("string"), 12, "0")).as("bk"),
+        col("n_toks"))
+    val cum = packIntoShards(keyed, "bk", col("n_toks"),
+        budget = Long.MaxValue)
+      .select(col("bk"), col("w"), col("cum_tokens"))
+      .withColumn("bucket", substring(col("bk"), 1, 2).cast("int"))
+    val bucketStarts = cum.groupBy("bucket")
+      .agg(min(col("cum_tokens") - col("w")).as("b_start"))
+    cum.join(broadcast(bucketStarts), "bucket")
+      .select(
+        substring(col("bk"), 37, 12).cast("long").as("doc_id"),
+        col("bucket"),
+        expr(s"(cum_tokens - w - b_start) DIV $cap").as("batch_id"),
+        col("w").as("n_toks"))
   }
+
+  val lengthBucketBatchesSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         CAST(length(bin(len(string_split(text, ' ')))) AS INT)
+      |           AS bucket,
+      |         md5('graft:batch:0:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, bucket, n_toks,
+      |         CAST(SUM(n_toks) OVER (PARTITION BY bucket
+      |              ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS cum
+      |  FROM w)
+      |SELECT doc_id, bucket, (cum - n_toks) // 2048 AS batch_id, n_toks
+      |FROM c""".stripMargin
+
+  /** Per-batch manifest: member count, token total, and the
+    * pad-to-max cost (`padded_tokens` = n_docs × longest member) —
+    * the padding-efficiency report a training owner reads to pick
+    * `cap` and the bucket grain. One (bucket, batch_id) partial-agg
+    * shuffle over the batch frame. */
+  def batchManifest(spark: SparkSession, dir: String,
+      cap: Long = 2048L): DataFrame =
+    lengthBucketBatches(spark, dir, cap)
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("batch_tokens"),
+        (max("n_toks") * count(lit(1))).as("padded_tokens"))
+
+  val batchManifestSql: String =
+    s"""WITH b AS ($lengthBucketBatchesSql)
+       |SELECT bucket, batch_id, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS batch_tokens,
+       |       CAST(MAX(n_toks) * COUNT(*) AS BIGINT) AS padded_tokens
+       |FROM b GROUP BY 1, 2""".stripMargin
+}

@@ -206,6 +206,47 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(packed(7) === auto)
   }
 
+  test("lengthBucketBatches: buckets respect bit length, batches stay " +
+    "under cap + one doc, equals the window-function reference form") {
+    val cap = 2048L
+    val got = Pack.lengthBucketBatches(spark, sf, cap).cache()
+    // every doc present exactly once
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(got.count() === docs.count())
+    assert(got.select("doc_id").distinct().count() === docs.count())
+    // bucket = bit length of n_toks
+    assert(got.where(col("bucket") =!=
+      length(bin(col("n_toks")))).count() === 0L)
+    // capacity quantization: every batch's tokens < cap + its max doc,
+    // and every batch except a bucket's last holds >= cap... the DIV
+    // rule guarantees tokens > cap - max_doc for non-final batches;
+    // assert the two-sided bound on ALL batches vs their own members
+    val man = Pack.batchManifest(spark, sf, cap)
+    assert(man.where(col("batch_tokens") >=
+      lit(cap) + col("padded_tokens") / col("n_docs")).count() === 0L,
+      "a batch exceeds cap by a full longest-member")
+    // padded_tokens >= batch_tokens always (pad-to-max)
+    assert(man.where(col("padded_tokens") < col("batch_tokens"))
+      .count() === 0L)
+    // differential: the distributed form equals the textbook
+    // per-bucket window cumsum
+    val ref = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("bucket", length(bin(col("n_toks"))))
+      .withColumn("h", md5(concat(lit("graft:batch:0:"),
+        col("doc_id").cast("string"))))
+      .withColumn("cum", sum("n_toks").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+          .orderBy("h", "doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select(col("doc_id"), col("bucket"),
+        expr(s"(cum - n_toks) DIV $cap").as("batch_id"),
+        col("n_toks"))
+    assert(got.except(ref).count() === 0L && ref.except(got).count() === 0L)
+  }
+
   test("packSequences: spans tile every doc and fill every sequence " +
     "to exactly seqLen except the tail; partition-count-invariant") {
     val spans = graft.ops.Pack.docSequences(spark, sf).collect()
