@@ -171,7 +171,7 @@ object RangeJoin {
       |           FROM part)
       |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
       |       COUNT(*) AS n_pairs,
-      |       SUM(ABS(a.cents - b.cents)) AS sum_gap_cents
+      |       CAST(SUM(ABS(a.cents - b.cents)) AS BIGINT) AS sum_gap_cents
       |FROM c a JOIN c b
       |  ON a.p_partkey < b.p_partkey AND ABS(a.cents - b.cents) <= 25
       |GROUP BY 1, 2""".stripMargin
@@ -234,7 +234,7 @@ object RangeJoin {
       |SELECT LEAST(a.p_brand, b.p_brand) AS brand_lo,
       |       GREATEST(a.p_brand, b.p_brand) AS brand_hi,
       |       COUNT(*) AS n_pairs,
-      |       SUM(ABS(a.cents - b.cents)) AS sum_gap_cents
+      |       CAST(SUM(ABS(a.cents - b.cents)) AS BIGINT) AS sum_gap_cents
       |FROM c a JOIN c b
       |  ON a.p_partkey < b.p_partkey AND ABS(a.cents - b.cents) <= 25
       |GROUP BY 1, 2""".stripMargin
@@ -307,6 +307,11 @@ object RangeJoin {
       .agg(sum(coalesce(col("cum_c"), lit(0L))).as("n_pairs"),
         sum(coalesce(col("cum_q"), lit(0).cast("decimal(38,2)")))
           .cast("double").as("sum_qty"))
+      // cum_c ≥ 0 per day, so n_pairs = 0 ⟺ the group has no covering
+      // pairs at all ⟺ the oracle's inner join omits the group. This
+      // filter pins the left-join form to the oracle's group-presence
+      // semantics on sparse inputs (same guard as partPriceBandsAgg).
+      .where(col("n_pairs") > 0)
   }
 
   val inTransitByPrioritySql: String =
