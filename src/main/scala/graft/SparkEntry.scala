@@ -106,6 +106,9 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_incremental" -> (Dedup.dedupIncremental _),
+    // bloom-screened twin: same oracle — the hash match proves the
+    // Bloom gate in front of the history anti-join is result-invariant
+    "q_dedup_incremental_bloom" -> (Dedup.dedupIncrementalBloom _),
     "q_redact_docs" -> (graft.ops.Redact.redactDocs _),
     // near-dup clustering: pair graph → connected components → survivors
     // the components family shares one memoized (doc_id, component)
@@ -241,6 +244,12 @@ object SparkEntry {
       graft.ops.Mix.trainTestSplit(s, d)),
     "q_split_leakage" -> ((s: SparkSession, d: String) =>
       graft.ops.Mix.crossSplitLeakage(s, d)),
+    // cluster-grain split: leakage-free by construction (whole
+    // near-dup component → one side; audit proves leak_pairs = 0)
+    "q_cluster_split" -> ((s: SparkSession, d: String) =>
+      graft.ops.Mix.clusterSplit(s, d)),
+    "q_cluster_split_audit" -> ((s: SparkSession, d: String) =>
+      graft.ops.Mix.clusterSplitAudit(s, d)),
     // weighted corpus mixing: deterministic per-source epoch
     // upsampling/downsampling + its per-source audit
     "q_corpus_mix" -> ((s: SparkSession, d: String) =>
@@ -454,6 +463,7 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
     "q_dedup_incremental" -> Dedup.dedupIncrementalSql,
+    "q_dedup_incremental_bloom" -> Dedup.dedupIncrementalSql,
     "q_redact_docs" -> graft.ops.Redact.redactDocsSql,
     "q_near_dup_components" -> graft.ops.Components.nearDupComponentsSql,
     "q_dedup_survivors" -> graft.ops.Components.dedupNearSurvivorsSql,
@@ -496,6 +506,8 @@ object SparkEntry {
     "q_sample_stratified" -> graft.ops.Mix.stratifiedSampleSql,
     "q_train_test_split" -> graft.ops.Mix.trainTestSplitSql,
     "q_split_leakage" -> graft.ops.Mix.crossSplitLeakageSql,
+    "q_cluster_split" -> graft.ops.Mix.clusterSplitSql,
+    "q_cluster_split_audit" -> graft.ops.Mix.clusterSplitAuditSql,
     "q_corpus_mix" -> graft.ops.Mix.corpusMixSql,
     "q_corpus_mix_summary" -> graft.ops.Mix.corpusMixSummarySql,
     "q_token_budget_mix" -> graft.ops.Mix.tokenBudgetMixSql,

@@ -287,9 +287,11 @@ object Components {
     else build
   }
 
-  val nearDupComponentsSql: String =
-    """WITH RECURSIVE
-      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The component closure as a reusable CTE chain ending in
+    * `comp(doc_id, component)` — the cluster-grain split family
+    * composes further CTEs on top of it. */
+  val nearDupComponentsCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
       |       FROM t, UNNEST(range(1, len(toks)-1)) AS u(i)
       |       WHERE len(toks) >= 3),
@@ -306,9 +308,13 @@ object Components {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
-      |)
-      |SELECT src AS doc_id, MIN(dst) AS component
-      |FROM reach GROUP BY src""".stripMargin
+      |),
+      |comp AS (SELECT src AS doc_id, MIN(dst) AS component
+      |         FROM reach GROUP BY src)""".stripMargin
+
+  val nearDupComponentsSql: String =
+    s"WITH RECURSIVE $nearDupComponentsCte\n" +
+      "SELECT doc_id, component FROM comp"
 
   /** The scale path: same clustering over the MinHash+LSH candidate
     * pairs (rows-only — xxhash64 seeds aren't portable to the oracle;

@@ -95,6 +95,64 @@ object Dedup {
       |SELECT doc_id, lang, source, n_chars FROM fresh
       |WHERE doc_id IN (SELECT MIN(doc_id) FROM fresh GROUP BY fp)""".stripMargin
 
+  /** [[dedupAgainstHistory]] with a BLOOM FILTER screen in front of
+    * the anti-join — the steady-state ingest shape when history is
+    * enormous and the batch is small. The anti-join's cost is a
+    * shuffle of the BATCH against the HISTORY fingerprint store; even
+    * fp-bucketed, every batch row touches the store. A Bloom filter
+    * over the history fps (built once per ingest epoch, reused across
+    * batches; ~1.2 GB at 10⁹ fps / 1% fpp) splits the batch at scan
+    * speed: definite-new rows (no false negatives — the overwhelming
+    * majority of a healthy crawl) SKIP the store entirely; only
+    * bloom-positive rows (true dups + fpp of the new) are confirmed
+    * by the exact anti-join, so the join input shrinks from |batch|
+    * to |dups| + fpp·|new|. The output is EXACTLY
+    * [[dedupAgainstHistory]]'s — the bloom is pure pruning, and the
+    * shared DuckDB oracle (a from-scratch NOT IN) makes the hash
+    * match a differential proof of that.
+    *
+    * Plan shape: the membership probe is Catalyst's codegen'd
+    * `BloomFilterMightContain` over `xxhash64(fp)` (the same
+    * expression pair Spark's runtime row-level filtering injects), so
+    * the screen rides whole-stage codegen — no UDF, no shuffle. The
+    * serialized filter is embedded as a plan literal: fine to the
+    * ~100 MB / 10⁸-fp range; past that, shard the epoch's filter by
+    * fp prefix and screen each batch partition against its shard. */
+  def dedupAgainstHistoryBloom(newDocs: DataFrame, historyFps: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = historyFps
+      .select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      Bridge.expression(xxhash64(col("fp")))))
+    val tagged = newDocs
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .withColumn("__maybe", might)
+    val confirmed = tagged.where(col("__maybe"))
+      .join(historyFps.select("fp"), Seq("fp"), "left_anti")
+    val fresh = tagged.where(!col("__maybe")).unionByName(confirmed)
+    val survivors = fresh.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    fresh.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Registered bloom-screened twin of [[dedupIncremental]]: same
+    * batch/history split, same oracle SQL — hash-equality with the
+    * from-scratch oracle proves the bloom screen is result-invariant. */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val history = docs.where(!col("source").isin("src0", "src1"))
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+    dedupAgainstHistoryBloom(docs.where(col("source").isin("src0", "src1")),
+      history, expectedItems = docs.count())
+  }
+
   /** Distinct word n-gram shingles per document, as (doc_id, shingle)
     * pairs. Documents shorter than n tokens produce none. */
   def shingles(docs: DataFrame, n: Int): DataFrame =

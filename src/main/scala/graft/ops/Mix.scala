@@ -469,4 +469,94 @@ object Mix {
        |        JOIN s sb ON np.doc_b = sb.doc_id
        |WHERE sa.split <> sb.split""".stripMargin
   }
+
+  // ----- Cluster-grain split (leakage-free by construction) -----
+
+  /** 0-99 bucket of a COMPONENT id — the [[contentBucket]] trick over
+    * the id's decimal string (`CAST(component AS VARCHAR)` on both
+    * engines), so the split decision is reproducible and engine-
+    * portable without touching text. */
+  private def componentBucket(component: Column): Column =
+    conv(substring(md5(component.cast("string")), 25, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Cluster-grain train/test split: the WHOLE near-dup component
+    * lands on one side, so cross-split near-dup leakage is zero BY
+    * CONSTRUCTION — any pair with Jaccard ≥ tau is an edge of the
+    * component graph, hence same component, hence same split.
+    * [[trainTestSplit]]'s per-doc content bucket closes only the
+    * exact-dup hole (identical text → identical bucket); near-dups
+    * hash independently and straddle the boundary — that measured
+    * residue is exactly what [[crossSplitLeakage]] reports. Splitting
+    * at the component grain closes it.
+    *
+    * Scale shape: the component labels are the session-memoized
+    * two-long frame ([[Components.nearDupComponents]] memo contract —
+    * ~16 GB at 10⁹ docs, the sanctioned corpus-sized memo); the split
+    * itself is one codegen projection over that frame (md5 of a
+    * decimal string, no shuffle, no text). Fractions drift from
+    * trainPct by cluster-size skew — the audit reports the achieved
+    * sizes; the leakage column is the invariant. */
+  def clusterSplit(spark: SparkSession, dir: String,
+      trainPct: Int = 90): DataFrame =
+    Components.nearDupComponents(spark, dir, memo = true)
+      .select(col("doc_id"),
+        when(componentBucket(col("component")) < trainPct, lit("train"))
+          .otherwise(lit("test")).as("split"))
+
+  private val componentBucketSqlExpr: String =
+    "CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 25, 8)) " +
+      "AS BIGINT) % 100"
+
+  val clusterSplitSql: String =
+    s"""WITH RECURSIVE ${Components.nearDupComponentsCte}
+       |SELECT doc_id,
+       |       CASE WHEN $componentBucketSqlExpr < 90
+       |            THEN 'train' ELSE 'test' END AS split
+       |FROM comp""".stripMargin
+
+  /** Audit of [[clusterSplit]]: per-split doc and component counts
+    * plus the cross-split near-dup pair count — provably ZERO (the
+    * oracle recomputes it from scratch, so the hash match is the
+    * leakage-free proof, where [[crossSplitLeakage]] documents the
+    * per-doc split's nonzero residue on the same corpus and the same
+    * pair set). The pair source here is the exact n-gram Jaccard
+    * table (oracle-able); at scale the same audit runs over
+    * [[Dedup.minhashLshPairsFor]] unchanged — candidate pairs join
+    * two slim (doc_id, split) label lookups, never text. */
+  def clusterSplitAudit(spark: SparkSession, dir: String,
+      trainPct: Int = 90): DataFrame = {
+    val s = Components.nearDupComponents(spark, dir, memo = true)
+      .select(col("doc_id"), col("component"),
+        when(componentBucket(col("component")) < trainPct, lit("train"))
+          .otherwise(lit("test")).as("split"))
+    val leaks = Dedup.ngramJaccardPairs(spark, dir)
+      .select("doc_a", "doc_b")
+      .join(s.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+      .agg(count(lit(1)).as("leak_pairs"))
+    s.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("component").as("n_components"))
+      .crossJoin(leaks)
+  }
+
+  val clusterSplitAuditSql: String =
+    s"""WITH RECURSIVE ${Components.nearDupComponentsCte},
+       |s AS (SELECT doc_id, component,
+       |             CASE WHEN $componentBucketSqlExpr < 90
+       |                  THEN 'train' ELSE 'test' END AS split
+       |      FROM comp),
+       |leak AS (SELECT COUNT(*) AS leak_pairs
+       |         FROM p JOIN s sa ON p.doc_a = sa.doc_id
+       |                JOIN s sb ON p.doc_b = sb.doc_id
+       |         WHERE sa.split <> sb.split)
+       |SELECT s.split, COUNT(*) AS n_docs,
+       |       COUNT(DISTINCT s.component) AS n_components,
+       |       leak.leak_pairs
+       |FROM s CROSS JOIN leak
+       |GROUP BY s.split, leak.leak_pairs""".stripMargin
 }

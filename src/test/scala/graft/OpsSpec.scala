@@ -358,6 +358,45 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(train / n > 0.8 && train / n < 0.97, s"train frac ${train / n}")
   }
 
+  test("clusterSplit: component-consistent, zero near-dup leakage, " +
+    "partitioning-invariant") {
+    val split = graft.ops.Mix.clusterSplit(spark, sf).cache()
+    // every member of a component is on the same side
+    val comp = graft.ops.Components.nearDupComponents(spark, sf)
+    val sidesPerComp = comp.join(split, "doc_id")
+      .groupBy("component").agg(count_distinct(col("split")).as("n_sides"))
+    assert(sidesPerComp.where(col("n_sides") > 1).count() === 0,
+      "component split across train/test")
+    // zero leakage over the SAME pair set that defines the components
+    val audit = graft.ops.Mix.clusterSplitAudit(spark, sf).collect()
+    assert(audit.forall(_.getAs[Long]("leak_pairs") === 0L))
+    // every doc assigned exactly once, deterministically
+    assert(split.count() ===
+      graft.core.Tables.documents(spark, sf).count())
+    val repartitioned = graft.ops.Mix.clusterSplit(spark, sf).repartition(7)
+    assert(split.exceptAll(repartitioned).count() === 0)
+    split.unpersist()
+  }
+
+  test("dedupIncrementalBloom: bloom screen is result-invariant vs " +
+    "the plain anti-join, including at a forced-collision fpp") {
+    val plain = Dedup.dedupIncremental(spark, sf)
+    val bloomed = Dedup.dedupIncrementalBloom(spark, sf)
+    assert(plain.exceptAll(bloomed).count() === 0)
+    assert(bloomed.exceptAll(plain).count() === 0)
+    // tiny filter → most fresh rows bloom-positive → the exact
+    // confirm path does the work; output still identical
+    val docs = graft.core.Tables.documents(spark, sf)
+    val history = docs.where(!col("source").isin("src0", "src1"))
+      .select(graft.ops.TextStats.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val noisy = Dedup.dedupAgainstHistoryBloom(
+      docs.where(col("source").isin("src0", "src1")), history,
+      expectedItems = 2, fpp = 0.5)
+    assert(plain.exceptAll(noisy).count() === 0)
+    assert(noisy.exceptAll(plain).count() === 0)
+  }
+
   test("corpusMix: repeat counts honor integer+fractional weights, " +
     "dropped sources vanish, epochs are dense from 0") {
     val mix = graft.ops.Mix.corpusMix(spark, sf).cache()
