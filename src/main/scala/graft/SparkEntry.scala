@@ -28,6 +28,10 @@ object SparkEntry {
     "q_events_daily_agg_hll" -> (Relational.eventsDailyAggApprox _),
     "q_monthly_sketch_rollup" -> (graft.ops.Sketches.monthlyUserEstimates _),
     "q_monthly_quantile_rollup" -> (graft.ops.Sketches.monthlyValueQuantiles _),
+    // Count-Min: table-shaped portable sketch — unlike the binary
+    // DataSketches buffers above, these two are HASH-EXACT oracled
+    "q_cms_sketch" -> (graft.ops.Sketches.mergedCmsSketch _),
+    "q_cms_heavy_hitters" -> (graft.ops.Sketches.cmsHeavyHitters _),
     "q_distinct_types" -> (Relational.distinctEventTypes _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),
@@ -435,6 +439,8 @@ object SparkEntry {
     "q_set_ops" -> Windows.setOpsCustomersSql,
     "q_filter_isin" -> Relational.filterIsinSql,
     "q_filter_eq_project" -> Relational.filterEqProjectSql,
+    "q_cms_sketch" -> graft.ops.Sketches.cmsSketchSql,
+    "q_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersSql,
     "q_with_literal" -> Relational.withLiteralColumnSql,
     "q_semijoin_active_users" -> Relational.semiJoinActiveUsersSql,
     "q_revenue_by_region" -> Relational.revenueByRegionSql,

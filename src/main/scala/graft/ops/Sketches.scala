@@ -69,4 +69,111 @@ object Sketches {
 
   def monthlyValueQuantiles(spark: SparkSession, dir: String): DataFrame =
     monthlyQuantilesFromDaily(dailyValueSketches(spark, dir))
+
+  // ----- Count-Min sketch (frequency / heavy hitters) -----
+  //
+  // The frequency analog of the HLL/KLL pattern above, with one extra
+  // property the library exploits: a CMS is TABLE-SHAPED data —
+  // (cms_row, bucket, cnt) with cnt a plain SUM — so it is mergeable
+  // by GROUP BY, persistable as parquet, AND recomputable from
+  // scratch by DuckDB. Every hash is the portable md5 trick
+  // (seeded "j:item" strings, low-32-hex-digit bucket), so unlike the
+  // DataSketches binary buffers the registered queries here are
+  // HASH-EXACT oracled, not band-tested: the oracle recomputes the
+  // whole sketch and the estimates must match bit-for-bit.
+  //
+  // Scale shape: the build is one events scan — the d=4 per-row
+  // buckets are codegen'd md5 columns exploded BELOW the scan, and
+  // map-side partial aggregation collapses the shuffle to ≤ d·w rows
+  // per partition (the sketch is 4×256 = 1k rows total, CONSTANT in
+  // data volume). Estimates join a k-row candidate frame against the
+  // 1k-row sketch — broadcast, no corpus-sized stage anywhere past
+  // the scan. At 100 TB the ingest grain persists per-partition
+  // sketches and any rollup (monthly, global, cross-source) is a sum.
+
+  private val cmsDepth = 4
+  private val cmsWidth = 256
+
+  /** Bucket of `item` in CMS row `j`: low 32 hex digits of
+    * md5("j:item") mod width — engine-portable, like
+    * [[Dedup.portableMinhashSigs]]'s pHash. */
+  private def cmsBucket(j: Int, item: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(s"$j:"), item.cast("string"))), 25, 8),
+      16, 10).cast("long") % cmsWidth
+
+  /** Per-month CMS of per-user event counts — the ingest-grain frame
+    * a pipeline persists; coarser sketches are GROUP BY sums of it. */
+  def monthlyCmsSketches(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("month", to_date(col("ts"))).cast("date")
+        .as("month"), col("user_id"))
+    ev.select(col("month"), explode(array((0 until cmsDepth).map(j =>
+        struct(lit(j).as("cms_row"),
+          cmsBucket(j, col("user_id")).as("bucket"))): _*)).as("rb"))
+      .select(col("month"), col("rb.cms_row").as("cms_row"),
+        col("rb.bucket").as("bucket"))
+      .groupBy("month", "cms_row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Global sketch by MERGING the monthly grain — pure arithmetic
+    * (bucket counts sum), never re-touching events. */
+  def mergedCmsSketch(spark: SparkSession, dir: String): DataFrame =
+    monthlyCmsSketches(spark, dir)
+      .groupBy("cms_row", "bucket")
+      .agg(sum("cnt").as("cnt"))
+
+  val cmsSketchSql: String =
+    """WITH rb AS (
+      |  SELECT t.j AS cms_row,
+      |         CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+      |              CAST(user_id AS VARCHAR)), 25, 8)) AS BIGINT) % 256
+      |           AS bucket
+      |  FROM events, UNNEST(range(0, 4)) AS t(j))
+      |SELECT cms_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM rb GROUP BY 1, 2""".stripMargin
+
+  /** Heavy hitters with CMS estimates: the exact top-10 users (total
+    * order: count desc, user_id — engine-deterministic) attached to
+    * their merged-sketch estimate `min_j cnt[j][h_j(u)]`. The CMS
+    * guarantee `cms_est ≥ exact_cnt` is visible in the output rows;
+    * the hash-exact oracle (DuckDB rebuilds the sketch from scratch)
+    * proves the monthly-merge path is estimate-invariant. At corpus
+    * scale the candidate set comes from per-partition heavy hitters
+    * instead of a full exact group-by; the estimate join is unchanged
+    * (k·d rows against the 1k-row broadcast sketch). */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val cand = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id").asc)
+      .limit(10)
+    val candBuckets = cand.select(col("user_id"), col("exact_cnt"),
+        explode(array((0 until cmsDepth).map(j =>
+          struct(lit(j).as("cms_row"),
+            cmsBucket(j, col("user_id")).as("bucket"))): _*)).as("rb"))
+      .select(col("user_id"), col("exact_cnt"),
+        col("rb.cms_row").as("cms_row"), col("rb.bucket").as("bucket"))
+    candBuckets
+      .join(broadcast(mergedCmsSketch(spark, dir)),
+        Seq("cms_row", "bucket"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min("cnt").as("cms_est"))
+  }
+
+  val cmsHeavyHittersSql: String =
+    s"""WITH sk AS ($cmsSketchSql),
+       |cand AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+       |  FROM events GROUP BY 1
+       |  ORDER BY exact_cnt DESC, user_id LIMIT 10),
+       |cb AS (
+       |  SELECT c.user_id, c.exact_cnt, t.j AS cms_row,
+       |         CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+       |              CAST(c.user_id AS VARCHAR)), 25, 8)) AS BIGINT) % 256
+       |           AS bucket
+       |  FROM cand c, UNNEST(range(0, 4)) AS t(j))
+       |SELECT cb.user_id, cb.exact_cnt, MIN(sk.cnt) AS cms_est
+       |FROM cb JOIN sk ON sk.cms_row = cb.cms_row AND sk.bucket = cb.bucket
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -358,6 +358,25 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(train / n > 0.8 && train / n < 0.97, s"train frac ${train / n}")
   }
 
+  test("CMS: estimate dominates exact count, sketch is constant-size " +
+    "and merge-invariant") {
+    val hh = graft.ops.Sketches.cmsHeavyHitters(spark, sf).collect()
+    assert(hh.nonEmpty)
+    hh.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"),
+        s"CMS underestimated ${r.getAs[Long]("user_id")}")
+    }
+    // sketch bounded by depth x width regardless of data volume
+    val sk = graft.ops.Sketches.mergedCmsSketch(spark, sf)
+    assert(sk.count() <= 4L * 256)
+    // merging the monthly grain == building globally (bucket sums)
+    val direct = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"))
+    val total = graft.ops.Sketches.mergedCmsSketch(spark, sf)
+      .agg(sum("cnt")).as[Long].head()
+    assert(total === direct.count() * 4, "merge lost or duplicated mass")
+  }
+
   test("clusterSplit: component-consistent, zero near-dup leakage, " +
     "partitioning-invariant") {
     val split = graft.ops.Mix.clusterSplit(spark, sf).cache()
