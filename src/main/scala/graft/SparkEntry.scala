@@ -32,6 +32,10 @@ object SparkEntry {
     // DataSketches buffers above, these two are HASH-EXACT oracled
     "q_cms_sketch" -> (graft.ops.Sketches.mergedCmsSketch _),
     "q_cms_heavy_hitters" -> (graft.ops.Sketches.cmsHeavyHitters _),
+    // pipeline observability: day-grain volume z-scores (all-integer
+    // trailing sums; fixed float expression shape → hash-exact)
+    "q_volume_anomaly" -> ((s: SparkSession, d: String) =>
+      graft.ops.Monitor.volumeAnomaly(s, d)),
     "q_distinct_types" -> (Relational.distinctEventTypes _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),
@@ -441,6 +445,7 @@ object SparkEntry {
     "q_filter_eq_project" -> Relational.filterEqProjectSql,
     "q_cms_sketch" -> graft.ops.Sketches.cmsSketchSql,
     "q_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersSql,
+    "q_volume_anomaly" -> graft.ops.Monitor.volumeAnomalySql,
     "q_with_literal" -> Relational.withLiteralColumnSql,
     "q_semijoin_active_users" -> Relational.semiJoinActiveUsersSql,
     "q_revenue_by_region" -> Relational.revenueByRegionSql,

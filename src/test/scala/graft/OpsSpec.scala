@@ -358,6 +358,41 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(train / n > 0.8 && train / n < 0.97, s"train frac ${train / n}")
   }
 
+  test("volumeAnomaly: z matches a brute-force trailing window and " +
+    "never uses the current day") {
+    val got = graft.ops.Monitor.volumeAnomaly(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getLong(6)))).toMap
+    // brute force from raw events
+    val daily = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, day, n), i) =>
+        val trail = sorted.slice(math.max(0, i - 7), i).map(_._3)
+        val (gN, gZ, gFlag) = got((et, day))
+        assert(gN === n)
+        if (trail.length >= 3) {
+          val mean = trail.sum.toDouble / trail.length
+          val variance =
+            trail.map(x => x.toDouble * x).sum / trail.length - mean * mean
+          if (variance > 0) {
+            val z = (n - mean) / math.sqrt(variance)
+            assert(gZ.isDefined && math.abs(gZ.get - z) < 1e-9,
+              s"z mismatch $et $day: got $gZ want $z")
+            assert(gFlag === (if (math.abs(z) > 3.0) 1L else 0L))
+          } else assert(gZ.isEmpty && gFlag === 0L)
+        } else {
+          assert(gZ.isEmpty, s"z emitted with ${trail.length} trailing days")
+          assert(gFlag === 0L)
+        }
+      }
+    }
+  }
+
   test("CMS: estimate dominates exact count, sketch is constant-size " +
     "and merge-invariant") {
     val hh = graft.ops.Sketches.cmsHeavyHitters(spark, sf).collect()
