@@ -389,6 +389,12 @@ object SparkEntry {
       Similarity.semanticDedupCentroid(s, d)),
     "q_semantic_dedup_centroid_gate" -> ((s: SparkSession, d: String) =>
       Similarity.semanticDedupCentroidGate(s, d)),
+    // topic-balanced sampling over embedding cells (rows-only:
+    // float centroids; the gate row is the hash-exact check)
+    "q_cluster_mix" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterBalancedSample(s, d)),
+    "q_cluster_mix_gate" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterBalancedSampleGate(s, d)),
     // screen-first hybrid: centroid screen collapses the duplicate
     // regime, tau-level pairwise clustering decides the survivors
     // (rows-only: float-seeded; invariance vs the unscreened path is
@@ -546,6 +552,7 @@ object SparkEntry {
     "q_ann_ivf_recall" -> Similarity.ivfRecallSql,
     "q_semantic_dedup_centroid_gate" ->
       Similarity.semanticDedupCentroidGateSql,
+    "q_cluster_mix_gate" -> Similarity.clusterBalancedSampleGateSql,
     "q_training_shards_semantic_gate" ->
       graft.ops.Corpus.trainingShardsSemanticGateSql,
     "q_ann_pq_recall" -> graft.ops.Quantize.pqRecallSql,

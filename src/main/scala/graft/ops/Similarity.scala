@@ -923,6 +923,109 @@ object Similarity {
       |       1 AS near_copies_ge_90
       |FROM embeddings LIMIT 1""".stripMargin
 
+  // ----- Cluster-balanced sampling (the topic axis of mixing) -----
+
+  /** Per-cell sizes and keep-quotas for [[clusterBalancedSample]]:
+    * quota_c ∝ size_c^alpha (alpha < 1 flattens — mega-topics
+    * downweighted, tail topics kept whole), scaled to a global budget
+    * of budgetPct% of the corpus, floored at 1 so no topic vanishes.
+    * k rows — driver math on a collected frame, like the centroid
+    * cache itself. */
+  private def clusterQuotaFrame(spark: SparkSession, dir: String,
+      k: Int, alpha: Double, budgetPct: Int): DataFrame = {
+    val cents = cachedIvfCentroids(spark, dir, k, normalized(spark, dir))
+    import spark.implicits._
+    val centDf = cents.toSeq.toDF("cid", "cvec")
+    val sizes = assignCells(normalized(spark, dir), centDf)
+      .groupBy("cell").agg(count(lit(1)).as("sz"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = sizes.map(_._2).sum
+    val budget = total * budgetPct / 100
+    val wts = sizes.map { case (c, sz) => (c, math.pow(sz.toDouble, alpha)) }
+    val wsum = wts.map(_._2).sum
+    val quotas = wts.map { case (c, w) =>
+      (c, math.max(1L, math.floor(budget * w / wsum).toLong)) }.toMap
+    sizes.toSeq.map { case (c, sz) => (c, sz, quotas(c)) }
+      .toDF("cell", "sz", "quota")
+  }
+
+  /** Cluster-balanced corpus sample over the EMBEDDING space — the
+    * topic axis of corpus mixing, complementing [[Mix]]'s source axis
+    * (DataComp-style cluster balancing): k-means cells stand in for
+    * topics; each cell keeps min(quota, size) vectors, selected by
+    * deterministic hash rank (md5 of the vec_id string — no `rand()`,
+    * partitioning-invariant, reproducible across runs because the
+    * centroids are the seeded [[ivfCentroidsDf]] build).
+    *
+    * Output: every vector, labeled (cell, selected ∈ {0,1}) — the
+    * audit-friendly form; filtering `selected = 1` is the sample.
+    *
+    * Scale shape: assignment is the shuffle-free BestCell map pass;
+    * sizes/quotas are a k-row driver frame; the only shuffle is the
+    * per-cell rank window (partitioned by cell — parallel across
+    * cells). For mega-cells where a full per-cell sort is unwanted,
+    * the hash-rank selection degrades gracefully to a hash-threshold
+    * screen (keep if bucket < quota/size) at the cost of ±binomial
+    * noise on the quota — the exact-rank form is kept here because
+    * the gate asserts exact per-cell counts. Rows-only registered
+    * query (float centroids aren't oracle-portable);
+    * [[clusterBalancedSampleGate]] is the hash-exact driver gate. */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      k: Int = 16, alpha: Double = 0.5, budgetPct: Int = 25): DataFrame = {
+    val cents = cachedIvfCentroids(spark, dir, k, normalized(spark, dir))
+    import spark.implicits._
+    val centDf = cents.toSeq.toDF("cid", "cvec")
+    val assign = assignCells(normalized(spark, dir), centDf)
+    val quotas = clusterQuotaFrame(spark, dir, k, alpha, budgetPct)
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assign.withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas.select("cell", "quota")), "cell")
+      .select(col("vec_id"), col("cell"),
+        when(col("rk") <= col("quota"), lit(1L)).otherwise(lit(0L))
+          .as("selected"))
+  }
+
+  /** Driver gate for [[clusterBalancedSample]] (hash-exact against
+    * constant-1s): (1) every vector labeled exactly once; (2) each
+    * cell's selected count is EXACTLY min(quota, size); (3) the
+    * largest topic's share of the sample does not exceed its raw
+    * share (concave reweighting flattens, never sharpens — one
+    * integer-slack unit allowed for quota flooring). */
+  def clusterBalancedSampleGate(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val k = 16
+    val s = clusterBalancedSample(spark, dir, k).cache()
+    val n = Tables.embeddings(spark, dir).count()
+    val once = s.count() == n &&
+      s.select("vec_id").distinct().count() == n
+    val quotas = clusterQuotaFrame(spark, dir, k, 0.5, 25)
+    val perCell = s.groupBy("cell")
+      .agg(sum("selected").as("sel"), count(lit(1)).as("got_sz"))
+      .join(quotas, "cell")
+      .select(col("cell"), col("sel"), col("got_sz"), col("sz"),
+        col("quota")).collect()
+    val quotaExact = perCell.nonEmpty && perCell.forall { r =>
+      r.getAs[Long]("got_sz") == r.getAs[Long]("sz") &&
+        r.getAs[Long]("sel") ==
+          math.min(r.getAs[Long]("quota"), r.getAs[Long]("sz"))
+    }
+    val totalSel = perCell.map(_.getAs[Long]("sel")).sum
+    val maxRaw = perCell.maxBy(_.getAs[Long]("sz"))
+    val flattened = maxRaw.getAs[Long]("sel") * n <=
+      maxRaw.getAs[Long]("sz") * totalSel + n
+    s.unpersist()
+    import spark.implicits._
+    Seq((if (once) 1 else 0, if (quotaExact) 1 else 0,
+      if (flattened) 1 else 0))
+      .toDF("labeled_once", "quota_exact", "max_topic_flattened")
+  }
+
+  val clusterBalancedSampleGateSql: String =
+    """SELECT 1 AS labeled_once, 1 AS quota_exact,
+      |       1 AS max_topic_flattened
+      |FROM embeddings LIMIT 1""".stripMargin
+
   /** Deterministic pseudo-random unit hyperplanes (seeded, so plans are
     * reproducible across runs and engines). */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -358,6 +358,16 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(train / n > 0.8 && train / n < 0.97, s"train frac ${train / n}")
   }
 
+  test("clusterBalancedSample: partitioning-invariant and gate-green") {
+    val a = Similarity.clusterBalancedSample(spark, sf)
+    val b = Similarity.clusterBalancedSample(spark, sf).repartition(5)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    val gate = Similarity.clusterBalancedSampleGate(spark, sf).collect().head
+    assert(gate.getInt(0) === 1, "not every vector labeled exactly once")
+    assert(gate.getInt(1) === 1, "per-cell selected != min(quota, size)")
+    assert(gate.getInt(2) === 1, "max topic share not flattened")
+  }
+
   test("volumeAnomaly: z matches a brute-force trailing window and " +
     "never uses the current day") {
     val got = graft.ops.Monitor.volumeAnomaly(spark, sf).collect()
