@@ -38,10 +38,18 @@ object Monitor {
     * global window never appears and the whole query past the scan
     * is calendar-sized at any data scale. */
   def volumeAnomaly(spark: SparkSession, dir: String,
-      zThreshold: Double = 3.0): DataFrame = {
-    val daily = Tables.events(spark, dir)
+      zThreshold: Double = 3.0): DataFrame =
+    volumeAnomalyFor(Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), zThreshold)
+
+  /** [[volumeAnomaly]] over any (event_type, day, n) day-grain frame —
+    * the form the streaming monitor derives its screen from (the
+    * day-grain table is additive, so a stream maintains it
+    * incrementally and re-derives the calendar-sized screen per
+    * batch). */
+  def volumeAnomalyFor(daily: DataFrame,
+      zThreshold: Double = 3.0): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-7, -1)
     val stats = daily.select(col("event_type"), col("day"), col("n"),

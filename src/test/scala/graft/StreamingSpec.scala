@@ -648,4 +648,61 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       s"$orphanComponents tau-components lost every member to the screen")
     em.unpersist()
   }
+
+  test("streaming volume monitor: incremental day-grain counts ≡ the " +
+    "batch screen over the union; re-delivery and re-runs are no-ops") {
+    import graft.streaming.MonitorStream
+    val base = Files.createTempDirectory("graft-monitor").toString
+    val (src, work) = (s"$base/src", s"$base/work")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // three overlapping-day batches (split by event_id, so most days
+    // span batches — the additive merge is actually exercised)
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .cache()
+    val n = ev.count()
+    val cuts = Seq(n / 3, 2 * n / 3)
+    val parts = Seq(
+      ev.where(col("event_id") <= cuts.head),
+      ev.where(col("event_id") > cuts.head &&
+        col("event_id") <= cuts(1)),
+      ev.where(col("event_id") > cuts(1)))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$src/b$i")
+      val dir = new java.io.File(s"$src/b$i")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/b$i.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+
+    MonitorStream.runMonitor(spark, src,
+      graft.core.Schemas.eventsOnDiskMicros, work)
+
+    val streamed = MonitorStream.currentAnomalies(spark, work)
+    val batch = graft.ops.Monitor.volumeAnomaly(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "streamed screen differs from the batch screen over the union")
+
+    // day-grain additivity really happened: >1 batch contributed to
+    // at least one day
+    val multi = spark.read.parquet(s"$work/daily")
+      .groupBy("event_type", "day")
+      .agg(countDistinct("batch").as("nb"))
+      .where(col("nb") > 1).count()
+    assert(multi > 0, "no day spanned batches — fixture degenerated")
+
+    // re-delivery of an applied batch id no-ops (marker short-circuit)
+    val before = MonitorStream.currentDaily(spark, work).collect().toSet
+    MonitorStream.applyMonitorBatch(spark, work, parts.head, 0L)
+    assert(MonitorStream.currentDaily(spark, work).collect().toSet
+      === before)
+    // a full re-run resumes from the checkpoint and applies nothing
+    MonitorStream.runMonitor(spark, src,
+      graft.core.Schemas.eventsOnDiskMicros, work)
+    assert(MonitorStream.currentDaily(spark, work).collect().toSet
+      === before)
+    ev.unpersist()
+  }
 }
