@@ -931,14 +931,8 @@ object Similarity {
     * of budgetPct% of the corpus, floored at 1 so no topic vanishes.
     * k rows — driver math on a collected frame, like the centroid
     * cache itself. */
-  private def clusterQuotaFrame(spark: SparkSession, dir: String,
-      k: Int, alpha: Double, budgetPct: Int): DataFrame = {
-    val cents = cachedIvfCentroids(spark, dir, k, normalized(spark, dir))
-    import spark.implicits._
-    val centDf = cents.toSeq.toDF("cid", "cvec")
-    val sizes = assignCells(normalized(spark, dir), centDf)
-      .groupBy("cell").agg(count(lit(1)).as("sz"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+  private[ops] def clusterQuotas(sizes: Array[(Int, Long)],
+      alpha: Double, budgetPct: Int): Seq[(Int, Long, Long)] = {
     val total = sizes.map(_._2).sum
     val budget = total * budgetPct / 100
     val wts = sizes.map { case (c, sz) => (c, math.pow(sz.toDouble, alpha)) }
@@ -946,7 +940,19 @@ object Similarity {
     val quotas = wts.map { case (c, w) =>
       (c, math.max(1L, math.floor(budget * w / wsum).toLong)) }.toMap
     sizes.toSeq.map { case (c, sz) => (c, sz, quotas(c)) }
-      .toDF("cell", "sz", "quota")
+  }
+
+  /** Sizes + quotas from an ALREADY-COMPUTED assignment — the
+    * assignment pass is the only corpus-sized work in the sampler, so
+    * callers compute it once and derive both the quota frame and the
+    * ranked selection from the same frame. */
+  private def clusterQuotaFrame(assign: DataFrame,
+      alpha: Double, budgetPct: Int): DataFrame = {
+    val spark = assign.sparkSession
+    import spark.implicits._
+    val sizes = assign.groupBy("cell").agg(count(lit(1)).as("sz"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    clusterQuotas(sizes, alpha, budgetPct).toDF("cell", "sz", "quota")
   }
 
   /** Cluster-balanced corpus sample over the EMBEDDING space — the
@@ -975,8 +981,11 @@ object Similarity {
     val cents = cachedIvfCentroids(spark, dir, k, normalized(spark, dir))
     import spark.implicits._
     val centDf = cents.toSeq.toDF("cid", "cvec")
+    // ONE assignment pass (the only corpus-sized stage): the quota
+    // frame and the ranked selection both derive from it
     val assign = assignCells(normalized(spark, dir), centDf)
-    val quotas = clusterQuotaFrame(spark, dir, k, alpha, budgetPct)
+      .localCheckpoint()
+    val quotas = clusterQuotaFrame(assign, alpha, budgetPct)
     val w = Window.partitionBy("cell")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     assign.withColumn("rk", row_number().over(w))
@@ -999,21 +1008,21 @@ object Similarity {
     val n = Tables.embeddings(spark, dir).count()
     val once = s.count() == n &&
       s.select("vec_id").distinct().count() == n
-    val quotas = clusterQuotaFrame(spark, dir, k, 0.5, 25)
-    val perCell = s.groupBy("cell")
-      .agg(sum("selected").as("sel"), count(lit(1)).as("got_sz"))
-      .join(quotas, "cell")
-      .select(col("cell"), col("sel"), col("got_sz"), col("sz"),
-        col("quota")).collect()
-    val quotaExact = perCell.nonEmpty && perCell.forall { r =>
-      r.getAs[Long]("got_sz") == r.getAs[Long]("sz") &&
-        r.getAs[Long]("sel") ==
-          math.min(r.getAs[Long]("quota"), r.getAs[Long]("sz"))
+    // independent quota recompute from the sample's own cell sizes
+    // (faithful iff `once` holds, which is gated alongside)
+    val got = s.groupBy("cell")
+      .agg(sum("selected").as("sel"), count(lit(1)).as("sz"))
+      .collect().map(r => (r.getInt(0),
+        (r.getAs[Long]("sel"), r.getAs[Long]("sz")))).toMap
+    val quotas = clusterQuotas(
+      got.map { case (c, (_, sz)) => (c, sz) }.toArray.sortBy(_._1),
+      0.5, 25)
+    val quotaExact = quotas.nonEmpty && quotas.forall {
+      case (c, sz, quota) => got(c)._1 == math.min(quota, sz)
     }
-    val totalSel = perCell.map(_.getAs[Long]("sel")).sum
-    val maxRaw = perCell.maxBy(_.getAs[Long]("sz"))
-    val flattened = maxRaw.getAs[Long]("sel") * n <=
-      maxRaw.getAs[Long]("sz") * totalSel + n
+    val totalSel = got.values.map(_._1).sum
+    val (selMax, szMax) = got.values.maxBy(_._2)
+    val flattened = selMax * n <= szMax * totalSel + n
     s.unpersist()
     import spark.implicits._
     Seq((if (once) 1 else 0, if (quotaExact) 1 else 0,
