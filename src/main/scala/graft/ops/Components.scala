@@ -378,13 +378,9 @@ object Components {
       .select("doc_id", "lang", "source", "n_chars")
 
   val cleanCorpusSql: String =
-    nearDupComponentsSql.replace(
-      """SELECT src AS doc_id, MIN(dst) AS component
-        |FROM reach GROUP BY src""".stripMargin,
-      """, comp AS (SELECT src AS doc_id, MIN(dst) AS component
-        |           FROM reach GROUP BY src)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id IN (SELECT MIN(doc_id) FROM comp GROUP BY component)""".stripMargin)
+    s"""WITH RECURSIVE $nearDupComponentsCte
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id IN (SELECT MIN(doc_id) FROM comp GROUP BY component)""".stripMargin
 
   /** Survivors after near-dup clustering: one document (min doc_id) per
     * component — the rows a training pipeline would keep. */
@@ -397,13 +393,9 @@ object Components {
       .select("doc_id", "component", "n_members")
 
   val dedupNearSurvivorsSql: String =
-    nearDupComponentsSql.replace(
-      """SELECT src AS doc_id, MIN(dst) AS component
-        |FROM reach GROUP BY src""".stripMargin,
-      """, comp AS (SELECT src AS doc_id, MIN(dst) AS component
-        |           FROM reach GROUP BY src)
-        |SELECT MIN(doc_id) AS doc_id, component, COUNT(*) AS n_members
-        |FROM comp GROUP BY component""".stripMargin)
+    s"""WITH RECURSIVE $nearDupComponentsCte
+       |SELECT MIN(doc_id) AS doc_id, component, COUNT(*) AS n_members
+       |FROM comp GROUP BY component""".stripMargin
 
   /** Quality-aware survivor selection: per near-dup component, keep
     * the BEST document — highest stopword ratio (the fluency proxy of
@@ -440,22 +432,18 @@ object Components {
 
   val bestQualitySurvivorsSql: String = {
     val stop = TextStats.enStopwords.map(s => s"'$s'").mkString(", ")
-    nearDupComponentsSql.replace(
-      """SELECT src AS doc_id, MIN(dst) AS component
-        |FROM reach GROUP BY src""".stripMargin,
-      s""", comp AS (SELECT src AS doc_id, MIN(dst) AS component
-         |           FROM reach GROUP BY src),
-         |q AS (
-         |  SELECT doc_id,
-         |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
-         |           / len(string_split(text, ' ')) AS stopword_ratio
-         |  FROM documents)
-         |SELECT doc_id, component, n_members, stopword_ratio FROM (
-         |  SELECT comp.doc_id, comp.component, q.stopword_ratio,
-         |         ROW_NUMBER() OVER (PARTITION BY comp.component
-         |           ORDER BY q.stopword_ratio DESC, comp.doc_id) AS r,
-         |         COUNT(*) OVER (PARTITION BY comp.component) AS n_members
-         |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
-         |WHERE r = 1""".stripMargin)
+    s"""WITH RECURSIVE $nearDupComponentsCte,
+       |q AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents)
+       |SELECT doc_id, component, n_members, stopword_ratio FROM (
+       |  SELECT comp.doc_id, comp.component, q.stopword_ratio,
+       |         ROW_NUMBER() OVER (PARTITION BY comp.component
+       |           ORDER BY q.stopword_ratio DESC, comp.doc_id) AS r,
+       |         COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+       |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
+       |WHERE r = 1""".stripMargin
   }
 }

@@ -49,4 +49,36 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(rendered.exceptAll(oracled).count() === 0)
     assert(oracled.exceptAll(rendered).count() === 0)
   }
+
+  test("string-derived oracle SQLs actually derived (no silent no-op)") {
+    // Several oracle statements are composed from a base statement by
+    // string surgery (.replace / CTE splice). String.replace with a
+    // stale target is a silent no-op — round 12 shipped three oracles
+    // that had quietly degenerated to their base when the components
+    // SQL was refactored into a CTE (q_corpus_clean et al. regressed
+    // to SELECT doc_id, component). Pin each derived statement to
+    // (a) differ from its base and (b) contain the distinguishing
+    // output marker its query's schema needs.
+    import graft.ops.{Components, Pack, Mix, Dedup}
+    val cases: Seq[(String, String, String, String)] = Seq(
+      ("cleanCorpusSql", Components.cleanCorpusSql,
+        Components.nearDupComponentsSql, "lang, source, n_chars"),
+      ("dedupNearSurvivorsSql", Components.dedupNearSurvivorsSql,
+        Components.nearDupComponentsSql, "n_members"),
+      ("bestQualitySurvivorsSql", Components.bestQualitySurvivorsSql,
+        Components.nearDupComponentsSql, "stopword_ratio"),
+      ("lshDedupClustersPortableSql", Components.lshDedupClustersPortableSql,
+        Dedup.minhashLshPairsPortableSql, "component"),
+      ("packedPayloadsSql", Pack.packedPayloadsSql,
+        Pack.packDocsSql, "payload"),
+      ("shardManifestSql", Pack.shardManifestSql,
+        Pack.packDocsSql, "shard_tokens"),
+      ("crossSplitLeakageSql", Mix.crossSplitLeakageSql,
+        Dedup.ngramJaccardPairsSql, "split_a"))
+    cases.foreach { case (name, derived, base, marker) =>
+      assert(derived != base, s"$name degenerated to its base SQL")
+      assert(derived.contains(marker),
+        s"$name lost its output marker '$marker'")
+    }
+  }
 }
