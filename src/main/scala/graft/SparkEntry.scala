@@ -119,6 +119,16 @@ object SparkEntry {
     "q_dedup_incremental_bloom" -> (Dedup.dedupIncrementalBloom _),
     "q_redact_docs" -> (graft.ops.Redact.redactDocs _),
     // near-dup clustering: pair graph → connected components → survivors
+    // iterative link-graph rank: integer-mass power iteration, K=4 —
+    // hash-exact (integer addition commutes across partial-agg order)
+    "q_link_rank" -> ((s: SparkSession, d: String) =>
+      graft.ops.LinkRank.linkRank(s, d)),
+    "q_link_rank_top" -> ((s: SparkSession, d: String) =>
+      graft.ops.LinkRank.linkRankTop(s, d)),
+    // seeded trust propagation: mass originates ONLY at a vetted
+    // source, so spam in-degree without seed reachability stays at 0
+    "q_trust_rank" -> ((s: SparkSession, d: String) =>
+      graft.ops.LinkRank.trustRank(s, d)),
     // the components family shares one memoized (doc_id, component)
     // frame per session (immutable testdata dir — the memoSurvivors
     // rule): the label build runs once, each query keeps its own
@@ -482,6 +492,9 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.dedupIncrementalSql,
     "q_dedup_incremental_bloom" -> Dedup.dedupIncrementalSql,
     "q_redact_docs" -> graft.ops.Redact.redactDocsSql,
+    "q_link_rank" -> graft.ops.LinkRank.linkRankSql,
+    "q_link_rank_top" -> graft.ops.LinkRank.linkRankTopSql,
+    "q_trust_rank" -> graft.ops.LinkRank.trustRankSql,
     "q_near_dup_components" -> graft.ops.Components.nearDupComponentsSql,
     "q_dedup_survivors" -> graft.ops.Components.dedupNearSurvivorsSql,
     "q_dedup_best_survivors" ->

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph document ranking — the crawl-quality axis of corpus
+  * curation (PageRank, Page et al. 1999; link-centrality seed-list
+  * ranking as used for crawl prioritization and quality weighting in
+  * public web-corpus pipelines, e.g. harmonic-centrality host ranking
+  * over Common Crawl's webgraph releases).
+  *
+  * A pre-training pipeline ranks pages by endorsement: a page many
+  * reputable pages point at is kept/up-weighted, an orphan is
+  * down-weighted. This module implements the power-iteration rank in
+  * INTEGER MASS so the result is hash-exact across engines:
+  *
+  *   mass_0(v)   = 1_000_000
+  *   mass_t+1(v) = 150_000 + Σ_{(u,v)∈E} (mass_t(u) * 85) div (100 * od(u))
+  *
+  * i.e. damping 0.85 with per-edge integer floor division. Integer
+  * addition is associative-commutative, so partial-aggregation order
+  * (Spark's nondeterministic combine order) cannot perturb the
+  * result — the same discipline that makes [[Monitor.volumeAnomaly]]
+  * z-scores exact. Floating-point PageRank would differ in the last
+  * ulp between engines; integer mass makes the DuckDB oracle (K
+  * unrolled contribution CTEs) a bit-exact differential proof.
+  * Dangling mass (nodes whose candidates all fall outside the corpus)
+  * is absorbed, not redistributed — documented deviation from the
+  * stochastic-matrix form; rank ORDER is what curation consumes.
+  *
+  * The testdata has no hyperlink table, so edges are DERIVED from the
+  * documents table's own keys (the [[graft.engine.RangeJoin]]
+  * transit-interval discipline): each doc proposes 4 candidate
+  * targets — `doc_id % 16` (a deliberate hub tier: low ids accumulate
+  * in-degree ~n/16, the skew regime AQE's skew-join machinery exists
+  * for) and three affine probes `(doc_id*31 + 127j + 1) % 1024`,
+  * j=1..3 — kept when the target exists and differs from the source.
+  * Candidate pairs keep multiplicity (a doc whose two probes collide
+  * endorses twice); out-degree counts multiplicity, so mass is
+  * conserved per edge either way.
+  *
+  * Scale shape (the part that survives 100 TB):
+  *  - The edge table is built ONCE — one documents scan, a 4-way
+  *    `posexplode`-free array explode below it, one existence
+  *    semi-join — then persisted and re-used by all K iterations and
+  *    the out-degree count. On a real cluster this is the
+  *    bucketed-by-src webgraph table; here `.persist` stands in.
+  *  - Each iteration moves only the SLIM rank frame (doc_id, mass):
+  *    join on src (shuffle of n skinny rows), map-side-combined agg
+  *    on dst, left join back to the node list to reinstate
+  *    in-degree-0 nodes. Edges never re-shuffle after the build.
+  *  - K is a constant (4): total cost is K linear passes — no
+  *    convergence loop whose trip count depends on data values (a
+  *    fixed-K schedule is what production link-rank jobs run too;
+  *    convergence-to-epsilon is a float concept with no hash-exact
+  *    meaning).
+  *  - Mass is bounded by n·10⁶: BIGINT-safe beyond 10¹² docs.
+  */
+object LinkRank {
+
+  private val Damp = 85L    // ×85 div 100 ≡ 0.85 damping, exact
+  private val Base = 150000L
+  private val Mass0 = 1000000L
+
+  /** Derived edge table (src, dst, od) with multiplicity; od counts
+    * multiplicity. Persisted — callers unpersist via the returned
+    * frame when done (registered queries rely on the bench's
+    * clear-cache-per-run discipline). */
+  def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nodes = docs.select(col("doc_id"))
+    val cand = docs.select(col("doc_id").as("src"), explode(array(
+        col("doc_id") % 16,
+        (col("doc_id") * 31 + 128) % 1024,
+        (col("doc_id") * 31 + 255) % 1024,
+        (col("doc_id") * 31 + 382) % 1024)).as("dst"))
+      .where(col("dst") =!= col("src"))
+    val e = cand.join(nodes.select(col("doc_id").as("dst")), Seq("dst"),
+      "left_semi")
+    val od = e.groupBy("src").agg(count(lit(1)).as("od"))
+    e.join(od, "src")
+  }
+
+  /** Shared K-round recurrence: `nodes` carries per-node init mass
+    * (m0) and per-node teleport mass (base); each round moves only
+    * the slim (doc_id, mass) frame against the persisted edge table.
+    * One linear DAG — no action between rounds, nothing recomputes. */
+  private def powerIterate(nodes: DataFrame, e2: DataFrame,
+      k: Int): DataFrame = {
+    var ranks = nodes.select(col("doc_id"), col("m0").as("mass"))
+    for (_ <- 1 to k) {
+      val contrib = e2.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"),
+          expr(s"(mass * $Damp) div (100 * od)").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("base") + coalesce(col("c"), lit(0L))).as("mass"))
+    }
+    ranks
+  }
+
+  /** K rounds of damped integer-mass propagation over the derived
+    * graph → (doc_id, mass). Hash-exact oracle: [[linkRankSql]]. */
+  def linkRank(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val nodes = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lit(Mass0).as("m0"), lit(Base).as("base"))
+    val e2 = derivedEdges(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    powerIterate(nodes, e2, k)
+  }
+
+  /** Seeded trust propagation (TrustRank, Gyöngyi/Garcia-Molina/
+    * Pedersen VLDB 2004): the same damped integer-mass recurrence,
+    * but init AND teleport mass live ONLY on a trusted seed set —
+    * here the docs of one vetted source. Endorsement flows outward
+    * from the seeds; a page unreachable from every seed ends at mass
+    * 0 no matter how many spam pages point at it, which is exactly
+    * the property that makes trust rank the spam-resistant axis of
+    * crawl curation (in-degree alone is gameable; seeded reachability
+    * is not). Same scale shape as [[linkRank]]: the seed flag is one
+    * pushed equality filter in the node build, everything downstream
+    * is the shared [[powerIterate]] plan. Hash-exact oracle:
+    * [[trustRankSql]] (the unrolled CTEs with CASE seed masses). */
+  def trustRank(spark: SparkSession, dir: String,
+      seedSource: String = "src0", k: Int = 4): DataFrame = {
+    val seedMass = when(col("source") === seedSource, lit(Mass0))
+      .otherwise(lit(0L))
+    val seedBase = when(col("source") === seedSource, lit(Base))
+      .otherwise(lit(0L))
+    val nodes = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), seedMass.as("m0"), seedBase.as("base"))
+    val e2 = derivedEdges(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    powerIterate(nodes, e2, k)
+  }
+
+  /** Top hubs by final mass, total order (mass desc, doc_id) —
+    * TakeOrderedAndProject over the iterative result. */
+  def linkRankTop(spark: SparkSession, dir: String, n: Int = 20): DataFrame =
+    linkRank(spark, dir)
+      .orderBy(col("mass").desc, col("doc_id"))
+      .limit(n)
+
+  /** The K=4 unrolled recurrence as DuckDB CTEs, parameterized by the
+    * per-node init (`m0Expr`) and teleport (`baseExpr`) mass SQL —
+    * `n.*` columns (doc_id, source) are in scope for both. */
+  private def graphCtes(m0Expr: String, baseExpr: String): String = {
+    def step(i: Int): String = {
+      val prev = if (i == 1) "m0" else s"m${i - 1}"
+      s"""c$i AS (SELECT e.dst, SUM((m.mass*85)//(100*e.od)) AS c
+         |       FROM e2 e JOIN $prev m ON m.doc_id = e.src GROUP BY 1),
+         |m$i AS (SELECT n.doc_id, CAST($baseExpr + COALESCE(c.c, 0) AS BIGINT)
+         |         AS mass
+         |       FROM n LEFT JOIN c$i c ON c.dst = n.doc_id)""".stripMargin
+    }
+    s"""WITH n AS (SELECT doc_id, source FROM documents),
+       |cand AS (
+       |  SELECT doc_id AS src, doc_id % 16 AS dst FROM n
+       |  UNION ALL SELECT doc_id, (doc_id*31 + 128) % 1024 FROM n
+       |  UNION ALL SELECT doc_id, (doc_id*31 + 255) % 1024 FROM n
+       |  UNION ALL SELECT doc_id, (doc_id*31 + 382) % 1024 FROM n),
+       |e AS (SELECT c.src, c.dst FROM cand c JOIN n ON n.doc_id = c.dst
+       |      WHERE c.dst <> c.src),
+       |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+       |e2 AS (SELECT e.src, e.dst, od.od FROM e JOIN od USING (src)),
+       |m0 AS (SELECT doc_id, CAST($m0Expr AS BIGINT) AS mass FROM n),
+       |${(1 to 4).map(step).mkString(",\n")}""".stripMargin
+  }
+  // The final CAST in each m_i pins BIGINT against DuckDB's
+  // SUM→HUGEINT widening (the RangeJoin band-join lesson); the
+  // comparison frame reads m4.mass, so only its type reaches pandas,
+  // but the inner masses feed multiplications and stay value-exact
+  // under HUGEINT anyway.
+
+  /** DuckDB oracle for [[linkRank]] (K=4 unrolled). */
+  val linkRankSql: String =
+    graphCtes("1000000", "150000") + "\nSELECT doc_id, mass FROM m4"
+
+  /** DuckDB oracle for [[linkRankTop]]. */
+  val linkRankTopSql: String =
+    graphCtes("1000000", "150000") +
+      "\nSELECT doc_id, mass FROM m4 ORDER BY mass DESC, doc_id LIMIT 20"
+
+  /** DuckDB oracle for [[trustRank]] (seed = src0). */
+  val trustRankSql: String =
+    graphCtes("CASE WHEN n.source = 'src0' THEN 1000000 ELSE 0 END",
+      "CASE WHEN n.source = 'src0' THEN 150000 ELSE 0 END") +
+      "\nSELECT doc_id, mass FROM m4"
+}
