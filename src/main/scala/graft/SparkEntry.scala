@@ -129,6 +129,9 @@ object SparkEntry {
     // source, so spam in-degree without seed reachability stays at 0
     "q_trust_rank" -> ((s: SparkSession, d: String) =>
       graft.ops.LinkRank.trustRank(s, d)),
+    // crawl-graph health: degree histograms + dangling/orphan counts
+    "q_graph_degrees" -> ((s: SparkSession, d: String) =>
+      graft.ops.LinkRank.graphDegrees(s, d)),
     // the components family shares one memoized (doc_id, component)
     // frame per session (immutable testdata dir — the memoSurvivors
     // rule): the label build runs once, each query keeps its own
@@ -495,6 +498,7 @@ object SparkEntry {
     "q_link_rank" -> graft.ops.LinkRank.linkRankSql,
     "q_link_rank_top" -> graft.ops.LinkRank.linkRankTopSql,
     "q_trust_rank" -> graft.ops.LinkRank.trustRankSql,
+    "q_graph_degrees" -> graft.ops.LinkRank.graphDegreesSql,
     "q_near_dup_components" -> graft.ops.Components.nearDupComponentsSql,
     "q_dedup_survivors" -> graft.ops.Components.dedupNearSurvivorsSql,
     "q_dedup_best_survivors" ->

@@ -148,6 +148,72 @@ object LinkRank {
       .orderBy(col("mass").desc, col("doc_id"))
       .limit(n)
 
+  /** Crawl-graph health profile — the observability row the rank
+    * family is interpreted against: per-side degree histograms in
+    * power-of-two buckets plus the dangling (out-degree 0) and orphan
+    * (in-degree 0) counts. A fat orphan tail means rank mass can't
+    * reach most of the corpus (trust rank would zero it); a dangling
+    * spike means absorbed mass distorts the ordering. Everything is
+    * counts over the edge list: two partial-agg shuffles at degree
+    * cardinality, then histogram rows at log₂(max-degree) size —
+    * constant in corpus volume. Buckets use the BIGINT power itself
+    * (1,2,4,8,…; 0 for zero-degree) so both engines bucket with
+    * integer compares, no floats/logs. Output: (side, bucket, n_docs)
+    * with side ∈ {'out','in'}. */
+  def graphDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nodes = docs.select(col("doc_id"))
+    val cand = docs.select(col("doc_id").as("src"), explode(array(
+        col("doc_id") % 16,
+        (col("doc_id") * 31 + 128) % 1024,
+        (col("doc_id") * 31 + 255) % 1024,
+        (col("doc_id") * 31 + 382) % 1024)).as("dst"))
+      .where(col("dst") =!= col("src"))
+    val e = cand.join(nodes.select(col("doc_id").as("dst")), Seq("dst"),
+      "left_semi")
+    // pow2 floor WITHOUT floats: floor(log2 d) = length(bin(d)) - 1
+    // exactly, in both engines (log2-the-function is a hazard — Spark
+    // computes it as an ln ratio, so floor(log2(8)) can land on 2)
+    val bucket = expr(
+      "CASE WHEN deg = 0 THEN 0L " +
+        "ELSE shiftleft(1L, length(bin(deg)) - 1) END")
+    def side(edges: DataFrame, key: String, name: String): DataFrame =
+      nodes.join(edges.groupBy(col(key).as("doc_id"))
+            .agg(count(lit(1)).as("deg")),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("deg"))
+        .select(lit(name).as("side"), bucket.as("bucket"))
+        .groupBy("side", "bucket").agg(count(lit(1)).as("n_docs"))
+    side(e, "src", "out").unionByName(side(e, "dst", "in"))
+  }
+
+  /** DuckDB oracle for [[graphDegrees]] — same bin-length bucketing,
+    * integer end to end. */
+  val graphDegreesSql: String =
+    """WITH n AS (SELECT doc_id FROM documents),
+      |cand AS (
+      |  SELECT doc_id AS src, doc_id % 16 AS dst FROM n
+      |  UNION ALL SELECT doc_id, (doc_id*31 + 128) % 1024 FROM n
+      |  UNION ALL SELECT doc_id, (doc_id*31 + 255) % 1024 FROM n
+      |  UNION ALL SELECT doc_id, (doc_id*31 + 382) % 1024 FROM n),
+      |e AS (SELECT c.src, c.dst FROM cand c JOIN n ON n.doc_id = c.dst
+      |      WHERE c.dst <> c.src),
+      |degs AS (
+      |  SELECT 'out' AS side,
+      |         COALESCE(d.deg, 0) AS deg
+      |  FROM n LEFT JOIN (SELECT src AS doc_id, COUNT(*) AS deg
+      |                    FROM e GROUP BY 1) d USING (doc_id)
+      |  UNION ALL
+      |  SELECT 'in', COALESCE(d.deg, 0)
+      |  FROM n LEFT JOIN (SELECT dst AS doc_id, COUNT(*) AS deg
+      |                    FROM e GROUP BY 1) d USING (doc_id))
+      |SELECT side,
+      |       CAST(CASE WHEN deg = 0 THEN 0
+      |            ELSE 1 << (length(bin(deg)) - 1)
+      |            END AS BIGINT) AS bucket,
+      |       COUNT(*) AS n_docs
+      |FROM degs GROUP BY 1, 2""".stripMargin
+
   /** The K=4 unrolled recurrence as DuckDB CTEs, parameterized by the
     * per-node init (`m0Expr`) and teleport (`baseExpr`) mass SQL —
     * `n.*` columns (doc_id, source) are in scope for both. */

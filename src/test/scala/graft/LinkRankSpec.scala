@@ -113,6 +113,72 @@ class LinkRankSpec extends AnyFunSuite with SharedSpark {
     assert(lr.values.forall(_ >= 150000L))
   }
 
+  test("graphDegrees: buckets are pow2, totals reconcile, out <= 4") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val rows = LinkRank.graphDegrees(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every bucket is 0 or a power of two
+    assert(rows.forall { case (_, b, _) =>
+      b == 0L || java.lang.Long.bitCount(b) == 1 })
+    // each side's histogram counts every document exactly once
+    Seq("out", "in").foreach { s =>
+      assert(rows.filter(_._1 == s).map(_._3).sum === n, s"side $s")
+    }
+    // out-degree is at most 4 by construction: no out bucket above 4
+    assert(rows.filter(_._1 == "out").forall(_._2 <= 4))
+    // the hub tier guarantees a fat in-bucket >= 16 at any SF >= 0.001
+    assert(rows.filter(_._1 == "in").exists(_._2 >= 16))
+  }
+
+  test("iterations never re-shuffle the cached edge table (100 TB shape)") {
+    // With broadcast off (a corpus-sized webgraph can't broadcast),
+    // every per-iteration join must reuse the edge cache's
+    // hash-partitioning on src: no ShuffleExchange may sit above an
+    // InMemoryTableScan. Only the slim (doc_id, mass) frame moves.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = LinkRank.linkRank(spark, dir)
+      val viaShuffle = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the final adaptive plan nests materialized stages — expand
+      // QueryStageExec/AdaptiveSparkPlanExec to see inside them
+      def expand(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case other => other.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      val nodes = expand(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+        s"edge cache missing from the plan:\n${nodes.head}")
+      // edge rows (recognizable by the od column) must never cross
+      // the wire: every exchange carries either the rank frame or the
+      // slim (dst, partial-sum) aggregate — both two-column frames
+      val edgeExchanges = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "od") => e
+      }
+      assert(edgeExchanges.isEmpty,
+        s"edge rows re-shuffled ${edgeExchanges.size}x:\n${nodes.head}")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      spark.catalog.clearCache()
+      val viaBroadcast = LinkRank.linkRank(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaShuffle === viaBroadcast)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("linkRankTop is the total-order head of the full frame") {
     val full = LinkRank.linkRank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
