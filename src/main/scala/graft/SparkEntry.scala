@@ -132,6 +132,10 @@ object SparkEntry {
     // crawl-graph health: degree histograms + dangling/orphan counts
     "q_graph_degrees" -> ((s: SparkSession, d: String) =>
       graft.ops.LinkRank.graphDegrees(s, d)),
+    // rank staleness: yesterday's 80% crawl vs the full corpus,
+    // all-integer churn metrics (the drift gate of the graph family)
+    "q_link_rank_churn" -> ((s: SparkSession, d: String) =>
+      graft.ops.LinkRank.linkRankChurn(s, d)),
     // the components family shares one memoized (doc_id, component)
     // frame per session (immutable testdata dir — the memoSurvivors
     // rule): the label build runs once, each query keeps its own
@@ -499,6 +503,7 @@ object SparkEntry {
     "q_link_rank_top" -> graft.ops.LinkRank.linkRankTopSql,
     "q_trust_rank" -> graft.ops.LinkRank.trustRankSql,
     "q_graph_degrees" -> graft.ops.LinkRank.graphDegreesSql,
+    "q_link_rank_churn" -> graft.ops.LinkRank.linkRankChurnSql,
     "q_near_dup_components" -> graft.ops.Components.nearDupComponentsSql,
     "q_dedup_survivors" -> graft.ops.Components.dedupNearSurvivorsSql,
     "q_dedup_best_survivors" ->

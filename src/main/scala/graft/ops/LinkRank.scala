@@ -73,9 +73,14 @@ object LinkRank {
     * src-join reuses it, shuffling only the slim rank frame.
     * Persisted — callers rely on the bench's clear-cache-per-run
     * discipline. */
-  def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
+  def derivedEdges(spark: SparkSession, dir: String): DataFrame =
+    derivedEdgesFor(
+      spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** Same edge derivation over an arbitrary (doc_id, …) corpus frame —
+    * the churn gate builds yesterday's graph from a filtered corpus. */
+  def derivedEdgesFor(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
     val nodes = docs.select(col("doc_id"))
     val cand = docs.select(col("doc_id").as("src"), explode(array(
         col("doc_id") % 16,
@@ -108,14 +113,18 @@ object LinkRank {
     ranks
   }
 
-  /** K rounds of damped integer-mass propagation over the derived
-    * graph → (doc_id, mass). Hash-exact oracle: [[linkRankSql]]. */
-  def linkRank(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    val nodes = spark.read.parquet(s"$dir/documents.parquet")
+  /** [[linkRank]] over an arbitrary corpus frame. */
+  private def linkRankFor(docs: DataFrame, k: Int): DataFrame = {
+    val nodes = docs
       .select(col("doc_id"), lit(Mass0).as("m0"), lit(Base).as("base"))
-    val e2 = derivedEdges(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val e2 = derivedEdgesFor(docs).persist(StorageLevel.MEMORY_AND_DISK)
     powerIterate(nodes, e2, k)
   }
+
+  /** K rounds of damped integer-mass propagation over the derived
+    * graph → (doc_id, mass). Hash-exact oracle: [[linkRankSql]]. */
+  def linkRank(spark: SparkSession, dir: String, k: Int = 4): DataFrame =
+    linkRankFor(spark.read.parquet(s"$dir/documents.parquet"), k)
 
   /** Seeded trust propagation (TrustRank, Gyöngyi/Garcia-Molina/
     * Pedersen VLDB 2004): the same damped integer-mass recurrence,
@@ -147,6 +156,42 @@ object LinkRank {
     linkRank(spark, dir)
       .orderBy(col("mass").desc, col("doc_id"))
       .limit(n)
+
+  /** Rank-staleness gate — the drift-gate discipline ([[Quantize]]'s
+    * `q_ann_ivfpq_drift`) applied to the graph family. Production
+    * link rank is recomputed on a schedule, and the operational
+    * question is how fast yesterday's ranks rot as the crawl grows:
+    * this gate ranks the STALE corpus (doc_id % 5 ≠ 4 — a
+    * deterministic 80% "yesterday" snapshot), ranks the FRESH full
+    * corpus, and reports (n_common, sum_abs_delta, top20_overlap) —
+    * every metric integer, so the whole staleness measurement is
+    * hash-exact against DuckDB running both 4-round recurrences from
+    * scratch ([[linkRankChurnSql]] — the stale and fresh CTE chains
+    * live in one statement under `s`/`f` prefixes). Both runs share
+    * the [[powerIterate]] plan; the only extra shape is two top-20
+    * TakeOrderedAndProject heads and two one-row aggregates
+    * cross-joined into the gate row. Interpretation: high
+    * top20_overlap with bounded sum_abs_delta ⇒ rank-consume jobs can
+    * ride yesterday's table; a collapsing overlap is the signal to
+    * recompute before consuming. */
+  def linkRankChurn(spark: SparkSession, dir: String,
+      k: Int = 4, topN: Int = 20): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fresh = linkRankFor(docs, k)
+    val stale = linkRankFor(docs.where(col("doc_id") % 5 =!= 4), k)
+    val topF = fresh.orderBy(col("mass").desc, col("doc_id"))
+      .limit(topN).select("doc_id")
+    val topS = stale.orderBy(col("mass").desc, col("doc_id"))
+      .limit(topN).select("doc_id")
+    val overlap = topF.join(topS, "doc_id")
+      .agg(count(lit(1)).as("top20_overlap"))
+    val deltas = stale.select(col("doc_id"), col("mass").as("m_stale"))
+      .join(fresh.select(col("doc_id"), col("mass").as("m_fresh")),
+        "doc_id")
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("m_fresh") - col("m_stale"))).as("sum_abs_delta"))
+    deltas.crossJoin(overlap)
+  }
 
   /** Crawl-graph health profile — the observability row the rank
     * family is interpreted against: per-side degree histograms in
@@ -214,31 +259,42 @@ object LinkRank {
       |       COUNT(*) AS n_docs
       |FROM degs GROUP BY 1, 2""".stripMargin
 
-  /** The K=4 unrolled recurrence as DuckDB CTEs, parameterized by the
-    * per-node init (`m0Expr`) and teleport (`baseExpr`) mass SQL —
-    * `n.*` columns (doc_id, source) are in scope for both. */
-  private def graphCtes(m0Expr: String, baseExpr: String): String = {
+  /** The K=4 unrolled recurrence as a DuckDB CTE chain (no leading
+    * WITH — callers compose chains), parameterized by the per-node
+    * init (`m0Expr`) and teleport (`baseExpr`) mass SQL (`n.*`
+    * columns doc_id/source in scope for both), a CTE-name prefix `p`
+    * (the churn gate holds a stale and a fresh chain in one
+    * statement), and an optional corpus predicate. */
+  private def graphCteBody(m0Expr: String, baseExpr: String,
+      p: String = "", where: String = ""): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
     def step(i: Int): String = {
-      val prev = if (i == 1) "m0" else s"m${i - 1}"
-      s"""c$i AS (SELECT e.dst, SUM((m.mass*85)//(100*e.od)) AS c
-         |       FROM e2 e JOIN $prev m ON m.doc_id = e.src GROUP BY 1),
-         |m$i AS (SELECT n.doc_id, CAST($baseExpr + COALESCE(c.c, 0) AS BIGINT)
+      val prev = if (i == 1) s"${p}m0" else s"${p}m${i - 1}"
+      s"""${p}c$i AS (SELECT e.dst, SUM((m.mass*85)//(100*e.od)) AS c
+         |       FROM ${p}e2 e JOIN $prev m ON m.doc_id = e.src GROUP BY 1),
+         |${p}m$i AS (SELECT n.doc_id, CAST($baseExpr + COALESCE(c.c, 0) AS BIGINT)
          |         AS mass
-         |       FROM n LEFT JOIN c$i c ON c.dst = n.doc_id)""".stripMargin
+         |       FROM ${p}n n LEFT JOIN ${p}c$i c ON c.dst = n.doc_id)""".stripMargin
     }
-    s"""WITH n AS (SELECT doc_id, source FROM documents),
-       |cand AS (
-       |  SELECT doc_id AS src, doc_id % 16 AS dst FROM n
-       |  UNION ALL SELECT doc_id, (doc_id*31 + 128) % 1024 FROM n
-       |  UNION ALL SELECT doc_id, (doc_id*31 + 255) % 1024 FROM n
-       |  UNION ALL SELECT doc_id, (doc_id*31 + 382) % 1024 FROM n),
-       |e AS (SELECT c.src, c.dst FROM cand c JOIN n ON n.doc_id = c.dst
+    s"""${p}n AS (SELECT doc_id, source FROM documents$w),
+       |${p}cand AS (
+       |  SELECT doc_id AS src, doc_id % 16 AS dst FROM ${p}n
+       |  UNION ALL SELECT doc_id, (doc_id*31 + 128) % 1024 FROM ${p}n
+       |  UNION ALL SELECT doc_id, (doc_id*31 + 255) % 1024 FROM ${p}n
+       |  UNION ALL SELECT doc_id, (doc_id*31 + 382) % 1024 FROM ${p}n),
+       |${p}e AS (SELECT c.src, c.dst
+       |      FROM ${p}cand c JOIN ${p}n n ON n.doc_id = c.dst
        |      WHERE c.dst <> c.src),
-       |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
-       |e2 AS (SELECT e.src, e.dst, od.od FROM e JOIN od USING (src)),
-       |m0 AS (SELECT doc_id, CAST($m0Expr AS BIGINT) AS mass FROM n),
+       |${p}od AS (SELECT src, COUNT(*) AS od FROM ${p}e GROUP BY 1),
+       |${p}e2 AS (SELECT e.src, e.dst, od.od
+       |       FROM ${p}e e JOIN ${p}od od USING (src)),
+       |${p}m0 AS (SELECT doc_id, CAST($m0Expr AS BIGINT) AS mass
+       |       FROM ${p}n n),
        |${(1 to 4).map(step).mkString(",\n")}""".stripMargin
   }
+
+  private def graphCtes(m0Expr: String, baseExpr: String): String =
+    "WITH " + graphCteBody(m0Expr, baseExpr)
   // The final CAST in each m_i pins BIGINT against DuckDB's
   // SUM→HUGEINT widening (the RangeJoin band-join lesson); the
   // comparison frame reads m4.mass, so only its type reaches pandas,
@@ -259,4 +315,18 @@ object LinkRank {
     graphCtes("CASE WHEN n.source = 'src0' THEN 1000000 ELSE 0 END",
       "CASE WHEN n.source = 'src0' THEN 150000 ELSE 0 END") +
       "\nSELECT doc_id, mass FROM m4"
+
+  /** DuckDB oracle for [[linkRankChurn]]: both 4-round recurrences
+    * from scratch in one statement (prefixes f/s), then the same
+    * integer churn metrics. */
+  val linkRankChurnSql: String =
+    s"""WITH ${graphCteBody("1000000", "150000", "f")},
+       |${graphCteBody("1000000", "150000", "s", "doc_id % 5 <> 4")},
+       |ft AS (SELECT doc_id FROM fm4 ORDER BY mass DESC, doc_id LIMIT 20),
+       |st AS (SELECT doc_id FROM sm4 ORDER BY mass DESC, doc_id LIMIT 20),
+       |o AS (SELECT COUNT(*) AS top20_overlap FROM ft JOIN st USING (doc_id)),
+       |d AS (SELECT COUNT(*) AS n_common,
+       |             CAST(SUM(ABS(f.mass - s.mass)) AS BIGINT) AS sum_abs_delta
+       |      FROM fm4 f JOIN sm4 s USING (doc_id))
+       |SELECT d.n_common, d.sum_abs_delta, o.top20_overlap FROM d, o""".stripMargin
 }

@@ -113,6 +113,25 @@ class LinkRankSpec extends AnyFunSuite with SharedSpark {
     assert(lr.values.forall(_ >= 150000L))
   }
 
+  test("linkRankChurn reconciles against the two naive rank runs") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSeq
+    val fresh = naive(ids, 4)
+    val stale = naive(ids.filter(_ % 5 != 4), 4)
+    def top20(m: Map[Long, Long]): Set[Long] =
+      m.toSeq.sortBy { case (id, mass) => (-mass, id) }.take(20)
+        .map(_._1).toSet
+    val wantOverlap = (top20(fresh) intersect top20(stale)).size.toLong
+    // keys is a Set — map on it would DEDUPLICATE equal deltas
+    val wantDelta = stale.keys.toSeq
+      .map(id => math.abs(fresh(id) - stale(id))).sum
+    val row = LinkRank.linkRankChurn(spark, dir).collect().head
+    assert(row.getLong(row.fieldIndex("n_common")) === stale.size.toLong)
+    assert(row.getLong(row.fieldIndex("sum_abs_delta")) === wantDelta)
+    assert(row.getLong(row.fieldIndex("top20_overlap")) === wantOverlap)
+  }
+
   test("graphDegrees: buckets are pow2, totals reconcile, out <= 4") {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     val rows = LinkRank.graphDegrees(spark, dir).collect()
