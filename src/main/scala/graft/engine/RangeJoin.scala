@@ -346,18 +346,54 @@ object RangeJoin {
     * ([[inTransitByPriority]]) is the scale path when pairs are not
     * needed. */
   def marchTransitAttach(spark: SparkSession, dir: String): DataFrame = {
+    // Output is DAY-GRAIN aggregate, so the pair enumeration is
+    // rewritten away (the inTransitByPriority sweep — the r12 sf1
+    // board measured the binned pair join at 207 s / 81× per decade
+    // here: point AND interval density both grow with SF over a fixed
+    // calendar span, so within-bin pair volume is quadratic in SF; no
+    // join strategy fixes a quadratic intermediate the consumer never
+    // looks at). Coverage cum (count, qty-cents) per day via the
+    // difference-array sweep; per March day, n_pairs = n_points ×
+    // covering-count and sum_qty = n_points × covering-cents / 100 —
+    // cents keep every product exact in BIGINT, and the final /100.0
+    // is one correctly-rounded IEEE division, so the value equals the
+    // oracle's exact-DECIMAL-sum-cast-to-double bit for bit. The
+    // DuckDB oracle still ENUMERATES the pairs: the hash match is the
+    // differential proof of the rewrite. q_interval_join keeps the
+    // pair-enumerating pointInInterval covered at bench scale.
     val lo = 9921L // 1997-03-01 epoch day
     val hi = 9951L // 1997-03-31
-    val pts = spark.read.parquet(s"$dir/orders.parquet")
-      .select(epochDay(col("o_orderdate")).as("pt_day"))
-      .where(col("pt_day").between(lo, hi))
     val iv = transitIntervals(spark, dir)
       .where(col("iv_hi") >= lo && col("iv_lo") <= hi)
-    pointInInterval(pts, "pt_day", iv, "iv_lo", "iv_hi", 32L)
-      .groupBy(col("pt_day").as("day"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("l_quantity").cast("decimal(30,2)")).cast("double")
-          .as("sum_qty"))
+    val qc = (col("l_quantity").cast("decimal(30,2)") * 100).cast("long")
+    val deltas = iv.select(col("iv_lo").as("day"), lit(1L).as("dc"),
+        qc.as("dqc"))
+      .unionByName(iv.select((col("iv_hi") + 1).as("day"),
+        lit(-1L).as("dc"), (-qc).as("dqc")))
+    val dd = deltas.groupBy("day").agg(sum("dc").as("dc"),
+      sum("dqc").as("dqc"))
+    val axis = dd.agg(min("day").as("alo"), max("day").as("ahi"))
+      .select(explode(sequence(col("alo"), col("ahi"))).as("day"))
+    // calendar-bounded single-task window (the inTransit rationale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cov = axis.join(dd, Seq("day"), "left")
+      .select(col("day"),
+        sum(coalesce(col("dc"), lit(0L))).over(w).as("cum_c"),
+        sum(coalesce(col("dqc"), lit(0L))).over(w).as("cum_qc"))
+    val pts = spark.read.parquet(s"$dir/orders.parquet")
+      .select(epochDay(col("o_orderdate")).as("day"))
+      .where(col("day").between(lo, hi))
+      .groupBy("day").agg(count(lit(1)).as("n_pts"))
+    pts.join(broadcast(cov), Seq("day"), "left")
+      .select(col("day"),
+        (col("n_pts") * coalesce(col("cum_c"), lit(0L))).as("n_pairs"),
+        ((col("n_pts") * coalesce(col("cum_qc"), lit(0L))).cast("double")
+          / 100.0).as("sum_qty"))
+      // inner-join group-presence semantics (the sibling sweeps' rule)
+      .where(col("n_pairs") > 0)
   }
 
   val marchTransitAttachSql: String =

@@ -56,11 +56,21 @@ object Pack {
     // task sizing).
     val defaultSize = BigInt(slim.sparkSession.conf
       .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
-    val statsless = slim.queryExecution.optimizedPlan.collectLeaves()
-      .exists(_.stats.sizeInBytes >= defaultSize)
+    val leaves = slim.queryExecution.optimizedPlan.collectLeaves()
+    val statsless = leaves.exists(_.stats.sizeInBytes >= defaultSize)
     if (statsless) shuffleParts
     else {
-      val bySize = (bytes / (64L << 20)).min(BigInt(4 << 20)).toInt + 1
+      // Joins with no column stats estimate MULTIPLICATIVELY — a
+      // doc-grain key frame derived through two joins reported 2.4 TB
+      // at sf1 (true size ~2 MB), sizing a 36k-partition range pass
+      // whose partitioner bounds (36k strings) serialized into every
+      // task: 609 s of pure closure deserialization. The inputs here
+      // are always slim key frames built by projection/aggregation
+      // over the scans, so the SUM OF LEAF SIZES bounds the true
+      // volume — clamp the derived estimate to it.
+      val leafSum = leaves.map(_.stats.sizeInBytes).sum
+      val bySize = (bytes.min(leafSum) / (64L << 20))
+        .min(BigInt(4 << 20)).toInt + 1
       math.max(shuffleParts, bySize)
     }
   }
