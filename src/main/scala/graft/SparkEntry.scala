@@ -117,12 +117,21 @@ object SparkEntry {
     // bloom-screened twin: same oracle — the hash match proves the
     // Bloom gate in front of the history anti-join is result-invariant
     "q_dedup_incremental_bloom" -> (Dedup.dedupIncrementalBloom _),
+    // prefix-SHARDED bloom screen (8 shards forced): bounded per-job
+    // plan literals past the single-filter ceiling, same oracle again
+    "q_dedup_incremental_bloom_sharded" ->
+      (Dedup.dedupIncrementalBloomSharded _),
     "q_redact_docs" -> (graft.ops.Redact.redactDocs _),
     // near-dup clustering: pair graph → connected components → survivors
     // iterative link-graph rank: integer-mass power iteration, K=4 —
     // hash-exact (integer addition commutes across partial-agg order)
     "q_link_rank" -> ((s: SparkSession, d: String) =>
       graft.ops.LinkRank.linkRank(s, d)),
+    // same recurrence off the PERSISTED bucketed-by-src edge table
+    // (the cluster webgraph layout): no exchange/sort on the edge
+    // side in any iteration — LinkRankSpec plan-asserts it
+    "q_link_rank_bucketed" -> ((s: SparkSession, d: String) =>
+      graft.ops.LinkRank.linkRankBucketed(s, d)),
     "q_link_rank_top" -> ((s: SparkSession, d: String) =>
       graft.ops.LinkRank.linkRankTop(s, d)),
     // seeded trust propagation: mass originates ONLY at a vetted
@@ -498,8 +507,10 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
     "q_dedup_incremental" -> Dedup.dedupIncrementalSql,
     "q_dedup_incremental_bloom" -> Dedup.dedupIncrementalSql,
+    "q_dedup_incremental_bloom_sharded" -> Dedup.dedupIncrementalSql,
     "q_redact_docs" -> graft.ops.Redact.redactDocsSql,
     "q_link_rank" -> graft.ops.LinkRank.linkRankSql,
+    "q_link_rank_bucketed" -> graft.ops.LinkRank.linkRankSql,
     "q_link_rank_top" -> graft.ops.LinkRank.linkRankTopSql,
     "q_trust_rank" -> graft.ops.LinkRank.trustRankSql,
     "q_graph_degrees" -> graft.ops.LinkRank.graphDegreesSql,

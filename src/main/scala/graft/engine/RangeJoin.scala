@@ -355,9 +355,11 @@ object RangeJoin {
     // looks at). Coverage cum (count, qty-cents) per day via the
     // difference-array sweep; per March day, n_pairs = n_points ×
     // covering-count and sum_qty = n_points × covering-cents / 100 —
-    // cents keep every product exact in BIGINT, and the final /100.0
-    // is one correctly-rounded IEEE division, so the value equals the
-    // oracle's exact-DECIMAL-sum-cast-to-double bit for bit. The
+    // cents keep every product exact in BIGINT; the /100 runs in
+    // DECIMAL (exact at scale 2 for any BIGINT product — no 2^53
+    // ceiling) so the single final double cast is the only rounding
+    // step, equal to the oracle's exact-DECIMAL-sum-cast-to-double
+    // bit for bit at every SF. The
     // DuckDB oracle still ENUMERATES the pairs: the hash match is the
     // differential proof of the rewrite. q_interval_join keeps the
     // pair-enumerating pointInInterval covered at bench scale.
@@ -390,8 +392,8 @@ object RangeJoin {
     pts.join(broadcast(cov), Seq("day"), "left")
       .select(col("day"),
         (col("n_pts") * coalesce(col("cum_c"), lit(0L))).as("n_pairs"),
-        ((col("n_pts") * coalesce(col("cum_qc"), lit(0L))).cast("double")
-          / 100.0).as("sum_qty"))
+        ((col("n_pts") * coalesce(col("cum_qc"), lit(0L)))
+          .cast("decimal(38,0)") / 100).cast("double").as("sum_qty"))
       // inner-join group-presence semantics (the sibling sweeps' rule)
       .where(col("n_pairs") > 0)
   }

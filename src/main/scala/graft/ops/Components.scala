@@ -345,15 +345,8 @@ object Components {
   }
 
   val lshDedupClustersPortableSql: String = {
-    // reuse the portable LSH pair SQL as a CTE feeding the closure
-    val pairs = Dedup.minhashLshPairsPortableSql
-      .replaceFirst("^WITH ", "")
-      .replace(
-        """SELECT doc_a, doc_b,
-          |       CAST""".stripMargin,
-        """, lshp AS (SELECT doc_a, doc_b,
-          |       CAST""".stripMargin)
-    s"""WITH RECURSIVE $pairs),
+    // COMPOSED from the shared portable-LSH CTE body (ends in `lshp`)
+    s"""WITH RECURSIVE ${Dedup.portableLshCteBody},
        |e AS (SELECT doc_a AS a, doc_b AS b FROM lshp
        |      UNION SELECT doc_b, doc_a FROM lshp),
        |reach(src, dst) AS (

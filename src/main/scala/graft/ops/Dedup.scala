@@ -115,11 +115,25 @@ object Dedup {
     * `BloomFilterMightContain` over `xxhash64(fp)` (the same
     * expression pair Spark's runtime row-level filtering injects), so
     * the screen rides whole-stage codegen — no UDF, no shuffle. The
-    * serialized filter is embedded as a plan literal: fine to the
-    * ~100 MB / 10⁸-fp range; past that, shard the epoch's filter by
-    * fp prefix and screen each batch partition against its shard. */
+    * serialized filter is embedded as a plan literal — exactly the
+    * regime Spark's own runtime filtering caps at 4M items / 8 MB
+    * per filter; past `shards = 1` this function runs the
+    * PREFIX-SHARDED screen instead (see [[dedupAgainstHistoryBloomSharded]]),
+    * which bounds every individual plan to one shard-sized literal.
+    *
+    * Null fingerprints (null/absent text) never enter a filter and
+    * always take the exact confirm path (`coalesce(might, true)`), so
+    * the screened output is IDENTICAL to [[dedupAgainstHistory]] on
+    * null-fp rows too — the anti-join keeps them (null matches
+    * nothing), same as the unscreened form. */
   def dedupAgainstHistoryBloom(newDocs: DataFrame, historyFps: DataFrame,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01, shards: Int = 0): DataFrame = {
+    val numShards = if (shards > 0) shards
+      else math.max(1L, (math.max(expectedItems, 1L) + BloomShardItemCap - 1)
+        / BloomShardItemCap).toInt
+    if (numShards > 1)
+      return dedupAgainstHistoryBloomSharded(newDocs, historyFps,
+        numShards, (expectedItems + numShards - 1) / numShards, fpp)
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.BinaryType
@@ -133,7 +147,16 @@ object Dedup {
       Bridge.expression(xxhash64(col("fp")))))
     val tagged = newDocs
       .withColumn("fp", TextStats.fingerprint(col("text")))
-      .withColumn("__maybe", might)
+      // null fp ⇒ probe to the confirm path, never silently dropped
+      .withColumn("__maybe", coalesce(might, lit(true)))
+    dedupeScreened(tagged, historyFps)
+  }
+
+  /** Shared tail of every bloom-screened variant: bloom-positive rows
+    * are confirmed by the exact anti-join, definite-new rows skip the
+    * store, batch self-dups collapse to min doc_id. */
+  private def dedupeScreened(tagged: DataFrame,
+      historyFps: DataFrame): DataFrame = {
     val confirmed = tagged.where(col("__maybe"))
       .join(historyFps.select("fp"), Seq("fp"), "left_anti")
     val fresh = tagged.where(!col("__maybe")).unionByName(confirmed)
@@ -142,15 +165,212 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Per-filter item budget for the plan-literal screen — Spark's own
+    * runtime row-level filtering refuses to build a single bloom past
+    * 4M items / 8 MB (`spark.sql.optimizer.runtime.bloomFilter.max*`
+    * defaults), and that is the honest ceiling for embedding one
+    * filter in every task's plan. A 100 TB crawl history crosses it
+    * immediately — hence the prefix-sharded form below. */
+  private[graft] val BloomShardItemCap = 4000000L
+
+  /** Shard id of a fingerprint: the fp's first 12 bits (3 hex chars of
+    * the md5) mod `shards` — computable identically at build time and
+    * probe time, no extra hash. Null fp ⇒ null shard (routed to the
+    * exact confirm path). Supports up to 4096 shards ≈ 1.6·10¹⁰ fps
+    * under the per-shard cap. */
+  private def fpShard(fp: Column, shards: Int): Column =
+    (conv(substring(fp, 1, 3), 16, 10).cast("long") % shards).cast("int")
+
+  /** One-pass build of the prefix-sharded epoch filter frame:
+    * (shard, n_fps, filter) — the bloom aggregation AND the shard's
+    * exact fp count come out of the SAME history scan, so the store's
+    * sizing stats are a free by-product, never a second corpus action
+    * (the r12 `docs.count()` lesson). Filters are Catalyst's own
+    * `BloomFilterAggregate` over `xxhash64(fp)` (byte-compatible with
+    * the `BloomFilterMightContain` probe), sized to `itemsPerShard`. */
+  private[ops] def bloomShardFrame(historyFps: DataFrame, shards: Int,
+      itemsPerShard: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val n = math.max(itemsPerShard, 1L)
+    // optimal bits for (n, p): ceil(-n ln p / ln²2) — the standard
+    // bloom sizing formula Spark's sketch library uses internally
+    val bits = math.ceil(-n * math.log(fpp) /
+      (math.log(2.0) * math.log(2.0))).toLong
+    val agg = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("fp"))),
+      Literal(n), Literal(bits)).toAggregateExpression())
+    // REPARTITION BY SHARD FIRST: without it, map-side partial
+    // aggregation makes every scan task hold one full-size filter
+    // buffer PER SHARD (tasks × shards × filter bytes — measured OOM
+    // at 32 M fps / 8 shards / 32 tasks). Pre-shuffling on the shard
+    // key satisfies the aggregate's distribution, so each build task
+    // holds exactly the buffers of its own shard(s) — memory is
+    // one-filter-per-task flat no matter how many shards the epoch
+    // needs, and the build parallelism is shard-grain (≫ cores at
+    // the history sizes that need sharding at all).
+    historyFps
+      .where(col("fp").isNotNull)
+      .withColumn("shard", fpShard(col("fp"), shards))
+      .repartition(col("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_fps"), agg.as("filter"))
+  }
+
+  /** The scale form of the bloom screen: the epoch's filter is SHARDED
+    * BY FP PREFIX and each batch slice is screened against its own
+    * shard in its own bounded job, so no plan ever embeds more than
+    * one shard-sized literal (~`itemsPerShard` fps) no matter how
+    * large the history grows — per-batch screen cost is flat across
+    * the single-filter ceiling (StressBloom measures this).
+    *
+    * Mechanics: one history pass builds the (shard, n_fps, filter)
+    * frame; the batch is fingerprinted, shard-tagged and cached
+    * (slim: text is dropped at the first projection); then a driver
+    * loop — one iteration per shard, collecting ONE filter row at a
+    * time — screens the shard's slice and `localCheckpoint`s it,
+    * which materializes the screened rows and drops the literal from
+    * all downstream lineage. Driver and plan memory are bounded by
+    * ONE shard filter regardless of shard count. Shards with no
+    * history rows short-circuit to definite-new (no filter, no
+    * literal, no checkpoint). On a real cluster the batch would be
+    * staged partitioned by shard so each iteration's scan
+    * partition-prunes; here the slices read the cached slim frame.
+    *
+    * Output is EXACTLY [[dedupAgainstHistory]]'s — the shared oracle
+    * makes the hash match a differential proof, same as the
+    * single-filter form. */
+  def dedupAgainstHistoryBloomSharded(newDocs: DataFrame,
+      historyFps: DataFrame, shards: Int, itemsPerShard: Long,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val filters = bloomShardFrame(historyFps, shards, itemsPerShard, fpp)
+      .localCheckpoint()
+    val tagged = newDocs
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("fp"), fpShard(col("fp"), shards).as("__shard"))
+      .cache()
+    val present = filters.select("shard").collect().map(_.getInt(0)).toSet
+    val screened = (0 until shards).toSeq.map { s =>
+      val slice = tagged.where(col("__shard") === s)
+      if (!present(s)) slice.withColumn("__maybe", lit(false))
+      else {
+        val bytes = filters.where(col("shard") === s)
+          .select("filter").head().getAs[Array[Byte]](0)
+        val might = Bridge.column(BloomFilterMightContain(
+          Literal(bytes, BinaryType),
+          Bridge.expression(xxhash64(col("fp")))))
+        // eager checkpoint: the shard literal never outlives its job
+        slice.withColumn("__maybe", might).localCheckpoint()
+      }
+    }
+    // checkpointed too (usually empty), so after this point NOTHING
+    // downstream reads the cache and it can be dropped immediately
+    val nullFp = tagged.where(col("__shard").isNull)
+      .withColumn("__maybe", lit(true)).localCheckpoint()
+    val all = (screened :+ nullFp).reduce(_ unionByName _)
+      .drop("__shard")
+    tagged.unpersist()
+    dedupeScreened(all, historyFps)
+  }
+
+  /** Build and persist the prefix-sharded epoch filter store — the
+    * once-per-epoch artifact the steady-state ingest loop screens
+    * every batch against. The store IS its own sidecar metadata:
+    * per-shard `n_fps` rides in the same rows, so the screen path
+    * sizes and loads filters from the store alone, zero corpus
+    * actions. */
+  def buildBloomStore(historyFps: DataFrame, storePath: String,
+      shards: Int, itemsPerShard: Long, fpp: Double = 0.01): Unit =
+    bloomShardFrame(historyFps, shards, itemsPerShard, fpp)
+      .repartition(1)
+      .write.mode("overwrite").parquet(storePath)
+
+  /** Screen a batch against a persisted [[buildBloomStore]] store:
+    * returns the batch (slim projection + fp) tagged `__maybe` —
+    * the pure per-batch steady-state stage, whose cost is batch-sized
+    * and FLAT in history size (every job's plan holds one shard
+    * filter; StressBloom measures this). Downstream, bloom-positive
+    * rows go to the exact confirm join — whose cost is a store-layout
+    * property: against an fp-BUCKETED history store the confirm is a
+    * pruned shuffle-free lookup; against a flat fp table it re-sorts
+    * the history side each batch (the measured growth term in
+    * StressBloom's full-dedup column). */
+  def screenAgainstBloomStore(spark: SparkSession, newDocs: DataFrame,
+      storePath: String, shards: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val filters = spark.read.parquet(storePath).localCheckpoint()
+    val tagged = newDocs
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("fp"), fpShard(col("fp"), shards).as("__shard"))
+      .cache()
+    val present = filters.select("shard").collect().map(_.getInt(0)).toSet
+    val screened = (0 until shards).toSeq.map { s =>
+      val slice = tagged.where(col("__shard") === s)
+      if (!present(s)) slice.withColumn("__maybe", lit(false))
+      else {
+        val bytes = filters.where(col("shard") === s)
+          .select("filter").head().getAs[Array[Byte]](0)
+        val might = Bridge.column(BloomFilterMightContain(
+          Literal(bytes, BinaryType),
+          Bridge.expression(xxhash64(col("fp")))))
+        slice.withColumn("__maybe", might).localCheckpoint()
+      }
+    }
+    val nullFp = tagged.where(col("__shard").isNull)
+      .withColumn("__maybe", lit(true)).localCheckpoint()
+    val all = (screened :+ nullFp).reduce(_ unionByName _)
+      .drop("__shard")
+    tagged.unpersist()
+    all
+  }
+
+  /** [[dedupAgainstHistoryBloomSharded]] reading filters from a
+    * persisted [[buildBloomStore]] store instead of rebuilding them —
+    * the per-batch steady state: screen cost is batch-sized, the
+    * history is touched only by the bloom-positive confirm join. */
+  def dedupAgainstBloomStore(spark: SparkSession, newDocs: DataFrame,
+      historyFps: DataFrame, storePath: String, shards: Int): DataFrame =
+    dedupeScreened(
+      screenAgainstBloomStore(spark, newDocs, storePath, shards),
+      historyFps)
+
   /** Registered bloom-screened twin of [[dedupIncremental]]: same
     * batch/history split, same oracle SQL — hash-equality with the
-    * from-scratch oracle proves the bloom screen is result-invariant. */
+    * from-scratch oracle proves the bloom screen is result-invariant.
+    * Sizing comes from the HISTORY frame itself: one distinct-fp
+    * materialization (`localCheckpoint`) serves the count, the filter
+    * build, and the confirm anti-join — no extra action over the
+    * corpus (the r12 `docs.count()` fix). */
   def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val history = docs.where(!col("source").isin("src0", "src1"))
       .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+      .localCheckpoint()
     dedupAgainstHistoryBloom(docs.where(col("source").isin("src0", "src1")),
-      history, expectedItems = docs.count())
+      history, expectedItems = history.count())
+  }
+
+  /** Registered PREFIX-SHARDED twin — shards forced past 1 so the
+    * sharded machinery (per-shard filters, bounded per-job literals,
+    * null-fp routing) is exercised and hash-proven against the same
+    * from-scratch oracle at every verify run. */
+  def dedupIncrementalBloomSharded(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val history = docs.where(!col("source").isin("src0", "src1"))
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+      .localCheckpoint()
+    dedupAgainstHistoryBloomSharded(
+      docs.where(col("source").isin("src0", "src1")), history,
+      shards = 8, itemsPerShard = math.max(1L, history.count() / 8))
   }
 
   /** Distinct word n-gram shingles per document, as (doc_id, shingle)
@@ -198,19 +418,31 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
-  val ngramJaccardPairsSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The exact-Jaccard pair pipeline as a composable CTE body ending
+    * in `jp(doc_a, doc_b, n_common, jaccard)` (threshold applied) —
+    * no leading WITH, so consumers ([[ngramJaccardPairsSql]],
+    * [[Mix.crossSplitLeakageSql]]) COMPOSE it instead of
+    * string-rewriting the finished statement (the r12 lesson: a
+    * `.replace` with a stale target is a silent no-op that
+    * degenerates the derived oracle to its base). */
+  private[ops] val ngramPairsCteBody: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
       |       FROM t, UNNEST(range(1, len(toks)-1)) AS u(i)
       |       WHERE len(toks) >= 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |      GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_common,
-      |       CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
-      |FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
-      |WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5""".stripMargin
+      |      GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT doc_a, doc_b, n_common,
+      |         CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+      |  FROM c JOIN sz x ON c.doc_a = x.doc_id
+      |         JOIN sz y ON c.doc_b = y.doc_id
+      |  WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5)""".stripMargin
+
+  val ngramJaccardPairsSql: String =
+    s"WITH $ngramPairsCteBody\nSELECT doc_a, doc_b, n_common, jaccard FROM jp"
 
   // ----- MinHash + LSH (scale path) -----
 
@@ -413,7 +645,11 @@ object Dedup {
       .where(col("est_jaccard") >= tau)
   }
 
-  val minhashLshPairsPortableSql: String = {
+  /** The full portable MinHash+LSH pipeline as a composable CTE body
+    * ending in `lshp(doc_a, doc_b, est_jaccard)` (threshold applied) —
+    * the clustering oracle composes it (r12 derive-by-composition
+    * rule) instead of splicing the finished statement. */
+  private[ops] val portableLshCteBody: String = {
     val minExprs = (0 until 16).map(s =>
       s"min(CAST(('0x' || substr(md5('$s:' || s), 25, 8)) AS BIGINT)) AS mh_$s")
       .mkString(",\n       ")
@@ -425,7 +661,7 @@ object Dedup {
     val matchSum = (0 until 16)
       .map(s => s"CASE WHEN x.mh_$s = y.mh_$s THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
        |       FROM t, UNNEST(range(1, len(toks)-1)) AS u(i)
        |       WHERE len(toks) >= 3),
@@ -437,14 +673,18 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.band_hash = b.band_hash
-       |   AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |       CAST($matchSum AS DOUBLE) / 16 AS est_jaccard
-       |FROM pairs
-       |JOIN mh x ON pairs.doc_a = x.doc_id
-       |JOIN mh y ON pairs.doc_b = y.doc_id
-       |WHERE CAST($matchSum AS DOUBLE) / 16 >= 0.5""".stripMargin
+       |   AND a.doc_id < b.doc_id),
+       |lshp AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST($matchSum AS DOUBLE) / 16 AS est_jaccard
+       |  FROM pairs
+       |  JOIN mh x ON pairs.doc_a = x.doc_id
+       |  JOIN mh y ON pairs.doc_b = y.doc_id
+       |  WHERE CAST($matchSum AS DOUBLE) / 16 >= 0.5)""".stripMargin
   }
+
+  val minhashLshPairsPortableSql: String =
+    s"WITH $portableLshCteBody\nSELECT doc_a, doc_b, est_jaccard FROM lshp"
 
   // ----- SimHash -----
 

@@ -456,19 +456,17 @@ object Mix {
       .select("doc_a", "doc_b", "split_a", "split_b")
   }
 
-  val crossSplitLeakageSql: String = {
-    val pairs = Dedup.ngramJaccardPairsSql
-      .replace("SELECT doc_a, doc_b, n_common,",
-        "SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, n_common,")
-      .replace("WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5",
-        "WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.5)")
+  // COMPOSED from the shared pair-CTE body (ends in `jp`), per the
+  // r12 derive-by-composition rule — the last `.replace`-derived
+  // oracle is gone; SqlSurfaceSpec still pins differ-from-base +
+  // output marker.
+  val crossSplitLeakageSql: String =
     s"""WITH s AS ($trainTestSplitSql),
-       |np AS ($pairs)
-       |SELECT np.doc_a, np.doc_b, sa.split AS split_a, sb.split AS split_b
-       |FROM np JOIN s sa ON np.doc_a = sa.doc_id
-       |        JOIN s sb ON np.doc_b = sb.doc_id
+       |${Dedup.ngramPairsCteBody}
+       |SELECT jp.doc_a, jp.doc_b, sa.split AS split_a, sb.split AS split_b
+       |FROM jp JOIN s sa ON jp.doc_a = sa.doc_id
+       |        JOIN s sb ON jp.doc_b = sb.doc_id
        |WHERE sa.split <> sb.split""".stripMargin
-  }
 
   // ----- Cluster-grain split (leakage-free by construction) -----
 

@@ -67,10 +67,22 @@ object Pack {
       // task: 609 s of pure closure deserialization. The inputs here
       // are always slim key frames built by projection/aggregation
       // over the scans, so the SUM OF LEAF SIZES bounds the true
-      // volume — clamp the derived estimate to it.
+      // volume — clamp the derived estimate to it. The bound only
+      // holds for NON-EXPANDING plans: a Generate (explode) or Expand
+      // (rollup) can legitimately exceed its inputs, and clamping
+      // there would under-partition exactly the way the clamp was
+      // added to prevent over-partitioning — so expanding plans keep
+      // the derived estimate. (Many-to-many joins can also fan out,
+      // but no caller feeds one here; the slim-key-frame assumption
+      // is the documented contract of this helper.)
+      import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate}
+      val expanding = slim.queryExecution.optimizedPlan.exists {
+        case _: Generate | _: Expand => true
+        case _ => false
+      }
       val leafSum = leaves.map(_.stats.sizeInBytes).sum
-      val bySize = (bytes.min(leafSum) / (64L << 20))
-        .min(BigInt(4 << 20)).toInt + 1
+      val est = if (expanding) bytes else bytes.min(leafSum)
+      val bySize = (est / (64L << 20)).min(BigInt(4 << 20)).toInt + 1
       math.max(shuffleParts, bySize)
     }
   }
@@ -119,18 +131,26 @@ object Pack {
     packIntoShards(Tables.documents(spark, dir), "doc_id",
       size(split(col("text"), " ")), budget = 4096L)
 
-  val packDocsSql: String =
-    """WITH w AS (
+  /** The pack pipeline as a composable CTE body ending in
+    * `ps(doc_id, w, cum_tokens, shard_id)` — consumers compose it
+    * (the r12 derive-by-composition rule; the payload/manifest
+    * oracles were the last `.replace`-derived statements). */
+  private[ops] val packCteBody: String =
+    """w AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, w,
       |         CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
       |              AS BIGINT) AS cum_tokens
-      |  FROM w)
-      |SELECT doc_id, w, cum_tokens,
-      |       (cum_tokens - w) // 4096 AS shard_id
-      |FROM c""".stripMargin
+      |  FROM w),
+      |ps AS (
+      |  SELECT doc_id, w, cum_tokens,
+      |         (cum_tokens - w) // 4096 AS shard_id
+      |  FROM c)""".stripMargin
+
+  val packDocsSql: String =
+    s"WITH $packCteBody\nSELECT doc_id, w, cum_tokens, shard_id FROM ps"
 
   /** Stable contiguous row ids in key order — the scalable form of
     * zipWithIndex / ROW_NUMBER-over-everything (both of which either
@@ -222,18 +242,18 @@ object Pack {
             s => s.getField("text"))).as("payload"))
 
   val packedPayloadsSql: String =
-    packDocsSql.replace("SELECT doc_id, w, cum_tokens,",
-      "SELECT shard_id, COUNT(*) AS n_docs, " +
-        "string_agg(text, ' ' ORDER BY doc_id) AS payload " +
-        "FROM (SELECT c.doc_id, d.text, cum_tokens,")
-      .replace("FROM c", "FROM c JOIN documents d ON c.doc_id = d.doc_id) " +
-        "GROUP BY shard_id")
+    s"""WITH $packCteBody
+       |SELECT shard_id, COUNT(*) AS n_docs,
+       |       string_agg(d.text, ' ' ORDER BY ps.doc_id) AS payload
+       |FROM ps JOIN documents d ON ps.doc_id = d.doc_id
+       |GROUP BY shard_id""".stripMargin
 
   val shardManifestSql: String =
-    packDocsSql.replace("SELECT doc_id, w, cum_tokens,",
-      "SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS shard_tokens, " +
-        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc FROM (SELECT doc_id, w, cum_tokens,")
-      .replace("FROM c", "FROM c) GROUP BY shard_id")
+    s"""WITH $packCteBody
+       |SELECT shard_id, COUNT(*) AS n_docs,
+       |       CAST(SUM(w) AS BIGINT) AS shard_tokens,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM ps GROUP BY shard_id""".stripMargin
 
   /** SEQUENCE packing — the causal-LM layout step shard packing is
     * not: concatenate the corpus token stream in key order and cut it

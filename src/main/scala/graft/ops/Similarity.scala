@@ -931,6 +931,14 @@ object Similarity {
     * of budgetPct% of the corpus, floored at 1 so no topic vanishes.
     * k rows — driver math on a collected frame, like the centroid
     * cache itself. */
+  /** Shared sampler defaults — the GATE recomputes quotas
+    * independently, so these live in ONE place: changing a default in
+    * the sample call alone would silently leave the gate asserting
+    * against stale parameters (the r12 ADVICE hazard). */
+  private[ops] val SampleK = 16
+  private[ops] val SampleAlpha = 0.5
+  private[ops] val SampleBudgetPct = 25
+
   private[ops] def clusterQuotas(sizes: Array[(Int, Long)],
       alpha: Double, budgetPct: Int): Seq[(Int, Long, Long)] = {
     val total = sizes.map(_._2).sum
@@ -977,7 +985,8 @@ object Similarity {
     * query (float centroids aren't oracle-portable);
     * [[clusterBalancedSampleGate]] is the hash-exact driver gate. */
   def clusterBalancedSample(spark: SparkSession, dir: String,
-      k: Int = 16, alpha: Double = 0.5, budgetPct: Int = 25): DataFrame = {
+      k: Int = SampleK, alpha: Double = SampleAlpha,
+      budgetPct: Int = SampleBudgetPct): DataFrame = {
     val cents = cachedIvfCentroids(spark, dir, k, normalized(spark, dir))
     import spark.implicits._
     val centDf = cents.toSeq.toDF("cid", "cvec")
@@ -1003,8 +1012,8 @@ object Similarity {
     * integer-slack unit allowed for quota flooring). */
   def clusterBalancedSampleGate(spark: SparkSession, dir: String)
       : DataFrame = {
-    val k = 16
-    val s = clusterBalancedSample(spark, dir, k).cache()
+    val s = clusterBalancedSample(spark, dir,
+      SampleK, SampleAlpha, SampleBudgetPct).cache()
     val n = Tables.embeddings(spark, dir).count()
     val once = s.count() == n &&
       s.select("vec_id").distinct().count() == n
@@ -1016,7 +1025,7 @@ object Similarity {
         (r.getAs[Long]("sel"), r.getAs[Long]("sz")))).toMap
     val quotas = clusterQuotas(
       got.map { case (c, (_, sz)) => (c, sz) }.toArray.sortBy(_._1),
-      0.5, 25)
+      SampleAlpha, SampleBudgetPct)
     val quotaExact = quotas.nonEmpty && quotas.forall {
       case (c, sz, quota) => got(c)._1 == math.min(quota, sz)
     }

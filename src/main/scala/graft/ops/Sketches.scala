@@ -85,22 +85,67 @@ object Sketches {
   // Scale shape: the build is one events scan — the d=4 per-row
   // buckets are codegen'd md5 columns exploded BELOW the scan, and
   // map-side partial aggregation collapses the shuffle to ≤ d·w rows
-  // per partition (the sketch is 4×256 = 1k rows total, CONSTANT in
-  // data volume). Estimates join a k-row candidate frame against the
-  // 1k-row sketch — broadcast, no corpus-sized stage anywhere past
+  // per partition (the sketch is d·w rows total, CONSTANT in event
+  // volume). Estimates join a k-row candidate frame against the
+  // d·w-row sketch — broadcast, no corpus-sized stage anywhere past
   // the scan. At 100 TB the ingest grain persists per-partition
   // sketches and any rollup (monthly, global, cross-source) is a sum.
+  //
+  // WIDTH AUTO-SCALES with key cardinality (the r12 fixed-structure
+  // lesson: a 4×256 constant drowns heavy hitters in ε·N noise once
+  // the key space outgrows the buckets). w = max(256, pow2ceil(
+  // ceil(n_keys / 8))) keeps expected bucket occupancy ≈ 8 keys, so
+  // the e/w relative-error contract holds at every SF; the 256 floor
+  // keeps every provisioned gate SF (≤ 2048 users) bit-identical to
+  // the historical sketch. pow2ceil is computed as
+  // 1 << length(bin(c−1)) — pure integer ops both engines evaluate
+  // identically (log2-the-float is the graphDegrees hazard), and the
+  // ORACLE derives w by the same formula, so the registered queries
+  // stay hash-exact at ANY SF, not just where the floor bites.
+  // The cardinality input here is an exact COUNT(DISTINCT) (one
+  // key-grain shuffle, same cost class as the heavy-hitter candidate
+  // scan); a persisted 100 TB store would feed the epoch's HLL
+  // estimate instead — width is FROZEN when an ingest-grain sketch
+  // is persisted (mergeability demands one w per store; re-widening
+  // is a rebuild).
 
   private val cmsDepth = 4
-  private val cmsWidth = 256
+
+  /** The auto-width as a broadcastable 1-row frame (w) — computed
+    * declaratively from the same events frame, no driver action. */
+  private def cmsWidthFrame(ev: DataFrame): DataFrame =
+    ev.agg(count_distinct(col("user_id")).as("nk"))
+      .select(expr("greatest(256L, shiftleft(1L, " +
+        "length(bin(greatest((nk + 7) div 8, 2L) - 1))))").as("w"))
+
+  /** SQL twin of [[cmsWidthFrame]]'s expression — the oracle computes
+    * the width by the SAME integer formula. */
+  private val cmsWidthSqlExpr =
+    "GREATEST(256, 1 << length(bin(GREATEST(" +
+      "(COUNT(DISTINCT user_id) + 7) // 8, 2) - 1)))"
 
   /** Bucket of `item` in CMS row `j`: low 32 hex digits of
     * md5("j:item") mod width — engine-portable, like
     * [[Dedup.portableMinhashSigs]]'s pHash. */
-  private def cmsBucket(j: Int, item: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
+  private def cmsBucket(j: Int, item: org.apache.spark.sql.Column,
+      width: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(concat(lit(s"$j:"), item.cast("string"))), 25, 8),
-      16, 10).cast("long") % cmsWidth
+      16, 10).cast("long") % width
+
+  /** Spec seams: width and a flat sketch over an ARBITRARY (user_id)
+    * frame, so the error-contract test can plant cardinality regimes
+    * the registered tables don't reach. */
+  private[graft] def cmsWidthOf(ev: DataFrame): Long =
+    cmsWidthFrame(ev).head().getLong(0)
+
+  private[graft] def cmsSketchFor(ev: DataFrame): DataFrame =
+    ev.crossJoin(broadcast(cmsWidthFrame(ev)))
+      .select(explode(array((0 until cmsDepth).map(j =>
+        struct(lit(j).as("cms_row"),
+          cmsBucket(j, col("user_id"), col("w")).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("rb.cms_row").as("cms_row"), col("rb.bucket").as("bucket"))
+      .groupBy("cms_row", "bucket").agg(count(lit(1)).as("cnt"))
 
   /** Per-month CMS of per-user event counts — the ingest-grain frame
     * a pipeline persists; coarser sketches are GROUP BY sums of it. */
@@ -108,9 +153,11 @@ object Sketches {
     val ev = Tables.events(spark, dir)
       .select(date_trunc("month", to_date(col("ts"))).cast("date")
         .as("month"), col("user_id"))
-    ev.select(col("month"), explode(array((0 until cmsDepth).map(j =>
+    ev.crossJoin(broadcast(cmsWidthFrame(Tables.events(spark, dir))))
+      .select(col("month"), explode(array((0 until cmsDepth).map(j =>
         struct(lit(j).as("cms_row"),
-          cmsBucket(j, col("user_id")).as("bucket"))): _*)).as("rb"))
+          cmsBucket(j, col("user_id"), col("w")).as("bucket"))): _*))
+        .as("rb"))
       .select(col("month"), col("rb.cms_row").as("cms_row"),
         col("rb.bucket").as("bucket"))
       .groupBy("month", "cms_row", "bucket")
@@ -124,15 +171,22 @@ object Sketches {
       .groupBy("cms_row", "bucket")
       .agg(sum("cnt").as("cnt"))
 
+  /** Shared CTE body (width + bucketed rows + sketch) — the heavy-
+    * hitter oracle composes it rather than string-rewriting it (the
+    * r12 derive-by-composition rule). */
+  private val cmsCteBody: String =
+    s"""cw AS (SELECT $cmsWidthSqlExpr AS w FROM events),
+       |rb AS (
+       |  SELECT t.j AS cms_row,
+       |         CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+       |              CAST(user_id AS VARCHAR)), 25, 8)) AS BIGINT) % cw.w
+       |           AS bucket
+       |  FROM events, cw, UNNEST(range(0, 4)) AS t(j)),
+       |sk AS (SELECT cms_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM rb GROUP BY 1, 2)""".stripMargin
+
   val cmsSketchSql: String =
-    """WITH rb AS (
-      |  SELECT t.j AS cms_row,
-      |         CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':' ||
-      |              CAST(user_id AS VARCHAR)), 25, 8)) AS BIGINT) % 256
-      |           AS bucket
-      |  FROM events, UNNEST(range(0, 4)) AS t(j))
-      |SELECT cms_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-      |FROM rb GROUP BY 1, 2""".stripMargin
+    s"WITH $cmsCteBody\nSELECT cms_row, bucket, cnt FROM sk"
 
   /** Heavy hitters with CMS estimates: the exact top-10 users (total
     * order: count desc, user_id — engine-deterministic) attached to
@@ -148,10 +202,13 @@ object Sketches {
     val cand = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id").asc)
       .limit(10)
-    val candBuckets = cand.select(col("user_id"), col("exact_cnt"),
+    val candBuckets = cand
+      .crossJoin(broadcast(cmsWidthFrame(Tables.events(spark, dir))))
+      .select(col("user_id"), col("exact_cnt"),
         explode(array((0 until cmsDepth).map(j =>
           struct(lit(j).as("cms_row"),
-            cmsBucket(j, col("user_id")).as("bucket"))): _*)).as("rb"))
+            cmsBucket(j, col("user_id"), col("w")).as("bucket"))): _*))
+          .as("rb"))
       .select(col("user_id"), col("exact_cnt"),
         col("rb.cms_row").as("cms_row"), col("rb.bucket").as("bucket"))
     candBuckets
@@ -162,7 +219,7 @@ object Sketches {
   }
 
   val cmsHeavyHittersSql: String =
-    s"""WITH sk AS ($cmsSketchSql),
+    s"""WITH $cmsCteBody,
        |cand AS (
        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
        |  FROM events GROUP BY 1
@@ -170,9 +227,9 @@ object Sketches {
        |cb AS (
        |  SELECT c.user_id, c.exact_cnt, t.j AS cms_row,
        |         CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':' ||
-       |              CAST(c.user_id AS VARCHAR)), 25, 8)) AS BIGINT) % 256
+       |              CAST(c.user_id AS VARCHAR)), 25, 8)) AS BIGINT) % cw.w
        |           AS bucket
-       |  FROM cand c, UNNEST(range(0, 4)) AS t(j))
+       |  FROM cand c, cw, UNNEST(range(0, 4)) AS t(j))
        |SELECT cb.user_id, cb.exact_cnt, MIN(sk.cnt) AS cms_est
        |FROM cb JOIN sk ON sk.cms_row = cb.cms_row AND sk.bucket = cb.bucket
        |GROUP BY 1, 2""".stripMargin

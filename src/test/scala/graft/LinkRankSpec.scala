@@ -198,6 +198,76 @@ class LinkRankSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bucketed edge TABLE: no exchange or sort on the edge side in " +
+    "any iteration, straight off the persisted files") {
+    // The PLANS.md claim made real: at cluster scale the edge table
+    // is bucketed-by-src parquet, and every iteration's src-join is
+    // co-located off the FILES (not a session cache). With broadcast
+    // off, the K-iteration plan must contain bucketed scans of the
+    // table and NO shuffle carrying edge rows (od column); the rank
+    // frame is the only thing that moves.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      LinkRank.writeBucketedEdges(spark, dir, "graft_edges_spec")
+      val df = LinkRank.linkRankFromTable(spark, dir, "graft_edges_spec")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def expand(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case other => other.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      val nodes = expand(df.queryExecution.executedPlan)
+      val bucketedScans = nodes.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.bucketedScan => f
+      }
+      assert(bucketedScans.nonEmpty,
+        s"no bucketed scan of the edge table in the plan:\n${nodes.head}")
+      val edgeExchanges = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "od") => e
+      }
+      assert(edgeExchanges.isEmpty,
+        s"edge rows re-shuffled ${edgeExchanges.size}x:\n${nodes.head}")
+      // sortBy(src) at write time eliminates the per-iteration edge
+      // sort too — but ONLY under the opt-in conf: since Spark 3.0 a
+      // bucketed scan does not report the written sort order unless
+      // spark.sql.legacy.bucketedTableScan.outputOrdering is set (the
+      // one-file-per-bucket condition is on us, and the aligned
+      // repartition in writeBucketedEdges guarantees it). Assert the
+      // layout actually delivers when the deployment flips the flag.
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val nodes2 = expand(LinkRank
+        .linkRankFromTable(spark, dir, "graft_edges_spec")
+        .queryExecution.executedPlan)
+      val edgeSorts = nodes2.collect {
+        case s: org.apache.spark.sql.execution.SortExec
+          if s.output.exists(_.name == "od") => s
+      }
+      assert(edgeSorts.isEmpty,
+        s"edge side re-sorted ${edgeSorts.size}x under the sorted-scan " +
+          s"conf:\n${nodes2.head}")
+      // and the persisted-table path is value-identical to linkRank
+      val want = LinkRank.linkRank(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      spark.catalog.clearCache()
+      spark.sql("DROP TABLE IF EXISTS graft_edges_spec")
+    }
+  }
+
   test("linkRankTop is the total-order head of the full frame") {
     val full = LinkRank.linkRank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -422,6 +422,39 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(total === direct.count() * 4, "merge lost or duplicated mass")
   }
 
+  test("CMS width auto-scales with key cardinality; heavy-hitter " +
+    "error honors the eps*N contract at both regimes") {
+    import graft.ops.Sketches
+    // planted regime: key 0 is the heavy hitter (20% of mass), keys
+    // 1..n are singletons — a decade of cardinality growth
+    def mkEvents(nKeys: Long, heavyReps: Long) =
+      spark.range(1, nKeys + 1).select(col("id").as("user_id"))
+        .unionByName(spark.range(heavyReps)
+          .select(lit(0L).as("user_id")))
+    // scala twin of the portable bucket hash (md5("j:key") low 8 hex)
+    def bucket(j: Int, key: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(24, 32), 16) % w
+    }
+    for ((nKeys, heavy, wantW) <- Seq((2000L, 500L, 256L),
+      (20000L, 5000L, 4096L))) {
+      val ev = mkEvents(nKeys, heavy)
+      val w = Sketches.cmsWidthOf(ev)
+      assert(w === wantW, s"width at $nKeys keys")
+      val sk = Sketches.cmsSketchFor(ev).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val est = (0 until 4)
+        .map(j => sk.getOrElse((j, bucket(j, 0L, w)), 0L)).min
+      val n = nKeys + heavy
+      assert(est >= heavy, "CMS must never underestimate")
+      // d=4 rows, expected overcount N/w per row; 3x slack on the min
+      assert(est - heavy <= math.max(1L, 3L * n / w),
+        s"overcount ${est - heavy} beyond the eps*N band at n=$n w=$w")
+    }
+  }
+
   test("clusterSplit: component-consistent, zero near-dup leakage, " +
     "partitioning-invariant") {
     val split = graft.ops.Mix.clusterSplit(spark, sf).cache()
@@ -459,6 +492,51 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       expectedItems = 2, fpp = 0.5)
     assert(plain.exceptAll(noisy).count() === 0)
     assert(noisy.exceptAll(plain).count() === 0)
+  }
+
+  test("sharded bloom screen ≡ plain anti-join, incl. null texts and " +
+    "the persisted store") {
+    // registry-scale differential: 8-shard screen vs from-scratch
+    val plain = Dedup.dedupIncremental(spark, sf)
+    val sharded = Dedup.dedupIncrementalBloomSharded(spark, sf)
+    assert(plain.exceptAll(sharded).count() === 0)
+    assert(sharded.exceptAll(plain).count() === 0)
+
+    // null texts: null fp rows must take the exact confirm path and
+    // survive IDENTICALLY to the unscreened anti-join (r12 ADVICE) —
+    // in both the single-filter and the sharded screen
+    val docs = Seq(
+      (1L, "alpha beta", "hist"), (2L, null, "hist"),
+      (10L, "alpha beta", "new"), // dup of history → dropped
+      (11L, null, "new"),         // null fp → kept (null matches nothing)
+      (12L, "fresh one", "new")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+    val hist = docs.where(col("source") === "hist")
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+    val batch = docs.where(col("source") === "new")
+    val exact = Dedup.dedupAgainstHistory(batch, hist)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact === Set(11L, 12L))
+    val single = Dedup.dedupAgainstHistoryBloom(batch, hist,
+      expectedItems = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(single === exact)
+    val shard4 = Dedup.dedupAgainstHistoryBloomSharded(batch, hist,
+      shards = 4, itemsPerShard = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shard4 === exact)
+
+    // persisted store: build once, screen from the store's own rows
+    // (sizing stats ride in the store — zero corpus actions)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bloom-store").toString + "/epoch0"
+    Dedup.buildBloomStore(hist, store, shards = 4, itemsPerShard = 4)
+    val fromStore = Dedup.dedupAgainstBloomStore(spark, batch, hist,
+      store, shards = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromStore === exact)
   }
 
   test("corpusMix: repeat counts honor integer+fractional weights, " +
