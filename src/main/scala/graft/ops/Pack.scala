@@ -67,22 +67,23 @@ object Pack {
       // task: 609 s of pure closure deserialization. The inputs here
       // are always slim key frames built by projection/aggregation
       // over the scans, so the SUM OF LEAF SIZES bounds the true
-      // volume — clamp the derived estimate to it. The bound only
-      // holds for NON-EXPANDING plans: a Generate (explode) or Expand
-      // (rollup) can legitimately exceed its inputs, and clamping
-      // there would under-partition exactly the way the clamp was
-      // added to prevent over-partitioning — so expanding plans keep
-      // the derived estimate. (Many-to-many joins can also fan out,
-      // but no caller feeds one here; the slim-key-frame assumption
-      // is the documented contract of this helper.)
-      import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate}
-      val expanding = slim.queryExecution.optimizedPlan.exists {
-        case _: Generate | _: Expand => true
-        case _ => false
-      }
+      // volume — clamp the derived estimate to it.
+      //
+      // CONTRACT (not detected): the clamp assumes bounded fan-out —
+      // a caller whose frame explodes far past its inputs must pass
+      // an explicit numParts. The tempting "skip the clamp when the
+      // plan contains a Generate" guard was tried and REVERTED: the
+      // ppl-bucket key frame carries both a small bounded explode AND
+      // the multiplicative join fiction, so the guard re-opened the
+      // exact 147x regression the clamp was built to fix (sf1
+      // measured; a Generate node does not tell you which effect
+      // dominates the estimate). Bounded-explode frames stay correct
+      // under the clamp because correctness is partition-count-
+      // invariant — the only risk is task sizing, and the shuffle-
+      // partition floor below keeps that sane.
       val leafSum = leaves.map(_.stats.sizeInBytes).sum
-      val est = if (expanding) bytes else bytes.min(leafSum)
-      val bySize = (est / (64L << 20)).min(BigInt(4 << 20)).toInt + 1
+      val bySize = (bytes.min(leafSum) / (64L << 20))
+        .min(BigInt(4 << 20)).toInt + 1
       math.max(shuffleParts, bySize)
     }
   }
