@@ -73,43 +73,63 @@ object Bench {
       spark.catalog.clearCache()
       name -> t
     }.toMap
+    // SPARK_GRAFT_BENCH_PASSES=1 runs a single pass — the knob for the
+    // multi-hour scale boards (sf10: two separated passes cost ~3 h of
+    // wall for a board whose consumers are decade RATIOS read at the
+    // >10x-triage threshold; single-pass noise is well inside that).
+    // Default stays 2 (min across separated passes, the r11 cold-plan
+    // discipline) for every driver-contract sf0.1 run.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(2)
     val passA = onePass()
-    val passB = onePass()
+    val passB = if (passes > 1) onePass() else passA
     val results = board.map { case (name, _) =>
       val (a, b) = (passA(name), passB(name))
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
+    // SPARK_GRAFT_BENCH_NOSTREAM=1 skips the streaming-throughput
+    // section (stream_* fields report -1): the memory-sink stream is
+    // the ONE part of this main that cannot run outside sbt
+    // (EXPRESSION_DECODING_FAILED under a bare java classpath), and
+    // the scale boards run sbt-free so compiles/tests can proceed
+    // while a multi-hour board is in flight. Scale-board streaming
+    // numbers come from the dedicated streaming stress mains instead.
+    val noStream = sys.env.get("SPARK_GRAFT_BENCH_NOSTREAM").contains("1")
+
     // streaming throughput + per-micro-batch latency: pace the file
     // stream into multiple batches and read batch durations from the
     // query's progress events (BASELINE.md bench obligations)
     val nEvents = graft.core.Tables.events(spark, sfDir).count()
-    // split into multiple files so maxFilesPerTrigger yields real
-    // micro-batches (the source table is a single parquet file)
-    val chunkDir = java.nio.file.Files
-      .createTempDirectory("graft-bench-stream").toString
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-      "TIMESTAMP_MICROS")
-    graft.core.Tables.events(spark, sfDir)
-      .repartition(8)
-      .write.mode("overwrite").parquet(chunkDir)
-    val t0 = System.nanoTime()
-    val name = "bench_stream"
-    val agg = graft.streaming.StreamAggregator.dailyAggExact(
-      graft.streaming.StreamAggregator.replayStream(spark,
-        chunkDir, maxFilesPerTrigger = Some(2)))
-    val q = agg.writeStream
-      .outputMode("complete").format("memory").queryName(name)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft-bench-ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val streamSec = (System.nanoTime() - t0) / 1e9
-    val rowsPerSec = nEvents / streamSec
-    val batchDurations = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
-      .map(_.batchDuration.toDouble / 1000.0)
+    val (streamSec, rowsPerSec, batchDurations) = if (noStream) {
+      (-1.0, -1.0, Seq.empty[Double])
+    } else {
+      // split into multiple files so maxFilesPerTrigger yields real
+      // micro-batches (the source table is a single parquet file)
+      val chunkDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-stream").toString
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      graft.core.Tables.events(spark, sfDir)
+        .repartition(8)
+        .write.mode("overwrite").parquet(chunkDir)
+      val t0 = System.nanoTime()
+      val name = "bench_stream"
+      val agg = graft.streaming.StreamAggregator.dailyAggExact(
+        graft.streaming.StreamAggregator.replayStream(spark,
+          chunkDir, maxFilesPerTrigger = Some(2)))
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-bench-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, nEvents / sec, q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(_.batchDuration.toDouble / 1000.0))
+    }
     val avgBatchSec =
       if (batchDurations.nonEmpty) batchDurations.sum / batchDurations.size
       else streamSec

@@ -36,6 +36,10 @@ object SparkEntry {
     // trailing sums; fixed float expression shape → hash-exact)
     "q_volume_anomaly" -> ((s: SparkSession, d: String) =>
       graft.ops.Monitor.volumeAnomaly(s, d)),
+    // data layout: Z-order clustering profile + min/max-stats pruning
+    // simulation (all-integer Morton arithmetic → hash-exact)
+    "q_zorder_layout" -> (graft.ops.Layout.zorderLayout _),
+    "q_zorder_prune_effect" -> (graft.ops.Layout.zorderPruneEffect _),
     "q_distinct_types" -> (Relational.distinctEventTypes _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),
@@ -166,6 +170,12 @@ object SparkEntry {
       Dedup.minhashLshPairsPortable(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d)),
+    // character-grain verify tier: LSH candidates × exact Levenshtein
+    // (xxhash64 path rows-only; the md5 portable twin is hash-exact)
+    "q_editdist_near_dup" -> ((s: SparkSession, d: String) =>
+      Dedup.editDistNearDup(s, d)),
+    "q_editdist_near_dup_portable" -> ((s: SparkSession, d: String) =>
+      Dedup.editDistNearDupPortable(s, d)),
     "q_simhash_portable" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairsPortable(s, d)),
     // term statistics (TF-IDF family) + BM25 retrieval
@@ -478,6 +488,8 @@ object SparkEntry {
     "q_cms_sketch" -> graft.ops.Sketches.cmsSketchSql,
     "q_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersSql,
     "q_volume_anomaly" -> graft.ops.Monitor.volumeAnomalySql,
+    "q_zorder_layout" -> graft.ops.Layout.zorderLayoutSql,
+    "q_zorder_prune_effect" -> graft.ops.Layout.zorderPruneEffectSql,
     "q_with_literal" -> Relational.withLiteralColumnSql,
     "q_semijoin_active_users" -> Relational.semiJoinActiveUsersSql,
     "q_revenue_by_region" -> Relational.revenueByRegionSql,
@@ -499,6 +511,7 @@ object SparkEntry {
     "q_lang_id" -> TextStats.langIdSql,
     "q_winnow_fp_portable" -> TextStats.winnowingPortableSql,
     "q_minhash_lsh_portable" -> Dedup.minhashLshPairsPortableSql,
+    "q_editdist_near_dup_portable" -> Dedup.editDistNearDupPortableSql,
     "q_simhash_portable" -> Dedup.simhashPairsPortableSql,
     "q_dedup_clusters_portable" ->
       graft.ops.Components.lshDedupClustersPortableSql,

@@ -857,4 +857,73 @@ object Dedup {
       |            AS BIGINT) AS n_cross_source
       |FROM pp LEFT JOIN sh ON sh.fp = pp.fp
       |GROUP BY pp.source""".stripMargin
+
+  // ----- Edit-distance verify tier -----
+
+  /** Character-grain near-dup: LSH candidates verified by EXACT edit
+    * distance — the tier that catches OCR noise, typo farms, and
+    * template drift that token-level Jaccard under-scores (shingle
+    * sets barely move when every 20th character mutates, but curation
+    * rules phrased as "≤ 20% of characters changed" need the real
+    * Levenshtein value, not a set estimate).
+    *
+    * Scale shape: the quadratic DP never runs on the corpus — only on
+    * LSH candidate pairs (band-bucket joins, id-only shuffles; the
+    * texts attach per-candidate). Two bounds keep the per-pair cost
+    * honest at 100 TB: `capDist` uses Spark's early-exit Levenshtein
+    * (the threshold variant abandons the DP once the distance exceeds
+    * the cap — O(cap·len) not O(len²)), and the relative filter
+    * `5·dist ≤ max(n_chars)` (≤ 20% of the longer text) is all-integer
+    * so both engines agree exactly. A pair is emitted iff it passes
+    * BOTH: dist ≤ capDist AND dist ≤ 20% of the longer length. */
+  def editDistNearDupFor(docs: DataFrame, capDist: Int = 500): DataFrame =
+    editDistVerify(docs,
+      minhashLshPairsFor(docs.select("doc_id", "text")), capDist)
+
+  /** Production form over the documents table (xxhash64 LSH — seeded-
+    * hash candidates, so no SQL oracle; [[editDistNearDupPortable]] is
+    * the hash-exact twin proving the verify arithmetic). */
+  def editDistNearDup(spark: SparkSession, dir: String,
+      capDist: Int = 500): DataFrame =
+    editDistNearDupFor(Tables.documents(spark, dir), capDist)
+
+  /** Oracle twin: md5-portable LSH candidates (the [[portableLshCteBody]]
+    * machinery) verified by the same exact edit distance — every step
+    * reproducible in DuckDB, hash-exact. */
+  def editDistNearDupPortable(spark: SparkSession, dir: String,
+      capDist: Int = 500): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    editDistVerify(docs,
+      minhashLshPairsPortableFor(docs.select("doc_id", "text")), capDist)
+  }
+
+  /** The shared verify join: attach both texts to (doc_a, doc_b)
+    * candidates, compute the capped Levenshtein once, filter on the
+    * cap and the 20%-relative bound. `levenshtein(a, b, cap)` returns
+    * -1 past the cap, so `dist >= 0` is exactly `dist <= cap`. */
+  private def editDistVerify(docs: DataFrame, candidates: DataFrame,
+      capDist: Int): DataFrame = {
+    val texts = docs.select(col("doc_id"), col("text"),
+      col("n_chars"))
+    candidates.select("doc_a", "doc_b")
+      .join(texts.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(texts.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("a.text"), col("b.text"), capDist)
+          .cast("long").as("dist"),
+        greatest(col("a.n_chars"), col("b.n_chars")).as("max_len"))
+      .where(col("dist") >= 0 && col("dist") * 5 <= col("max_len"))
+  }
+
+  val editDistNearDupPortableSql: String =
+    s"""WITH $portableLshCteBody,
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+       |         GREATEST(a.n_chars, b.n_chars) AS max_len
+       |  FROM lshp c
+       |  JOIN documents a ON c.doc_a = a.doc_id
+       |  JOIN documents b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, dist, max_len FROM verified
+       |WHERE dist <= 500 AND dist * 5 <= max_len""".stripMargin
 }

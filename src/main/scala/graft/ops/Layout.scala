@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering — the
+  * file-layout operator a 100 TB lake runs so that TWO predicate
+  * dimensions prune at scan time instead of one. Reference behavior
+  * covered: none (extension; the reference reads an already-partitioned
+  * hotel-weather layout — this is the operator that WRITES such
+  * layouts well).
+  *
+  * Why this is first-order at scale: parquet scan pruning works off
+  * per-file (row-group) min/max column stats. A table sorted by one
+  * column gives that column tight per-file ranges and leaves every
+  * other column's range as wide as the domain — a time-range query on
+  * a user-sorted table reads every file. Interleaving the bits of two
+  * bounded bucket ids (x even bits, y odd bits) and sorting by the
+  * result bounds BOTH per-file ranges at once: a file of 2^k
+  * consecutive z-values spans ≤ 2^ceil(k/2) x-buckets × 2^floor(k/2)
+  * y-buckets, so a box predicate touches ~√(selectivity) of the files
+  * per dimension instead of all of them. This is the same layout
+  * technique Delta/Iceberg expose as OPTIMIZE ZORDER; the arithmetic
+  * here is plain integer expressions, fully codegen'd, and — unlike
+  * space-filling-curve libraries — reproducible in ANSI SQL, so every
+  * query in the family is hash-exact against the DuckDB oracle.
+  *
+  * Determinism discipline: bucket ids are equal-width integer bins
+  * derived from the dimension's (min, max) — one 1-row bounds
+  * aggregate broadcast back onto the scan (the repo's bounded-frame
+  * pattern; at a real lake the bounds come from table stats). Every
+  * step after the scan is integer DIV/shift arithmetic — no floats
+  * anywhere in the family.
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of two non-negative ints:
+    * x occupies even output positions, y odd. Unrolled into 2·bits
+    * codegen'd shift/mask terms (bits ≤ 16 keeps the tree small);
+    * both engines evaluate the identical integer expression. */
+  def zValue(x: Column, y: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** The same interleave as SQL text, for the oracles. */
+  def zValueSql(x: String, y: String, bits: Int = 8): String =
+    (0 until bits).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** Events collapsed to the (x_bucket, y_bucket) cell grain over
+    * (user_id, event day): the one shuffle in the family, carrying at
+    * most 2^(2·bits) rows no matter the event volume. Bucket id =
+    * (v - min) * 2^bits DIV (max - min + 1) — pure integer, always in
+    * [0, 2^bits). Day joins in as days-since-min-day so both
+    * dimensions are dense non-negative ints. */
+  private def eventCells(spark: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    val n = 1 << bits
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        lit(1L).as("one"))
+    val bounds = ev.agg(
+      min("user_id").as("u_min"), max("user_id").as("u_max"),
+      min("day").as("d_min"), max("day").as("d_max"))
+    ev.join(broadcast(bounds))
+      .select(
+        expr(s"(user_id - u_min) * $n DIV (u_max - u_min + 1)")
+          .as("xb"),
+        expr(s"(datediff(day, d_min)) * $n DIV " +
+          s"(datediff(d_max, d_min) + 1)").as("yb"))
+      .groupBy("xb", "yb").agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val cellsSql: String =
+    """SELECT (user_id - u_min) * 256 // (u_max - u_min + 1) AS xb,
+      |       (CAST(ts AS DATE) - d_min) * 256 //
+      |         ((d_max - d_min) + 1) AS yb,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM events, (SELECT MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+      |                     MIN(CAST(ts AS DATE)) AS d_min,
+      |                     MAX(CAST(ts AS DATE)) AS d_max FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Per-z-block layout profile: cells z-ordered, 256 cells per block
+    * (the simulated file), per block the row volume and the x/y
+    * bucket spans the block's min/max stats would advertise. The
+    * point the numbers make: every block's x-span AND y-span is ≤ 16
+    * of 256 — a 16×16 patch — where a lexicographic layout's blocks
+    * span all 256 y-buckets. Plan: scan → cell aggregate (≤ 65 536
+    * rows) → block aggregate (256 rows); volume-independent past the
+    * first aggregate. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    eventCells(spark, dir, bits = 8)
+      .withColumn("z", zValue(col("xb"), col("yb")))
+      .withColumn("z_block", expr("z DIV 256"))
+      .groupBy("z_block")
+      .agg(count(lit(1)).as("n_cells"), sum("n_rows").as("n_rows"),
+        min("xb").as("x_lo"), max("xb").as("x_hi"),
+        min("yb").as("y_lo"), max("yb").as("y_hi"))
+
+  val zorderLayoutSql: String =
+    s"""WITH cells AS ($cellsSql),
+       |z AS (SELECT *, ${zValueSql("xb", "yb")} // 256 AS z_block
+       |      FROM cells)
+       |SELECT z_block, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       |       MIN(xb) AS x_lo, MAX(xb) AS x_hi,
+       |       MIN(yb) AS y_lo, MAX(yb) AS y_hi
+       |FROM z GROUP BY 1""".stripMargin
+
+  /** Min/max-stats pruning simulation: the SAME cell frame filed
+    * three ways (256 cells per file) — `zorder` (file = z DIV 256),
+    * `lexicographic` (file = x-bucket: sort by (x, y) puts one
+    * x-bucket per file at this file size), and `unsorted` (stats
+    * carry no information: every nonempty file is read). A file is
+    * READ iff its advertised [min,max] x-range AND y-range both
+    * overlap the box — exactly parquet row-group pruning semantics,
+    * false positives included. Box = the center 1/8 × 1/8 of the
+    * bucket space. Output one row per layout: files/rows read vs the
+    * rows that actually match — the read-amplification table that
+    * justifies z-ordering a 100 TB fact table. */
+  def zorderPruneEffect(spark: SparkSession, dir: String): DataFrame = {
+    val (xLo, xHi, yLo, yHi) = (96, 127, 96, 127)
+    val boxed = eventCells(spark, dir, bits = 8)
+      .withColumn("z", zValue(col("xb"), col("yb")))
+      .withColumn("in_box",
+        (col("xb").between(xLo, xHi) && col("yb").between(yLo, yHi))
+          .cast("long"))
+    val layouts = Seq(
+      "zorder" -> expr("z DIV 256"),
+      "lexicographic" -> col("xb"),
+      // ingestion-order stand-in: coprime mixing scatters each file's
+      // cells across the whole bucket space, so its min/max stats
+      // advertise (nearly) the full domain and nothing prunes
+      "unsorted" -> expr("(xb * 73 + yb * 151) % 256"))
+    layouts.map { case (name, fileId) =>
+      boxed.withColumn("file_id", fileId)
+        .groupBy("file_id")
+        .agg(sum("n_rows").as("f_rows"),
+          sum(col("in_box") * col("n_rows")).as("f_match"),
+          min("xb").as("x_lo"), max("xb").as("x_hi"),
+          min("yb").as("y_lo"), max("yb").as("y_hi"))
+        .withColumn("hit",
+          (col("x_hi") >= xLo && col("x_lo") <= xHi &&
+            col("y_hi") >= yLo && col("y_lo") <= yHi).cast("long"))
+        .agg(count(lit(1)).as("n_files"),
+          sum("hit").as("files_read"),
+          sum(col("hit") * col("f_rows")).as("rows_read"),
+          sum("f_match").as("rows_match"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("files_read"), col("rows_read"), col("rows_match"))
+    }.reduce(_ unionAll _)
+  }
+
+  val zorderPruneEffectSql: String = {
+    def one(name: String, fileId: String) =
+      s"""SELECT '$name' AS layout,
+         |       CAST(COUNT(*) AS BIGINT) AS n_files,
+         |       CAST(SUM(hit) AS BIGINT) AS files_read,
+         |       CAST(SUM(hit * f_rows) AS BIGINT) AS rows_read,
+         |       CAST(SUM(f_match) AS BIGINT) AS rows_match
+         |FROM (SELECT SUM(n_rows) AS f_rows, SUM(in_box * n_rows) AS f_match,
+         |             CASE WHEN MAX(xb) >= 96 AND MIN(xb) <= 127
+         |                   AND MAX(yb) >= 96 AND MIN(yb) <= 127
+         |                  THEN 1 ELSE 0 END AS hit
+         |      FROM boxed GROUP BY $fileId)""".stripMargin
+    s"""WITH cells AS ($cellsSql),
+       |boxed AS (
+       |  SELECT *, ${zValueSql("xb", "yb")} AS z,
+       |         CASE WHEN xb BETWEEN 96 AND 127
+       |               AND yb BETWEEN 96 AND 127
+       |              THEN 1 ELSE 0 END AS in_box
+       |  FROM cells)
+       |${one("zorder", "z // 256")}
+       |UNION ALL ${one("lexicographic", "xb")}
+       |UNION ALL ${one("unsorted", "(xb * 73 + yb * 151) % 256")}""".stripMargin
+  }
+
+  /** Physically write `df` z-clustered on two integer bucket columns:
+    * range-partition by the interleaved key, sort within partitions,
+    * one parquet file per partition — each emitted file then carries
+    * tight min/max stats on BOTH source columns (asserted per-file in
+    * LayoutSpec). `numFiles` sizes the job (a lake compaction would
+    * derive it from target file size); the z column itself is dropped
+    * from the output — it is a layout device, not data. */
+  def zorderWrite(df: DataFrame, xBucket: Column, yBucket: Column,
+      outDir: String, numFiles: Int, bits: Int = 8): Unit =
+    df.withColumn("__z", zValue(xBucket, yBucket, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+}

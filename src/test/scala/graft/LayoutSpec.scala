@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Layout}
+
+class LayoutSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  // ----- zValue: the Morton interleave itself -----
+
+  test("zValue matches a reference bit-interleave on sample points") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .sum
+    val pts = Seq((0L, 0L), (255L, 255L), (1L, 0L), (0L, 1L),
+      (170L, 85L), (13L, 200L))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"))).as[Long].collect()
+    assert(got.toSeq === pts.map { case (x, y) => ref(x, y) })
+    // order-preservation inside an aligned block: all z of a 16x16
+    // tile sit in one 256-sized z block
+    val tile = for (x <- 16L until 32L; y <- 48L until 64L) yield (x, y)
+    val zs = tile.map { case (x, y) => ref(x, y) }
+    assert(zs.map(_ / 256).distinct.size === 1)
+  }
+
+  // ----- layout profile: both dimensions bounded per block -----
+
+  test("zorderLayout blocks span at most a 16x16 bucket patch") {
+    val blocks = Layout.zorderLayout(spark, sf)
+    val m = blocks.agg(
+      max(col("x_hi") - col("x_lo")).as("xs"),
+      max(col("y_hi") - col("y_lo")).as("ys"),
+      sum("n_rows").as("rows")).head()
+    // 256 consecutive z values free the low 4 bits of each dimension
+    assert(m.getLong(0) <= 15 && m.getLong(1) <= 15)
+    // profile is a partition of the input: row mass preserved
+    val total = graft.core.Tables.events(spark, sf).count()
+    assert(m.getLong(2) === total)
+  }
+
+  // ----- pruning simulation: the read-amplification ordering -----
+
+  test("zorderPruneEffect: z-order reads least, stats-less reads most") {
+    val rows = Layout.zorderPruneEffect(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (_, _, zRead, zMatch) = rows("zorder")
+    val (_, _, lexRead, lexMatch) = rows("lexicographic")
+    val (unFiles, unHit, unRead, unMatch) = rows("unsorted")
+    // all three file the SAME cells: matching row mass identical
+    assert(zMatch === lexMatch && lexMatch === unMatch)
+    // min/max pruning never loses a matching row
+    assert(zRead >= zMatch && lexRead >= lexMatch && unRead >= unMatch)
+    // the ordering that justifies the layout: z-order's read
+    // amplification <= single-column sort <= scattered (at sf0.001:
+    // 15 / 137 / 598 rows read for the same 15 matching). unHit is
+    // NOT asserted against unFiles: with ~2 cells per scattered file
+    // at this SF, a two-point bounding box misses the query box often
+    // enough that "prunes nothing" only holds for well-filled files.
+    assert(zRead <= lexRead && lexRead <= unRead)
+    assert(unFiles > 0 && unHit > 0)
+  }
+
+  // ----- the physical write: per-file stats actually tighten -----
+
+  test("zorderWrite files: a 2-D box touches fewer files than x-sort") {
+    // avg bounding-box AREA is layout-invariant for any space
+    // partition (n_files x avg_area ~ grid area) — what z-order buys
+    // is SHAPE: square-ish patches instead of full-width slivers, so
+    // a 2-D box overlaps ~sqrt as many files. Assert exactly that,
+    // on the files' real min/max stats. sf0.01 fills the bucket grid
+    // (sf0.001 collapses xb onto ~15 sparse values and the file
+    // geometry degenerates); 64 files ~ 32x32 patches vs 4x256
+    // slivers.
+    val n = 256
+    val dir001 = "/root/testdata/sf0.01"
+    val ev = graft.core.Tables.events(spark, dir001)
+      .select(col("event_id"), col("user_id"),
+        to_date(col("ts")).as("day"))
+    val bounds = ev.agg(
+      min("user_id").as("u_min"), max("user_id").as("u_max"),
+      min("day").as("d_min"), max("day").as("d_max"))
+    val bucketed = ev.join(broadcast(bounds))
+      .select(col("event_id"),
+        expr(s"(user_id - u_min) * $n DIV (u_max - u_min + 1)").as("xb"),
+        expr(s"datediff(day, d_min) * $n DIV (datediff(d_max, d_min) + 1)")
+          .as("yb"))
+    def filesHitByBox(dir: String): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("xb").as("x_lo"), max("xb").as("x_hi"),
+          min("yb").as("y_lo"), max("yb").as("y_hi"))
+      (stats.count(),
+        stats.where(col("x_hi") >= 96 && col("x_lo") <= 127 &&
+          col("y_hi") >= 96 && col("y_lo") <= 127).count())
+    }
+
+    val zDir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    Layout.zorderWrite(bucketed, col("xb"), col("yb"), zDir,
+      numFiles = 64)
+    val xDir = java.nio.file.Files
+      .createTempDirectory("graft-xsort").toString
+    bucketed.repartitionByRange(64, col("xb"))
+      .sortWithinPartitions("xb")
+      .write.mode("overwrite").parquet(xDir)
+
+    // same rows in both layouts
+    assert(spark.read.parquet(zDir).count() ===
+      spark.read.parquet(xDir).count())
+    val (zFiles, zHit) = filesHitByBox(zDir)
+    val (xFiles, xHit) = filesHitByBox(xDir)
+    assert(zFiles === 64 && xFiles === 64)
+    assert(zHit < xHit,
+      s"z-order box overlap $zHit should beat x-sort $xHit")
+  }
+
+  // ----- edit-distance verify tier -----
+
+  test("editDistNearDup catches char-grain near-dups, drops unrelated") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    // ~4% of characters changed: high shingle overlap AND small
+    // edit distance -> must surface with its true distance
+    val typo = base.replace("tok7 ", "tok7x ").replace("tok40", "tok4q")
+    val unrelated = (1 to 80).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, typo), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Dedup.editDistNearDupFor(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0)
+    assert(pairs((1L, 4L)) === 0) // exact dup: distance zero
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("editDistNearDup relative bound rejects heavy rewrites") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // shares enough shingles to be an LSH candidate (prefix half
+    // identical) but the suffix is rewritten: > 20% of characters
+    val half = (1 to 20).map(i => s"tok$i").mkString(" ") + " " +
+      (1 to 20).map(i => s"qqqqqq$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, half)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // verify the bound directly on the pair regardless of LSH recall
+    val dist = docs.as("a").join(docs.as("b"),
+      col("a.doc_id") < col("b.doc_id"))
+      .select(levenshtein(col("a.text"), col("b.text")).cast("long"))
+      .head().getLong(0)
+    assert(dist * 5 > base.length.max(half.length)) // above 20%
+    val pairs = Dedup.editDistNearDupFor(docs).collect()
+    assert(pairs.isEmpty)
+  }
+
+  test("editDistNearDup null text routes out without crashing") {
+    val docs = Seq((1L, Option("alpha beta gamma delta")), (2L, None))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars",
+        coalesce(length(col("text")).cast("long"), lit(0L)))
+    assert(Dedup.editDistNearDupFor(docs).collect().isEmpty)
+  }
+}
