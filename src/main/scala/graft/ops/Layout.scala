@@ -127,11 +127,16 @@ object Layout {
     * justifies z-ordering a 100 TB fact table. */
   def zorderPruneEffect(spark: SparkSession, dir: String): DataFrame = {
     val (xLo, xHi, yLo, yHi) = (96, 127, 96, 127)
+    // cached: three layout branches consume the SAME cell frame —
+    // without this the events scan + cell aggregate re-runs per
+    // branch (measured 3x the scan cost at sf10). The frame is
+    // bucket-space-bounded (<= 65 536 rows) at any event volume.
     val boxed = eventCells(spark, dir, bits = 8)
       .withColumn("z", zValue(col("xb"), col("yb")))
       .withColumn("in_box",
         (col("xb").between(xLo, xHi) && col("yb").between(yLo, yHi))
           .cast("long"))
+      .cache()
     val layouts = Seq(
       "zorder" -> expr("z DIV 256"),
       "lexicographic" -> col("xb"),
