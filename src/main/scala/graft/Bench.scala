@@ -57,7 +57,14 @@ object Bench {
     // work and still time cold plans (plans aren't cached across
     // runs); one-off JIT/scratch-build costs land in pass A and min()
     // picks the steady pass, exactly as before.
-    val board = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_STREAMONLY=1 empties the board and runs ONLY
+    // the streaming-throughput section — the sbt-bound part — so a
+    // scale vintage can refresh its stream numbers without re-paying
+    // a multi-hour per-query board (the sbt-free board supplies those)
+    val streamOnly =
+      sys.env.get("SPARK_GRAFT_BENCH_STREAMONLY").contains("1")
+    val board = (if (streamOnly) Seq.empty
+       else SparkEntry.queries.toSeq.sortBy(_._1))
       .filterNot { case (n, _) => skip(n) }
     def onePass(): Map[String, Double] = board.map { case (name, fn) =>
       val t = try {
@@ -79,8 +86,11 @@ object Bench {
     // >10x-triage threshold; single-pass noise is well inside that).
     // Default stays 2 (min across separated passes, the r11 cold-plan
     // discipline) for every driver-contract sf0.1 run.
+    // tolerant parse: a malformed or non-positive value falls back to
+    // the 2-pass default instead of killing the board after warmup
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.toInt).getOrElse(2)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
     val passA = onePass()
     val passB = if (passes > 1) onePass() else passA
     val results = board.map { case (name, _) =>
@@ -100,10 +110,12 @@ object Bench {
     // streaming throughput + per-micro-batch latency: pace the file
     // stream into multiple batches and read batch durations from the
     // query's progress events (BASELINE.md bench obligations)
-    val nEvents = graft.core.Tables.events(spark, sfDir).count()
     val (streamSec, rowsPerSec, batchDurations) = if (noStream) {
+      // no events count here: it would pay a full events scan per
+      // board solely to feed fields that report -1 anyway
       (-1.0, -1.0, Seq.empty[Double])
     } else {
+      val nEvents = graft.core.Tables.events(spark, sfDir).count()
       // split into multiple files so maxFilesPerTrigger yields real
       // micro-batches (the source table is a single parquet file)
       val chunkDir = java.nio.file.Files
@@ -217,20 +229,28 @@ object Bench {
     // historically cut off mid-`queries`, hiding 34/88 timings) — so the
     // SAME line is also written untruncated to a committed file. The
     // round snapshot copies it to BENCH_full_rNN.json.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(sfPath),
-      line + "\n")
-    // only take over the driver-contract file when it is absent or
-    // already holds this SF — a different-SF baseline stays intact
-    val fp = java.nio.file.Paths.get(fullPath)
-    val fullHoldsOtherSf = java.nio.file.Files.isReadable(fp) &&
-      """"sf":"([^"]*)"""".r
-        .findFirstMatchIn(java.nio.file.Files.readString(fp))
-        .exists(_.group(1) != sfDir)
-    // SPARK_GRAFT_BENCH_TAKEOVER=1 forces the write (e.g. after the
-    // canonical SF itself changes and the old baseline must retire)
-    if (!fullHoldsOtherSf ||
-        sys.env.get("SPARK_GRAFT_BENCH_TAKEOVER").contains("1"))
-      java.nio.file.Files.writeString(fp, line + "\n")
+    // a STREAMONLY run has an empty queries object — writing it to the
+    // sidecar/full artifacts would wipe their per-query baselines, so
+    // it gets its own `_stream` sidecar and touches nothing else
+    if (streamOnly) {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        sfPath.replaceAll("\\.json$", "_stream.json")), line + "\n")
+    } else {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(sfPath),
+        line + "\n")
+      // only take over the driver-contract file when it is absent or
+      // already holds this SF — a different-SF baseline stays intact
+      val fp = java.nio.file.Paths.get(fullPath)
+      val fullHoldsOtherSf = java.nio.file.Files.isReadable(fp) &&
+        """"sf":"([^"]*)"""".r
+          .findFirstMatchIn(java.nio.file.Files.readString(fp))
+          .exists(_.group(1) != sfDir)
+      // SPARK_GRAFT_BENCH_TAKEOVER=1 forces the write (e.g. after the
+      // canonical SF itself changes and the old baseline must retire)
+      if (!fullHoldsOtherSf ||
+          sys.env.get("SPARK_GRAFT_BENCH_TAKEOVER").contains("1"))
+        java.nio.file.Files.writeString(fp, line + "\n")
+    }
     spark.stop()
   }
 }

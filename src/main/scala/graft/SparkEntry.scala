@@ -125,6 +125,10 @@ object SparkEntry {
     // plan literals past the single-filter ceiling, same oracle again
     "q_dedup_incremental_bloom_sharded" ->
       (Dedup.dedupIncrementalBloomSharded _),
+    // PERSISTED-STORE twin: screen from the bloom store, confirm
+    // against the fp-BUCKETED ingest store (exchange- and sort-free
+    // on the history side — IngestSpec plan-asserts); same oracle
+    "q_dedup_incremental_store" -> (Dedup.dedupIncrementalStore _),
     "q_redact_docs" -> (graft.ops.Redact.redactDocs _),
     // near-dup clustering: pair graph → connected components → survivors
     // iterative link-graph rank: integer-mass power iteration, K=4 —
@@ -521,6 +525,7 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.dedupIncrementalSql,
     "q_dedup_incremental_bloom" -> Dedup.dedupIncrementalSql,
     "q_dedup_incremental_bloom_sharded" -> Dedup.dedupIncrementalSql,
+    "q_dedup_incremental_store" -> Dedup.dedupIncrementalSql,
     "q_redact_docs" -> graft.ops.Redact.redactDocsSql,
     "q_link_rank" -> graft.ops.LinkRank.linkRankSql,
     "q_link_rank_bucketed" -> graft.ops.LinkRank.linkRankSql,

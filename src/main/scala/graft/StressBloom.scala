@@ -12,11 +12,23 @@ import org.apache.spark.sql.functions._
   *
   * Protocol per history size n ∈ {2M, 8M, 32M} (1×, 2×, 8× the cap):
   *  - EPOCH (amortized, reported separately): synthesize n history
-  *    fps, build the sharded store (shards = ceil(n / cap)).
+  *    fps, build the sharded bloom store (shards = ceil(n / cap)) AND
+  *    the fp-BUCKETED ingest store the confirm join rides.
   *  - BATCH (the steady-state number): screen a FIXED 400k-doc batch
   *    (50% true dups) against the store twice, report best-of-2 and
   *    the max per-shard filter size. Flat batch time + bounded filter
   *    bytes across the three rows is the claim under test.
+  *  - FULL (screen + exact confirm): `full_flat` confirms against the
+  *    flat localCheckpoint fp frame (re-sorts history per batch — the
+  *    growth term bucketing removes), `full_store` against the
+  *    bucketed ingest store via dedupAgainstIngestStore (exchange- and
+  *    sort-free history side; the column whose flatness is the r14
+  *    claim).
+  *
+  * Then a SHARD-COUNT flatness row: the same 8M history stored at its
+  * natural 2 shards vs a forced 32 — per-batch screen wall must not
+  * grow with shard count (one cogroup job either way; the old
+  * one-driver-job-per-shard loop grew linearly here).
   */
 object StressBloom {
   def main(args: Array[String]): Unit = {
@@ -48,37 +60,77 @@ object StressBloom {
           .as("fp"))
         .localCheckpoint()
       val store = s"/tmp/graft-bloom-store/n$n"
+      val fpStore = s"/tmp/graft-bloom-store/fps$n"
       val t0 = System.nanoTime()
       Dedup.buildBloomStore(history, store, shards,
         itemsPerShard = (n + shards - 1) / shards)
       val epochS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.streaming.Ingest.appendToStore(spark, fpStore, history,
+        buckets = 32)
+      val epochFpS = (System.nanoTime() - t1) / 1e9
       val sizes = spark.read.parquet(store)
         .select(max(length(col("filter"))).as("mx"),
           sum("n_fps").as("tot")).head()
       // SCREEN-ONLY: the stage whose flatness is the claim under
-      // test (plan-literal bounded per job, cost batch-sized)
+      // test (one cogroup job, cost batch-sized)
       def screenOnce(): Double = {
         val b0 = System.nanoTime()
         force(Dedup.screenAgainstBloomStore(spark, batch, store, shards))
         (System.nanoTime() - b0) / 1e9
       }
-      // FULL dedup: adds the exact confirm anti-join, whose history
-      // side grows with n on a flat (unbucketed) fp table — reported
-      // to show where store bucketing takes over, not part of the
-      // flatness claim
-      def fullOnce(): Double = {
+      // FULL dedup, flat history: the confirm anti-join re-sorts the
+      // localCheckpoint fp frame each batch — the growth term
+      def fullFlatOnce(): Double = {
         val b0 = System.nanoTime()
         force(Dedup.dedupAgainstBloomStore(spark, batch, history, store,
           shards))
         (System.nanoTime() - b0) / 1e9
       }
+      // FULL dedup, BUCKETED history store: exchange- and sort-free
+      // confirm — the steady-state column, must stay flat in n
+      def fullStoreOnce(): Double = {
+        val b0 = System.nanoTime()
+        force(Dedup.dedupAgainstIngestStore(spark, batch, fpStore, store,
+          shards))
+        (System.nanoTime() - b0) / 1e9
+      }
       val screenS = Seq(screenOnce(), screenOnce()).min
-      val fullS = Seq(fullOnce(), fullOnce()).min
+      val fullFlatS = Seq(fullFlatOnce(), fullFlatOnce()).min
+      val fullStoreS = Seq(fullStoreOnce(), fullStoreOnce()).min
       println(f"[stress-bloom] history=${n / 1000000}%2dM shards=$shards%2d " +
-        f"epoch=${epochS}%6.1f s  screen=${screenS}%5.1f s  " +
-        f"full=${fullS}%5.1f s  " +
+        f"epoch=${epochS}%6.1f s  epoch_fp=${epochFpS}%6.1f s  " +
+        f"screen=${screenS}%5.1f s  full_flat=${fullFlatS}%5.1f s  " +
+        f"full_store=${fullStoreS}%5.1f s  " +
         f"max_filter=${sizes.getAs[Int]("mx") / 1048576.0}%5.1f MiB  " +
         f"stored_fps=${sizes.getAs[Long]("tot")}")
+      // drop the 32M-row checkpoint blocks before the next decade —
+      // accumulated history frames otherwise pressure later rows'
+      // readings (measured 8x on the shard-flatness rows)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(history)
+    }
+
+    // SHARD-COUNT flatness: same 8M history, natural 2 shards vs a
+    // forced 32 — one cogroup job either way, wall must not scale
+    // with shard count
+    for (shards <- Seq(2, 32)) {
+      val n = 8000000L
+      val history = spark.range(n)
+        .select(TextStats.fingerprint(concat(lit("h "), col("id")))
+          .as("fp"))
+        .localCheckpoint()
+      val store = s"/tmp/graft-bloom-store/s$shards"
+      Dedup.buildBloomStore(history, store, shards,
+        itemsPerShard = (n + shards - 1) / shards)
+      def screenOnce(): Double = {
+        val b0 = System.nanoTime()
+        force(Dedup.screenAgainstBloomStore(spark, batch, store, shards))
+        (System.nanoTime() - b0) / 1e9
+      }
+      val screenS = Seq(screenOnce(), screenOnce()).min
+      println(f"[stress-bloom] shard-flatness history= 8M " +
+        f"shards=$shards%2d screen=${screenS}%5.1f s")
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(history)
     }
     spark.stop()
   }

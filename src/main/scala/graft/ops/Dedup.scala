@@ -119,7 +119,7 @@ object Dedup {
     * regime Spark's own runtime filtering caps at 4M items / 8 MB
     * per filter; past `shards = 1` this function runs the
     * PREFIX-SHARDED screen instead (see [[dedupAgainstHistoryBloomSharded]]),
-    * which bounds every individual plan to one shard-sized literal.
+    * which embeds no literal at all — filters travel as cogroup rows.
     *
     * Null fingerprints (null/absent text) never enter a filter and
     * always take the exact confirm path (`coalesce(might, true)`), so
@@ -218,25 +218,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_fps"), agg.as("filter"))
   }
 
+  /** Slim row shape the sharded screen shuffles: the batch projection
+    * plus the precomputed probe hash (the same `xxhash64(fp)` the
+    * filters were built over) and the shard id (-1 = null fp). Text
+    * is already gone — it dies at the fingerprint projection. */
+  private[ops] case class ScreenRow(doc_id: Long, lang: String,
+      source: String, n_chars: Long, fp: String, h: Long, shard: Int)
+
+  /** [[ScreenRow]] plus the screen verdict; `maybe` is renamed to the
+    * internal `__maybe` column on the way out. */
+  private[ops] case class ScreenedRow(doc_id: Long, lang: String,
+      source: String, n_chars: Long, fp: String, maybe: Boolean)
+
   /** The scale form of the bloom screen: the epoch's filter is SHARDED
-    * BY FP PREFIX and each batch slice is screened against its own
-    * shard in its own bounded job, so no plan ever embeds more than
-    * one shard-sized literal (~`itemsPerShard` fps) no matter how
-    * large the history grows — per-batch screen cost is flat across
-    * the single-filter ceiling (StressBloom measures this).
+    * BY FP PREFIX and the whole batch is screened in ONE job — a typed
+    * COGROUP on shard id brings each batch slice and its shard's
+    * filter row to the same task, where the filter deserializes once
+    * per group and probes the slice's precomputed `xxhash64(fp)`
+    * hashes. No plan ever embeds a filter literal at all, no driver
+    * loop runs, and per-batch wall is flat in BOTH history size and
+    * shard count (StressBloom measures both): shard groups spread
+    * across the cluster like any other aggregation key, and executor
+    * memory holds one deserialized filter per in-flight group.
     *
-    * Mechanics: one history pass builds the (shard, n_fps, filter)
-    * frame; the batch is fingerprinted, shard-tagged and cached
-    * (slim: text is dropped at the first projection); then a driver
-    * loop — one iteration per shard, collecting ONE filter row at a
-    * time — screens the shard's slice and `localCheckpoint`s it,
-    * which materializes the screened rows and drops the literal from
-    * all downstream lineage. Driver and plan memory are bounded by
-    * ONE shard filter regardless of shard count. Shards with no
-    * history rows short-circuit to definite-new (no filter, no
-    * literal, no checkpoint). On a real cluster the batch would be
-    * staged partitioned by shard so each iteration's scan
-    * partition-prunes; here the slices read the cached slim frame.
+    * Shuffle discipline: the batch moves once (slim projection —
+    * text died at the fingerprint), the filter frame moves once
+    * (one ~MiB row per shard). Shards with batch rows but no history
+    * rows get no filter row and short-circuit to definite-new; null
+    * fingerprints ride shard -1 straight to the exact confirm path.
     *
     * Output is EXACTLY [[dedupAgainstHistory]]'s — the shared oracle
     * makes the hash match a differential proof, same as the
@@ -244,38 +253,64 @@ object Dedup {
   def dedupAgainstHistoryBloomSharded(newDocs: DataFrame,
       historyFps: DataFrame, shards: Int, itemsPerShard: Long,
       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
-    import org.apache.spark.sql.types.BinaryType
     val filters = bloomShardFrame(historyFps, shards, itemsPerShard, fpp)
-      .localCheckpoint()
-    val tagged = newDocs
+    dedupeScreened(
+      screenShardedBatch(shardTagged(newDocs, shards), filters),
+      historyFps)
+  }
+
+  /** Fingerprint + shard-tag the batch (the slim projection both
+    * sharded screen entry points share). */
+  private def shardTagged(newDocs: DataFrame, shards: Int): DataFrame =
+    newDocs
       .withColumn("fp", TextStats.fingerprint(col("text")))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("fp"), fpShard(col("fp"), shards).as("__shard"))
-      .cache()
-    val present = filters.select("shard").collect().map(_.getInt(0)).toSet
-    val screened = (0 until shards).toSeq.map { s =>
-      val slice = tagged.where(col("__shard") === s)
-      if (!present(s)) slice.withColumn("__maybe", lit(false))
-      else {
-        val bytes = filters.where(col("shard") === s)
-          .select("filter").head().getAs[Array[Byte]](0)
-        val might = Bridge.column(BloomFilterMightContain(
-          Literal(bytes, BinaryType),
-          Bridge.expression(xxhash64(col("fp")))))
-        // eager checkpoint: the shard literal never outlives its job
-        slice.withColumn("__maybe", might).localCheckpoint()
+
+  /** One-job sharded screen over a (shard, …, filter) frame — see
+    * [[dedupAgainstHistoryBloomSharded]] for the plan story. The
+    * filter bytes are Catalyst `BloomFilterAggregate` output, read
+    * back through the public sketch API (`BloomFilter.readFrom`) —
+    * byte-compatible by construction (it is the same format
+    * `BloomFilterMightContain` deserializes). */
+  private def screenShardedBatch(tagged: DataFrame,
+      filters: DataFrame): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    val rows = tagged.select(
+        col("doc_id").cast("long"), col("lang"), col("source"),
+        col("n_chars").cast("long"), col("fp"),
+        xxhash64(col("fp")).as("h"),
+        coalesce(col("__shard"), lit(-1)).as("shard"))
+      .as[ScreenRow]
+    val filts = filters.select(col("shard"), col("filter"))
+      .as[(Int, Array[Byte])]
+    rows.groupByKey(_.shard)
+      .cogroup(filts.groupByKey(_._1)) { (shard, rs, fs) =>
+        if (shard < 0)
+          // null fp: never in a filter, always exact-confirmed
+          rs.map(r => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
+            r.fp, maybe = true))
+        else if (!fs.hasNext)
+          // no history rows landed in this shard: definite new
+          rs.map(r => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
+            r.fp, maybe = false))
+        else {
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(fs.next()._2))
+          rs.map(r => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
+            r.fp, bf.mightContainLong(r.h)))
+        }
       }
-    }
-    // checkpointed too (usually empty), so after this point NOTHING
-    // downstream reads the cache and it can be dropped immediately
-    val nullFp = tagged.where(col("__shard").isNull)
-      .withColumn("__maybe", lit(true)).localCheckpoint()
-    val all = (screened :+ nullFp).reduce(_ unionByName _)
-      .drop("__shard")
-    tagged.unpersist()
-    dedupeScreened(all, historyFps)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("fp"), col("maybe").as("__maybe"))
+      // materialize ONCE: the confirm tail references this frame four
+      // times (not-maybe slice, confirm slice, survivor aggregate,
+      // final semi-join) and a lazy cogroup re-executes per reference
+      // — measured 3x the whole screen riding in the full-dedup wall.
+      // Batch-sized and slim (text died at the fingerprint), so the
+      // checkpoint is bounded at any history size.
+      .localCheckpoint()
   }
 
   /** Build and persist the prefix-sharded epoch filter store — the
@@ -292,45 +327,20 @@ object Dedup {
 
   /** Screen a batch against a persisted [[buildBloomStore]] store:
     * returns the batch (slim projection + fp) tagged `__maybe` —
-    * the pure per-batch steady-state stage, whose cost is batch-sized
-    * and FLAT in history size (every job's plan holds one shard
-    * filter; StressBloom measures this). Downstream, bloom-positive
-    * rows go to the exact confirm join — whose cost is a store-layout
-    * property: against an fp-BUCKETED history store the confirm is a
-    * pruned shuffle-free lookup; against a flat fp table it re-sorts
+    * the pure per-batch steady-state stage, one cogroup job whose
+    * cost is batch-sized and FLAT in both history size and shard
+    * count (StressBloom measures both; see
+    * [[dedupAgainstHistoryBloomSharded]] for the plan story).
+    * Downstream, bloom-positive rows go to the exact confirm join —
+    * whose cost is a store-layout property: against an fp-BUCKETED
+    * history store ([[dedupAgainstIngestStore]]) the confirm is
+    * co-located and sort-free; against a flat fp table it re-sorts
     * the history side each batch (the measured growth term in
-    * StressBloom's full-dedup column). */
+    * StressBloom's flat-history full-dedup column). */
   def screenAgainstBloomStore(spark: SparkSession, newDocs: DataFrame,
-      storePath: String, shards: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
-    import org.apache.spark.sql.types.BinaryType
-    val filters = spark.read.parquet(storePath).localCheckpoint()
-    val tagged = newDocs
-      .withColumn("fp", TextStats.fingerprint(col("text")))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("fp"), fpShard(col("fp"), shards).as("__shard"))
-      .cache()
-    val present = filters.select("shard").collect().map(_.getInt(0)).toSet
-    val screened = (0 until shards).toSeq.map { s =>
-      val slice = tagged.where(col("__shard") === s)
-      if (!present(s)) slice.withColumn("__maybe", lit(false))
-      else {
-        val bytes = filters.where(col("shard") === s)
-          .select("filter").head().getAs[Array[Byte]](0)
-        val might = Bridge.column(BloomFilterMightContain(
-          Literal(bytes, BinaryType),
-          Bridge.expression(xxhash64(col("fp")))))
-        slice.withColumn("__maybe", might).localCheckpoint()
-      }
-    }
-    val nullFp = tagged.where(col("__shard").isNull)
-      .withColumn("__maybe", lit(true)).localCheckpoint()
-    val all = (screened :+ nullFp).reduce(_ unionByName _)
-      .drop("__shard")
-    tagged.unpersist()
-    all
-  }
+      storePath: String, shards: Int): DataFrame =
+    screenShardedBatch(shardTagged(newDocs, shards),
+      spark.read.parquet(storePath))
 
   /** [[dedupAgainstHistoryBloomSharded]] reading filters from a
     * persisted [[buildBloomStore]] store instead of rebuilding them —
@@ -341,6 +351,34 @@ object Dedup {
     dedupeScreened(
       screenAgainstBloomStore(spark, newDocs, storePath, shards),
       historyFps)
+
+  /** The FULL steady-state batch dedup against persisted stores — the
+    * shape a 100 TB ingest loop actually runs: the bloom screen reads
+    * the [[buildBloomStore]] filter store (one cogroup job, flat in
+    * history), and the exact confirm anti-join reads the fp-BUCKETED
+    * [[graft.streaming.Ingest]] store, whose scan already satisfies
+    * the join's hash distribution — NO exchange and (via the written
+    * `sortBy(fp)` order) NO sort on the history side, per batch, no
+    * matter how large the accumulated history grows. Only the
+    * bloom-positive slice of the batch shuffles (IngestSpec
+    * plan-asserts both properties; StressBloom measures the full
+    * column flat where the flat-table twin grew 4.3→51 s over 16×).
+    *
+    * Sort-free reading needs Spark's opt-in
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (the scan
+    * reports the written order only under it, and only when each
+    * bucket holds one file — guaranteed after [[graft.streaming
+    * .Ingest.compactStore]], and checked per-file by Spark before the
+    * order is claimed, so enabling it session-wide is always safe).
+    * This function enables it as part of its contract. */
+  def dedupAgainstIngestStore(spark: SparkSession, newDocs: DataFrame,
+      fpStoreDir: String, bloomStorePath: String, shards: Int): DataFrame = {
+    spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    dedupeScreened(
+      screenAgainstBloomStore(spark, newDocs, bloomStorePath, shards),
+      graft.streaming.Ingest.readStore(spark, fpStoreDir))
+  }
 
   /** Registered bloom-screened twin of [[dedupIncremental]]: same
     * batch/history split, same oracle SQL — hash-equality with the
@@ -371,6 +409,39 @@ object Dedup {
     dedupAgainstHistoryBloomSharded(
       docs.where(col("source").isin("src0", "src1")), history,
       shards = 8, itemsPerShard = math.max(1L, history.count() / 8))
+  }
+
+  /** Registered PERSISTED-STORE twin — the same batch/history split
+    * and oracle as [[dedupIncremental]], but the history lives where
+    * a production pipeline keeps it: fingerprints in the fp-BUCKETED
+    * [[graft.streaming.Ingest]] store and the epoch filters in a
+    * [[buildBloomStore]] store, both built once per session (Scratch —
+    * the once-per-epoch layout cost) and read by every repeat. The
+    * hash match proves the whole steady-state path
+    * ([[dedupAgainstIngestStore]]: cogroup screen + exchange-free,
+    * sort-free confirm) result-invariant vs the from-scratch oracle. */
+  def dedupIncrementalStore(spark: SparkSession, dir: String): DataFrame = {
+    val shards = 8
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val base = Scratch.cached(spark, s"dedupstores:$md5",
+        "graft-dedup-store") { path =>
+      val docs = Tables.documents(spark, dir)
+      val history = docs.where(!col("source").isin("src0", "src1"))
+        .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+        .localCheckpoint()
+      // one append = one file per bucket (the aligned repartition in
+      // appendToStore), so the sort-free scan precondition holds
+      // without a compaction pass
+      graft.streaming.Ingest.appendToStore(spark, s"$path/fps", history,
+        buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      buildBloomStore(history, s"$path/bloom", shards,
+        itemsPerShard = math.max(1L, (history.count() + shards - 1) / shards))
+    }
+    dedupAgainstIngestStore(spark,
+      Tables.documents(spark, dir).where(col("source").isin("src0", "src1")),
+      s"$base/fps", s"$base/bloom", shards)
   }
 
   /** Distinct word n-gram shingles per document, as (doc_id, shingle)
@@ -876,7 +947,8 @@ object Dedup {
     * `5·dist ≤ max(n_chars)` (≤ 20% of the longer text) is all-integer
     * so both engines agree exactly. A pair is emitted iff it passes
     * BOTH: dist ≤ capDist AND dist ≤ 20% of the longer length. */
-  def editDistNearDupFor(docs: DataFrame, capDist: Int = 500): DataFrame =
+  def editDistNearDupFor(docs: DataFrame,
+      capDist: Int = DefaultCapDist): DataFrame =
     editDistVerify(docs,
       minhashLshPairsFor(docs.select("doc_id", "text")), capDist)
 
@@ -884,14 +956,19 @@ object Dedup {
     * hash candidates, so no SQL oracle; [[editDistNearDupPortable]] is
     * the hash-exact twin proving the verify arithmetic). */
   def editDistNearDup(spark: SparkSession, dir: String,
-      capDist: Int = 500): DataFrame =
+      capDist: Int = DefaultCapDist): DataFrame =
     editDistNearDupFor(Tables.documents(spark, dir), capDist)
 
   /** Oracle twin: md5-portable LSH candidates (the [[portableLshCteBody]]
     * machinery) verified by the same exact edit distance — every step
     * reproducible in DuckDB, hash-exact. */
+  /** Default absolute edit-distance cap — shared between the Scala
+    * defaults and [[editDistNearDupPortableSql]] so the registered
+    * query and its committed oracle cannot drift. */
+  val DefaultCapDist = 500
+
   def editDistNearDupPortable(spark: SparkSession, dir: String,
-      capDist: Int = 500): DataFrame = {
+      capDist: Int = DefaultCapDist): DataFrame = {
     val docs = Tables.documents(spark, dir)
     editDistVerify(docs,
       minhashLshPairsPortableFor(docs.select("doc_id", "text")), capDist)
@@ -925,5 +1002,5 @@ object Dedup {
        |  JOIN documents a ON c.doc_a = a.doc_id
        |  JOIN documents b ON c.doc_b = b.doc_id)
        |SELECT doc_a, doc_b, dist, max_len FROM verified
-       |WHERE dist <= 500 AND dist * 5 <= max_len""".stripMargin
+       |WHERE dist <= $DefaultCapDist AND dist * 5 <= max_len""".stripMargin
 }

@@ -57,7 +57,15 @@ object Layout {
     * (user_id, event day): the one shuffle in the family, carrying at
     * most 2^(2·bits) rows no matter the event volume. Bucket id =
     * (v - min) * 2^bits DIV (max - min + 1) — pure integer, always in
-    * [0, 2^bits). Day joins in as days-since-min-day so both
+    * [0, 2^bits), and it STRETCHES a narrow domain across the bucket
+    * space (a width-first `(v-min) DIV width` form would be
+    * overflow-proof but leaves a 30-value domain in buckets 0..29 and
+    * the layout degenerate). The price is a precondition: the
+    * multiply overflows Long past a ~2^(63-bits) dimension SPAN —
+    * 64-bit snowflake/surrogate ids live there — so the span is
+    * guarded by a codegen'd `assert_true` that fails loudly instead
+    * of binning garbage; pre-bin such domains (e.g. `id DIV 2^16`)
+    * before z-ordering. Day joins in as days-since-min-day so both
     * dimensions are dense non-negative ints. */
   private def eventCells(spark: SparkSession, dir: String,
       bits: Int): DataFrame = {
@@ -69,6 +77,12 @@ object Layout {
       min("user_id").as("u_min"), max("user_id").as("u_max"),
       min("day").as("d_min"), max("day").as("d_max"))
     ev.join(broadcast(bounds))
+      .where(assert_true(
+        col("u_max") - col("u_min") < lit(1L << (63 - bits)) &&
+          datediff(col("d_max"), col("d_min")) < lit(1L << (63 - bits)),
+        lit(s"z-order bucketing needs dimension spans < 2^${63 - bits} " +
+          "(multiply-first binning would overflow); pre-bin wider " +
+          "domains, e.g. id DIV 65536")).isNull)
       .select(
         expr(s"(user_id - u_min) * $n DIV (u_max - u_min + 1)")
           .as("xb"),
@@ -201,4 +215,98 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
+
+  /** Rows the REAL parquet reader delivers for `pred` over `dir`:
+    * the pushed min/max filters prune row groups inside the scan, so
+    * the scan node's `numOutputRows` IS rows-read-from-disk (each
+    * probe file below holds one row group, so this is row-group- and
+    * file-grain pruning at once). Returns (rows_read, rows_match). */
+  def scanRowsRead(spark: SparkSession, dir: String,
+      pred: Column): (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = spark.read.parquet(dir).where(pred)
+    // collect (not count) so the metrics below belong to the plan of
+    // THIS Dataset — count() re-plans under a fresh metric set
+    val rowsMatch = df.collect().length.toLong
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    val read = expand(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+    (read, rowsMatch)
+  }
+
+  /** The pruning simulation made PHYSICAL: write the events table
+    * twice — [[zorderWrite]]-clustered on (user bucket, day bucket)
+    * vs single-column user_id sort — then push the SAME 2-D box
+    * predicate (raw `user_id` range AND raw `ts` range — the
+    * predicates a user actually writes) through the real parquet
+    * reader and report what each layout's scan delivered.
+    * [[zorderPruneEffect]]'s overlap arithmetic is the claim; the
+    * scan metric here is the proof (LayoutSpec asserts z < x-sort;
+    * the probe main records the numbers per SF).
+    *
+    * Timestamps are written as TIMESTAMP_MICROS explicitly: INT96
+    * parquet timestamps carry no usable min/max stats, which would
+    * silently disable the ts half of the pruning this measures.
+    * Returns one (layout, rows_read, rows_match) per layout. */
+  def zorderScanMeasure(spark: SparkSession, dir: String, outBase: String,
+      numFiles: Int = 64): Seq[(String, Long, Long)] = {
+    val n = 256
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    // bounds as plain longs (epoch days, not java.sql.Date — Date
+    // deserialization needs sun.util.calendar opens a bare-java
+    // classpath doesn't have)
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min(unix_date(to_date(col("ts")))).cast("long"),
+      max(unix_date(to_date(col("ts")))).cast("long")).head()
+    val (uMin, uMax) = (b.getLong(0), b.getLong(1))
+    val dMin = java.time.LocalDate.ofEpochDay(b.getLong(2))
+    val dRange = b.getLong(3) - b.getLong(2)
+    // width-first layout buckets (overflow-proof; stretch across the
+    // full bucket space is irrelevant here — Morton locality only
+    // needs MONOTONE bins, and the box below is phrased on the raw
+    // value domain, not the bucket domain)
+    val uW = (uMax - uMin) / n + 1
+    val dW = dRange / n + 1
+    val xb = expr(s"(user_id - $uMin) DIV $uW")
+    val yb = expr(s"datediff(to_date(ts), DATE'$dMin') DIV $dW")
+
+    val zDir = s"$outBase/zorder"
+    val xDir = s"$outBase/xsort"
+    zorderWrite(ev, xb, yb, zDir, numFiles)
+    ev.repartitionByRange(numFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(xDir)
+
+    // the center 1/8 x 1/8 of each RAW value range (so the box always
+    // holds data at any SF), phrased on the raw columns so only file
+    // stats — not helper columns — can prune it
+    val uStep = math.max(1L, (uMax - uMin + 1) / 8)
+    val (uLo, uHi) = (uMin + 3 * uStep, uMin + 4 * uStep - 1)
+    val dStep = math.max(1L, (dRange + 1) / 8)
+    // TIMESTAMP literals in SQL text: a lit(java.sql.Timestamp) would
+    // route through the same sun.util.calendar handles as Date above
+    val tLo = dMin.plusDays(3 * dStep).atStartOfDay()
+    val tHiX = dMin.plusDays(4 * dStep).atStartOfDay()
+    val box = col("user_id").between(uLo, uHi) &&
+      expr(s"ts >= TIMESTAMP'$tLo'") && expr(s"ts < TIMESTAMP'$tHiX'")
+    Seq(zDir -> "zorder", xDir -> "xsort").map { case (d, name) =>
+      val (read, matched) = scanRowsRead(spark, d, box)
+      (name, read, matched)
+    }
+  }
 }

@@ -227,8 +227,13 @@ object LinkRank {
     * to [[linkRank]]; [[linkRankSql]] stays the oracle. */
   def linkRankBucketed(spark: SparkSession, dir: String,
       k: Int = 4): DataFrame = {
-    val table = "graft_edges_b" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    // md5 of the path, not hashCode: two dirs colliding on a 31-bit
+    // hashCode would silently reuse the wrong edge table (same
+    // convention as Ingest.storeTableName)
+    val table = "graft_edges_b" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     bucketMemo.synchronized {
       if (!bucketMemo.contains(table)) {
         writeBucketedEdges(spark, dir, table)

@@ -111,12 +111,32 @@ object Sketches {
 
   private val cmsDepth = 4
 
+  /** pow2ceil width from a BIGINT cardinality column `nk` — the one
+    * integer formula every width source (exact COUNT DISTINCT, HLL
+    * estimate, the SQL oracle) evaluates identically. */
+  private def pow2WidthExpr(nk: String): String =
+    s"greatest(256L, shiftleft(1L, " +
+      s"length(bin(greatest(($nk + 7) div 8, 2L) - 1))))"
+
   /** The auto-width as a broadcastable 1-row frame (w) — computed
     * declaratively from the same events frame, no driver action. */
   private def cmsWidthFrame(ev: DataFrame): DataFrame =
     ev.agg(count_distinct(col("user_id")).as("nk"))
-      .select(expr("greatest(256L, shiftleft(1L, " +
-        "length(bin(greatest((nk + 7) div 8, 2L) - 1))))").as("w"))
+      .select(expr(pow2WidthExpr("nk")).as("w"))
+
+  /** [[cmsWidthFrame]] fed from the epoch's PERSISTED HLL rollup
+    * instead of an exact COUNT(DISTINCT) — the 100 TB form: the
+    * ingest grain already persists [[dailyUserSketches]], so sizing a
+    * new CMS store is a union of kilobyte sketch buffers, never a
+    * key-grain shuffle over raw events. The ~1.6% HLL error moves the
+    * pow2ceil width at most one step at bucket-boundary cardinalities
+    * — occupancy lands in [4, 16] instead of the exact ≈8, both well
+    * inside the 3·N/w error contract (OpsSpec pins the band). */
+  def cmsWidthFromHll(dailySketches: DataFrame): DataFrame =
+    dailySketches
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(user_sketch)) " +
+        "as bigint)").as("nk"))
+      .select(expr(pow2WidthExpr("nk")).as("w"))
 
   /** SQL twin of [[cmsWidthFrame]]'s expression — the oracle computes
     * the width by the SAME integer formula. */
@@ -170,6 +190,80 @@ object Sketches {
     monthlyCmsSketches(spark, dir)
       .groupBy("cms_row", "bucket")
       .agg(sum("cnt").as("cnt"))
+
+  // ----- persisted epoch store: HLL-fed width, FROZEN on disk -----
+
+  /** Monthly sketch of a (month, user_id) frame at an explicit width
+    * frame — the parameterized core both the session queries and the
+    * persisted store share. The width rides in every row: mergeability
+    * demands one w per store, and carrying it in-band makes the store
+    * self-describing (no sidecar to lose). */
+  private def monthlySketchAt(monthEvents: DataFrame,
+      widthFrame: DataFrame): DataFrame =
+    monthEvents.crossJoin(broadcast(widthFrame))
+      .select(col("month"), col("w"),
+        explode(array((0 until cmsDepth).map(j =>
+          struct(lit(j).as("cms_row"),
+            cmsBucket(j, col("user_id"), col("w")).as("bucket"))): _*))
+          .as("rb"))
+      .select(col("month"), col("w"), col("rb.cms_row").as("cms_row"),
+        col("rb.bucket").as("bucket"))
+      .groupBy("month", "w", "cms_row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  private def monthEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_trunc("month", to_date(col("ts"))).cast("date")
+        .as("month"), col("user_id"))
+
+  /** Create a persisted monthly CMS store: the width comes from the
+    * epoch's HLL rollup ([[cmsWidthFromHll]] — sketch-buffer bytes,
+    * never a second key-grain pass over raw events) and is FROZEN
+    * into every row. Returns the frozen width. */
+  def buildCmsStore(spark: SparkSession, dir: String,
+      storePath: String): Long = {
+    val wf = cmsWidthFromHll(dailyUserSketches(spark, dir))
+      .localCheckpoint()
+    monthlySketchAt(monthEvents(spark, dir), wf)
+      .write.mode("overwrite").parquet(storePath)
+    wf.head().getLong(0)
+  }
+
+  /** Append a new epoch's (month, user_id) rows to an existing store
+    * AT THE STORE'S FROZEN WIDTH — the epoch's own cardinality never
+    * re-derives w (bucket counts at two widths cannot merge;
+    * re-widening is a rebuild, and a store that somehow holds two
+    * widths fails loudly here rather than merging garbage). Repeated
+    * months across epochs are fine: the merge is a SUM. */
+  def appendEpochToCmsStore(spark: SparkSession, newMonthEvents: DataFrame,
+      storePath: String): Unit = {
+    val ws = spark.read.parquet(storePath)
+      .select("w").distinct().collect().map(_.getLong(0))
+    require(ws.length == 1,
+      s"CMS store at $storePath holds widths ${ws.sorted.mkString(",")} " +
+        "— a store has exactly ONE frozen width (re-widening is a " +
+        "rebuild via buildCmsStore)")
+    monthlySketchAt(newMonthEvents,
+        spark.range(1).select(lit(ws.head).as("w")))
+      .write.mode("append").parquet(storePath)
+  }
+
+  /** The store merged to one global sketch (plus its width) — pure
+    * bucket-count sums over the persisted rows, raw data untouched. */
+  def cmsStoreMerged(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("w", "cms_row", "bucket")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Spec seam: flat sketch of a (user_id) frame at an EXPLICIT width
+    * — lets the store spec rebuild the union from scratch at the
+    * frozen width and assert the append+merge path estimate-invariant. */
+  private[graft] def cmsSketchAtWidth(ev: DataFrame, w: Long): DataFrame =
+    monthlySketchAt(
+        ev.select(lit(java.sql.Date.valueOf("1970-01-01")).as("month"),
+          col("user_id")),
+        ev.sparkSession.range(1).select(lit(w).as("w")))
+      .groupBy("cms_row", "bucket").agg(sum("cnt").as("cnt"))
 
   /** Shared CTE body (width + bucketed rows + sketch) — the heavy-
     * hitter oracle composes it rather than string-rewriting it (the

@@ -278,6 +278,75 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dedupAgainstIngestStore: result == unscreened dedup; confirm " +
+    "join reads the store with NO exchange and NO sort per batch") {
+    val base = Files.createTempDirectory("graft-fullstore").toString
+    val docs = Tables.documents(spark, sf)
+    // spike the batch with re-crawled copies of history docs: without
+    // guaranteed bloom-positives the confirm anti-join is EMPTY at
+    // runtime and AQE's empty-relation propagation deletes the very
+    // branch this test plan-asserts (observed at sf0.001)
+    val spike = docs.where(!col("source").isin("src0", "src1"))
+      .orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("source", lit("src0"))
+    val batch = docs.where(col("source").isin("src0", "src1"))
+      .unionByName(spike).localCheckpoint()
+    val history = docs.where(!col("source").isin("src0", "src1"))
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+      .localCheckpoint()
+    // one aligned append = one file per bucket: the sort-free scan
+    // precondition holds without a compaction pass
+    Ingest.appendToStore(spark, s"$base/fps", history)
+    graft.ops.Dedup.buildBloomStore(history, s"$base/bloom", shards = 4,
+      itemsPerShard = math.max(1L, history.count() / 4))
+
+    noBroadcast {
+      val df = graft.ops.Dedup.dedupAgainstIngestStore(spark, batch,
+        s"$base/fps", s"$base/bloom", shards = 4)
+      val got = df.collect().map(_.getLong(0)).toSet
+      val want = graft.ops.Dedup.dedupAgainstHistory(batch, history)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === want && got.nonEmpty)
+
+      // plan: the history side of the confirm anti-join is the
+      // bucketed store scan — its single-column (fp) rows must never
+      // cross an exchange or a sort; only the batch side moves
+      def expand(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case other => other.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      val nodes = expand(df.queryExecution.executedPlan)
+      val storeScans = nodes.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.bucketedScan => f
+      }
+      assert(storeScans.nonEmpty,
+        s"no bucketed scan of the fp store in the plan:\n${nodes.head}")
+      def fpOnly(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.output.map(_.name) == Seq("fp")
+      val historyExchanges = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if fpOnly(e) => e
+      }
+      assert(historyExchanges.isEmpty,
+        s"history fps re-shuffled ${historyExchanges.size}x:\n${nodes.head}")
+      val historySorts = nodes.collect {
+        case s: org.apache.spark.sql.execution.SortExec if fpOnly(s) => s
+      }
+      assert(historySorts.isEmpty,
+        s"history side re-sorted ${historySorts.size}x (written bucket " +
+          s"order should carry):\n${nodes.head}")
+    }
+  }
+
   test("store survives catalog loss (fresh-JVM reopen): appends keep " +
     "working via DDL re-registration, never CTAS over the data") {
     val base = Files.createTempDirectory("graft-reopen").toString

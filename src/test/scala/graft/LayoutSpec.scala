@@ -119,6 +119,30 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       s"z-order box overlap $zHit should beat x-sort $xHit")
   }
 
+  test("REAL parquet scan: pushed 2-D box reads fewer row groups off " +
+    "the z-layout than off the x-sort") {
+    // The simulation above computes overlap arithmetic; this pushes
+    // the same box through the actual reader (raw user_id + ts
+    // predicates, micros timestamps so stats exist) and asserts on
+    // FileSourceScanExec's numOutputRows — rows the reader delivered
+    // after row-group min/max pruning.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zscan-spec").toString
+    val rows = Layout.zorderScanMeasure(spark, "/root/testdata/sf0.01",
+      base, numFiles = 64)
+    val (zRead, zMatch) = rows.find(_._1 == "zorder")
+      .map(r => (r._2, r._3)).get
+    val (xRead, xMatch) = rows.find(_._1 == "xsort")
+      .map(r => (r._2, r._3)).get
+    // both layouts answer the query identically
+    assert(zMatch === xMatch && zMatch > 0)
+    // pruning never loses rows; and there IS pruning on both layouts
+    assert(zRead >= zMatch && xRead >= xMatch)
+    // the claim: two pruned dimensions beat one — strictly
+    assert(zRead < xRead,
+      s"z-layout scan read $zRead rows, x-sort read $xRead")
+  }
+
   // ----- edit-distance verify tier -----
 
   test("editDistNearDup catches char-grain near-dups, drops unrelated") {

@@ -455,6 +455,49 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("persisted CMS store: HLL-fed width, FROZEN across epoch " +
+    "appends; merged estimates == from-scratch at the frozen width") {
+    import graft.ops.Sketches
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cms-store").toString + "/cms"
+    // epoch 1: the sf events table, width sized from its HLL rollup
+    val w1 = Sketches.buildCmsStore(spark, sf, store)
+    // HLL sizing lands within one pow2 step of the exact-count width
+    val exactW = Sketches.cmsWidthOf(
+      graft.core.Tables.events(spark, sf).select("user_id"))
+    assert(w1 >= exactW / 2 && w1 <= exactW * 2,
+      s"HLL-fed width $w1 vs exact-count width $exactW")
+    // epoch 2: a 10x-cardinality month — fresh sizing would re-widen
+    val ep2 = spark.range(1000000L, 1040000L)
+      .select(lit(java.sql.Date.valueOf("2031-01-01")).as("month"),
+        col("id").as("user_id"))
+    val w2 = Sketches.cmsWidthFromHll(
+      ep2.agg(hll_sketch_agg(col("user_id")).as("user_sketch")))
+      .head().getLong(0)
+    assert(w2 > w1, s"epoch 2 should want a wider sketch ($w2 vs $w1)")
+    // ...but the append FREEZES the store's width
+    Sketches.appendEpochToCmsStore(spark, ep2, store)
+    val storedW = spark.read.parquet(store).select("w").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(storedW === Seq(w1), "append must not re-widen the store")
+    // merged store == from-scratch sketch of (epoch1 UNION epoch2) at
+    // the frozen width: append + sum-merge is estimate-invariant
+    val union = graft.core.Tables.events(spark, sf).select("user_id")
+      .unionByName(ep2.select("user_id"))
+    val want = Sketches.cmsSketchAtWidth(union, w1).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Sketches.cmsStoreMerged(spark, store).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got === want)
+    // a store that somehow holds two widths fails loudly on append
+    spark.read.parquet(store).limit(1)
+      .withColumn("w", lit(w1 * 2))
+      .write.mode("append").parquet(store)
+    intercept[IllegalArgumentException] {
+      Sketches.appendEpochToCmsStore(spark, ep2, store)
+    }
+  }
+
   test("clusterSplit: component-consistent, zero near-dup leakage, " +
     "partitioning-invariant") {
     val split = graft.ops.Mix.clusterSplit(spark, sf).cache()
