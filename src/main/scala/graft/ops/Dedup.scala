@@ -296,10 +296,15 @@ object Dedup {
           rs.map(r => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
             r.fp, maybe = false))
         else {
-          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(fs.next()._2))
+          // a healthy store has ONE filter row per shard; if several
+          // exist (a torn/duplicated store write) the shard's history
+          // is their UNION, so probe them all — silently taking the
+          // first would turn the extras' dups into false "new" rows
+          val bfs = fs.map(f =>
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(f._2))).toArray
           rs.map(r => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
-            r.fp, bf.mightContainLong(r.h)))
+            r.fp, bfs.exists(_.mightContainLong(r.h))))
         }
       }
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),

@@ -73,16 +73,19 @@ object Layout {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"),
         lit(1L).as("one"))
+    // span guard on the 1-ROW bounds frame, not the event scan: same
+    // loud failure, evaluated once instead of per row (a per-row
+    // assert_true filter measured +0.85 s on 1M events at sf1)
     val bounds = ev.agg(
-      min("user_id").as("u_min"), max("user_id").as("u_max"),
-      min("day").as("d_min"), max("day").as("d_max"))
-    ev.join(broadcast(bounds))
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("day").as("d_min"), max("day").as("d_max"))
       .where(assert_true(
         col("u_max") - col("u_min") < lit(1L << (63 - bits)) &&
           datediff(col("d_max"), col("d_min")) < lit(1L << (63 - bits)),
         lit(s"z-order bucketing needs dimension spans < 2^${63 - bits} " +
           "(multiply-first binning would overflow); pre-bin wider " +
           "domains, e.g. id DIV 65536")).isNull)
+    ev.join(broadcast(bounds))
       .select(
         expr(s"(user_id - u_min) * $n DIV (u_max - u_min + 1)")
           .as("xb"),
