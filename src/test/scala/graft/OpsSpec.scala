@@ -580,6 +580,31 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       store, shards = 4)
       .select("doc_id").as[Long].collect().toSet
     assert(fromStore === exact)
+
+    // a store holding SEVERAL filter rows for one shard (torn or
+    // duplicated write) screens against their UNION — taking only the
+    // first row would let the other filters' dups slip through as
+    // false "new". Two half-histories built separately, rows unioned
+    // into one store dir, everything on shard 0 (shards = 1 routes
+    // all fps there).
+    val histA = docs.where(col("doc_id") === 1L)
+      .select(TextStats.fingerprint(col("text")).as("fp"))
+    val histB = Seq("fresh one").toDF("text")
+      .select(TextStats.fingerprint(col("text")).as("fp"))
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft-bloom-torn").toString
+    Dedup.buildBloomStore(histA, s"$base2/a", shards = 1, itemsPerShard = 4)
+    Dedup.buildBloomStore(histB, s"$base2/b", shards = 1, itemsPerShard = 4)
+    spark.read.parquet(s"$base2/a")
+      .unionByName(spark.read.parquet(s"$base2/b"))
+      .write.parquet(s"$base2/torn")
+    val maybes = Dedup.screenAgainstBloomStore(spark, batch,
+      s"$base2/torn", shards = 1)
+      .select(col("doc_id"), col("__maybe")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(maybes(10L), "dup of filter-row A must stay bloom-positive")
+    assert(maybes(12L), "dup of filter-row B must stay bloom-positive")
+    assert(maybes(11L), "null fp routes to the confirm path")
   }
 
   test("corpusMix: repeat counts honor integer+fractional weights, " +
