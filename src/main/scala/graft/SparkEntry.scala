@@ -32,6 +32,9 @@ object SparkEntry {
     // DataSketches buffers above, these two are HASH-EXACT oracled
     "q_cms_sketch" -> (graft.ops.Sketches.mergedCmsSketch _),
     "q_cms_heavy_hitters" -> (graft.ops.Sketches.cmsHeavyHitters _),
+    // persisted CMS epoch store: build + append-at-frozen-width +
+    // merge, hash-exact vs the oracle's one-pass sketch
+    "q_cms_store_merged" -> (graft.ops.Sketches.cmsStoreMergedQuery _),
     // pipeline observability: day-grain volume z-scores (all-integer
     // trailing sums; fixed float expression shape → hash-exact)
     "q_volume_anomaly" -> ((s: SparkSession, d: String) =>
@@ -40,6 +43,9 @@ object SparkEntry {
     // simulation (all-integer Morton arithmetic → hash-exact)
     "q_zorder_layout" -> (graft.ops.Layout.zorderLayout _),
     "q_zorder_prune_effect" -> (graft.ops.Layout.zorderPruneEffect _),
+    // the pruning claim proven on the REAL parquet reader, as an
+    // SF-checked gate row (scan metrics -> strict-ordering booleans)
+    "q_zorder_scan_gate" -> (graft.ops.Layout.zorderScanGate _),
     "q_distinct_types" -> (Relational.distinctEventTypes _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_value_percentiles" -> (Relational.valuePercentiles _),
@@ -491,9 +497,11 @@ object SparkEntry {
     "q_filter_eq_project" -> Relational.filterEqProjectSql,
     "q_cms_sketch" -> graft.ops.Sketches.cmsSketchSql,
     "q_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersSql,
+    "q_cms_store_merged" -> graft.ops.Sketches.cmsStoreMergedSql,
     "q_volume_anomaly" -> graft.ops.Monitor.volumeAnomalySql,
     "q_zorder_layout" -> graft.ops.Layout.zorderLayoutSql,
     "q_zorder_prune_effect" -> graft.ops.Layout.zorderPruneEffectSql,
+    "q_zorder_scan_gate" -> graft.ops.Layout.zorderScanGateSql,
     "q_with_literal" -> Relational.withLiteralColumnSql,
     "q_semijoin_active_users" -> Relational.semiJoinActiveUsersSql,
     "q_revenue_by_region" -> Relational.revenueByRegionSql,

@@ -61,14 +61,27 @@ object StressBloom {
         .localCheckpoint()
       val store = s"/tmp/graft-bloom-store/n$n"
       val fpStore = s"/tmp/graft-bloom-store/fps$n"
-      val t0 = System.nanoTime()
-      Dedup.buildBloomStore(history, store, shards,
-        itemsPerShard = (n + shards - 1) / shards)
-      val epochS = (System.nanoTime() - t0) / 1e9
+      // appendToStore is NOT idempotent (unlike buildBloomStore's
+      // overwrite): a re-run against a surviving fps$n dir would
+      // double the store and break the one-file-per-bucket sort-free
+      // precondition the full_store column measures — rebuild it
+      // from scratch every run
+      spark.sql("DROP TABLE IF EXISTS " +
+        graft.streaming.Ingest.storeTableName(spark, fpStore))
+      val fpPath = new org.apache.hadoop.fs.Path(fpStore)
+      fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(fpPath, true)
       val t1 = System.nanoTime()
       graft.streaming.Ingest.appendToStore(spark, fpStore, history,
         buckets = 32)
       val epochFpS = (System.nanoTime() - t1) / 1e9
+      // filters AFTER fps so the store records the epoch it covers —
+      // the coherence gate dedupAgainstIngestStore now enforces
+      val t0 = System.nanoTime()
+      Dedup.buildBloomStore(history, store, shards,
+        itemsPerShard = (n + shards - 1) / shards,
+        coversEpoch = graft.streaming.Ingest.storeEpoch(spark, fpStore))
+      val epochS = (System.nanoTime() - t0) / 1e9
       val sizes = spark.read.parquet(store)
         .select(max(length(col("filter"))).as("mx"),
           sum("n_fps").as("tot")).head()
@@ -95,13 +108,32 @@ object StressBloom {
           shards))
         (System.nanoTime() - b0) / 1e9
       }
+      // INGEST-LOOP row: the per-micro-batch wall the streaming loop
+      // pays at this history size — unscreened (whole batch through
+      // the store anti-join, the old runIngest shape) vs screened
+      // (bloom-positive slice only, the bloomShards > 0 shape)
+      def ingestPlainOnce(): Double = {
+        val b0 = System.nanoTime()
+        force(graft.streaming.Ingest.ingestBatch(batch,
+          graft.streaming.Ingest.readStore(spark, fpStore)))
+        (System.nanoTime() - b0) / 1e9
+      }
+      def ingestScreenedOnce(): Double = {
+        val b0 = System.nanoTime()
+        force(graft.streaming.Ingest.ingestBatchScreened(spark, batch,
+          fpStore, store))
+        (System.nanoTime() - b0) / 1e9
+      }
       val screenS = Seq(screenOnce(), screenOnce()).min
       val fullFlatS = Seq(fullFlatOnce(), fullFlatOnce()).min
       val fullStoreS = Seq(fullStoreOnce(), fullStoreOnce()).min
+      val ingestS = Seq(ingestPlainOnce(), ingestPlainOnce()).min
+      val ingestScrS = Seq(ingestScreenedOnce(), ingestScreenedOnce()).min
       println(f"[stress-bloom] history=${n / 1000000}%2dM shards=$shards%2d " +
         f"epoch=${epochS}%6.1f s  epoch_fp=${epochFpS}%6.1f s  " +
         f"screen=${screenS}%5.1f s  full_flat=${fullFlatS}%5.1f s  " +
         f"full_store=${fullStoreS}%5.1f s  " +
+        f"ingest=${ingestS}%5.1f s  ingest_screened=${ingestScrS}%5.1f s  " +
         f"max_filter=${sizes.getAs[Int]("mx") / 1048576.0}%5.1f MiB  " +
         f"stored_fps=${sizes.getAs[Long]("tot")}")
       // drop the 32M-row checkpoint blocks before the next decade —

@@ -230,6 +230,73 @@ object Dedup {
   private[ops] case class ScreenedRow(doc_id: Long, lang: String,
       source: String, n_chars: Long, fp: String, maybe: Boolean)
 
+  /** Verdict-only row shapes for [[screenVerdictsAgainstBloomStore]]
+    * — the generic form the streaming ingest loop joins back to its
+    * full-schema batch by doc_id (text and the rest never ride the
+    * cogroup shuffle). */
+  private[ops] case class FpRow(doc_id: Long, fp: String, h: Long,
+      shard: Int)
+  private[ops] case class FpVerdict(doc_id: Long, fp: String,
+      maybe: Boolean)
+
+  /** Salt fan-out per shard for the cogroup screen. One shard's batch
+    * slice is one cogroup group, so a store at its natural small
+    * shard count (1-2 shards below ~8M fps) would screen the whole
+    * batch on 1-2 cores of a many-core host. Salting the batch-side
+    * key to (shard, h mod salts) and replicating each ~MiB filter row
+    * once per salt keeps screen parallelism ≥ min(cores, rows)
+    * regardless of shard count. The replication cost is bounded by
+    * CORES, not shards: salts shrinks as shards grows
+    * (shards ≥ parallelism ⇒ salts = 1, today's exact behavior), so
+    * the filter frame's shuffle volume never exceeds
+    * ~parallelism × filter bytes. Verdicts are per-row functions of
+    * (h, shard filters), so results are salt-invariant by
+    * construction (StressBloom measures the shard-flatness row;
+    * hashes pinned by the registered store twin). */
+  private def saltsFor(spark: SparkSession, shards: Int): Int =
+    math.max(1, math.min(16,
+      spark.sparkContext.defaultParallelism / math.max(shards, 1)))
+
+  /** The one cogroup screen both row shapes ride: batch rows keyed by
+    * (shard, h mod salts) meet the shard's filter row(s), replicated
+    * per salt; each group deserializes its filter(s) once via the
+    * public sketch API and probes the precomputed hashes. A healthy
+    * store has ONE filter row per shard per epoch; multiple rows
+    * (incremental [[appendToBloomStore]] appends, or a torn store
+    * write) are the shard's history UNION, so every row is probed —
+    * silently taking the first would turn the extras' dups into
+    * false "new" rows. Shard < 0 (null fp) rides to the exact
+    * confirm; a shard with batch rows but no filter row is
+    * definite-new. */
+  private def cogroupScreen[T, U: org.apache.spark.sql.Encoder](
+      rows: org.apache.spark.sql.Dataset[T], filters: DataFrame,
+      salts: Int, shardOf: T => Int, hashOf: T => Long,
+      out: (T, Boolean) => U): org.apache.spark.sql.Dataset[U] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val filts = filters.select(col("shard"), col("filter"))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (s, f) =>
+        (0 until salts).iterator.map(k => (s, k, f)) }
+    rows.groupByKey(r => (shardOf(r),
+        java.lang.Math.floorMod(hashOf(r), salts.toLong).toInt))
+      .cogroup(filts.groupByKey(t => (t._1, t._2))) {
+        case ((shard, _), rs, fs) =>
+          if (shard < 0)
+            // null fp: never in a filter, always exact-confirmed
+            rs.map(out(_, true))
+          else if (!fs.hasNext)
+            // no history rows landed in this shard: definite new
+            rs.map(out(_, false))
+          else {
+            val bfs = fs.map(f =>
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(f._3))).toArray
+            rs.map(r => out(r, bfs.exists(_.mightContainLong(hashOf(r)))))
+          }
+      }
+  }
+
   /** The scale form of the bloom screen: the epoch's filter is SHARDED
     * BY FP PREFIX and the whole batch is screened in ONE job — a typed
     * COGROUP on shard id brings each batch slice and its shard's
@@ -255,7 +322,7 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val filters = bloomShardFrame(historyFps, shards, itemsPerShard, fpp)
     dedupeScreened(
-      screenShardedBatch(shardTagged(newDocs, shards), filters),
+      screenShardedBatch(shardTagged(newDocs, shards), filters, shards),
       historyFps)
   }
 
@@ -268,13 +335,14 @@ object Dedup {
         col("fp"), fpShard(col("fp"), shards).as("__shard"))
 
   /** One-job sharded screen over a (shard, …, filter) frame — see
-    * [[dedupAgainstHistoryBloomSharded]] for the plan story. The
-    * filter bytes are Catalyst `BloomFilterAggregate` output, read
-    * back through the public sketch API (`BloomFilter.readFrom`) —
-    * byte-compatible by construction (it is the same format
-    * `BloomFilterMightContain` deserializes). */
+    * [[dedupAgainstHistoryBloomSharded]] for the plan story and
+    * [[cogroupScreen]] for the salted group key. The filter bytes are
+    * Catalyst `BloomFilterAggregate` output, read back through the
+    * public sketch API (`BloomFilter.readFrom`) — byte-compatible by
+    * construction (it is the same format `BloomFilterMightContain`
+    * deserializes). */
   private def screenShardedBatch(tagged: DataFrame,
-      filters: DataFrame): DataFrame = {
+      filters: DataFrame, shards: Int): DataFrame = {
     val spark = tagged.sparkSession
     import spark.implicits._
     val rows = tagged.select(
@@ -283,30 +351,10 @@ object Dedup {
         xxhash64(col("fp")).as("h"),
         coalesce(col("__shard"), lit(-1)).as("shard"))
       .as[ScreenRow]
-    val filts = filters.select(col("shard"), col("filter"))
-      .as[(Int, Array[Byte])]
-    rows.groupByKey(_.shard)
-      .cogroup(filts.groupByKey(_._1)) { (shard, rs, fs) =>
-        if (shard < 0)
-          // null fp: never in a filter, always exact-confirmed
-          rs.map(r => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
-            r.fp, maybe = true))
-        else if (!fs.hasNext)
-          // no history rows landed in this shard: definite new
-          rs.map(r => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
-            r.fp, maybe = false))
-        else {
-          // a healthy store has ONE filter row per shard; if several
-          // exist (a torn/duplicated store write) the shard's history
-          // is their UNION, so probe them all — silently taking the
-          // first would turn the extras' dups into false "new" rows
-          val bfs = fs.map(f =>
-            org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(f._2))).toArray
-          rs.map(r => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
-            r.fp, bfs.exists(_.mightContainLong(r.h))))
-        }
-      }
+    cogroupScreen[ScreenRow, ScreenedRow](rows, filters,
+        saltsFor(spark, shards), _.shard, _.h,
+        (r, m) => ScreenedRow(r.doc_id, r.lang, r.source, r.n_chars,
+          r.fp, m))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("fp"), col("maybe").as("__maybe"))
       // materialize ONCE: the confirm tail references this frame four
@@ -318,17 +366,269 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Screen VERDICTS only — (doc_id, fp, __maybe) for any
+    * (doc_id, text) frame against a persisted [[buildBloomStore]]
+    * store. The slim shape the streaming ingest loop uses: the batch's
+    * full schema (text included) never rides the cogroup shuffle; the
+    * caller joins the verdicts back by doc_id. localCheckpoint'd for
+    * the same fan-out reason as [[screenShardedBatch]] (the confirm
+    * tail references it three times). */
+  def screenVerdictsAgainstBloomStore(spark: SparkSession,
+      newDocs: DataFrame, storePath: String, shards: Int): DataFrame = {
+    import spark.implicits._
+    val rows = newDocs
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .select(col("doc_id").cast("long"), col("fp"),
+        xxhash64(col("fp")).as("h"),
+        coalesce(fpShard(col("fp"), shards), lit(-1)).as("shard"))
+      .as[FpRow]
+    cogroupScreen[FpRow, FpVerdict](rows, readBloomFrame(spark, storePath),
+        saltsFor(spark, shards), _.shard, _.h,
+        (r, m) => FpVerdict(r.doc_id, r.fp, m))
+      .select(col("doc_id"), col("fp"), col("maybe").as("__maybe"))
+      .localCheckpoint()
+  }
+
+  /** Schema of a persisted [[buildBloomStore]] store. Reads go
+    * through this declared schema so an EMPTY store (a fresh
+    * pipeline's [[ensureBloomStore]], before any filter append) reads
+    * as zero rows instead of failing schema inference. */
+  private[graft] val BloomStoreSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_fps",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("filter",
+        org.apache.spark.sql.types.BinaryType)))
+
+  private def readBloomFrame(spark: SparkSession,
+      storePath: String): DataFrame =
+    spark.read.schema(BloomStoreSchema).parquet(storePath)
+
+  /** In-band layout metadata of a filter store, persisted in a
+    * `_graft_bloom_meta` sidecar inside the store directory:
+    *  - `shards` / `itemsPerShard` / `fpp`: the build-time layout.
+    *    Shard ROUTING is layout — probing with a different shard
+    *    count than the store was built with silently misses — so
+    *    every probe path validates its caller's count against this.
+    *  - `coversEpoch`: the fp store append epoch
+    *    ([[graft.streaming.Ingest.storeEpoch]]) this store's filters
+    *    cover. The coherence guard ([[requireCoherentStores]])
+    *    compares it to the fp store's live epoch at screen time —
+    *    a bloom store that missed an fp append would otherwise route
+    *    the appended fps around the exact confirm as bloom-NEGATIVE
+    *    ("definitely new") and silently readmit their duplicates. */
+  private[graft] case class BloomMeta(shards: Int, itemsPerShard: Long,
+      fpp: Double, coversEpoch: Long)
+
+  private val BloomMetaSidecar = "_graft_bloom_meta"
+
+  private def bloomFs(spark: SparkSession, storePath: String) =
+    new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The persisted [[BloomMeta]], if this directory holds a
+    * post-coherence store. A sidecar that exists but does not parse
+    * is CORRUPT, not absent — silently treating it as a legacy store
+    * would skip the staleness guard — so it fails loudly instead. */
+  def bloomStoreMeta(spark: SparkSession,
+      storePath: String): Option[BloomMeta] = {
+    val fs = bloomFs(spark, storePath)
+    val p = new org.apache.hadoop.fs.Path(storePath, BloomMetaSidecar)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val kv = text.split('\n').map(_.trim).filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      val parsed = scala.util.Try(BloomMeta(kv("shards").toInt,
+        kv("items_per_shard").toLong, kv("fpp").toDouble,
+        kv("covers_epoch").toLong)).toOption
+      require(parsed.isDefined,
+        s"corrupt $BloomMetaSidecar sidecar at $storePath (content: " +
+          s"'${text.take(120)}'): rebuild the store via buildBloomStore")
+      parsed
+    }
+  }
+
+  private def writeBloomMeta(spark: SparkSession, storePath: String,
+      meta: BloomMeta): Unit = {
+    val fs = bloomFs(spark, storePath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(storePath, BloomMetaSidecar), true)
+    try out.write(
+      (s"shards=${meta.shards}\nitems_per_shard=${meta.itemsPerShard}\n" +
+        s"fpp=${meta.fpp}\ncovers_epoch=${meta.coversEpoch}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Build and persist the prefix-sharded epoch filter store — the
     * once-per-epoch artifact the steady-state ingest loop screens
     * every batch against. The store IS its own sidecar metadata:
-    * per-shard `n_fps` rides in the same rows, so the screen path
-    * sizes and loads filters from the store alone, zero corpus
-    * actions. */
+    * per-shard `n_fps` rides in the same rows (sizing stats), and the
+    * layout + coverage facts live in [[BloomMeta]]. `coversEpoch` is
+    * the fp store epoch these filters cover — pass
+    * `Ingest.storeEpoch(spark, fpStoreDir)` taken BEFORE reading the
+    * history snapshot, so a concurrent append makes the guard fail
+    * loud rather than pass stale. The write is shard-partitioned
+    * (one writer per shard), not a single-task funnel: at 4096 shards
+    * × ~4.6 MiB filters the old `repartition(1)` pushed ~19 GB
+    * through one task. */
   def buildBloomStore(historyFps: DataFrame, storePath: String,
-      shards: Int, itemsPerShard: Long, fpp: Double = 0.01): Unit =
+      shards: Int, itemsPerShard: Long, fpp: Double = 0.01,
+      coversEpoch: Long = 0L): Unit = {
+    val spark = historyFps.sparkSession
     bloomShardFrame(historyFps, shards, itemsPerShard, fpp)
-      .repartition(1)
+      .repartition(shards, col("shard"))
       .write.mode("overwrite").parquet(storePath)
+    writeBloomMeta(spark, storePath,
+      BloomMeta(shards, itemsPerShard, fpp, coversEpoch))
+  }
+
+  /** Create an EMPTY filter store if none exists (the fresh-pipeline
+    * entry point: the first screened batch sees no filter rows —
+    * definite-new everywhere — which is exactly right against an
+    * empty fp store; every batch thereafter appends its own filter
+    * rows). An existing store is validated against the requested
+    * layout, same contract as the fp store's `ensureStore`. */
+  def ensureBloomStore(spark: SparkSession, storePath: String,
+      shards: Int, itemsPerShard: Long = BloomShardItemCap,
+      fpp: Double = 0.01): BloomMeta =
+    bloomStoreMeta(spark, storePath) match {
+      case Some(m) =>
+        require(shards <= 0 || m.shards == shards,
+          s"bloom store at $storePath was built with ${m.shards} " +
+            s"shards; caller asked for $shards — shard routing is " +
+            "store layout (rebuild via rebuildBloomStore to change it)")
+        m
+      case None =>
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            BloomStoreSchema)
+          .write.mode("overwrite").parquet(storePath)
+        val m = BloomMeta(shards, itemsPerShard, fpp, coversEpoch = 0L)
+        writeBloomMeta(spark, storePath, m)
+        m
+    }
+
+  /** Append a NEW batch of fingerprints' filters to an existing store
+    * — the steady-state maintenance twin of
+    * [[graft.streaming.Ingest.appendToStore]], and the function whose
+    * absence was the repo's one latent wrong-answer shape: fps used
+    * to append every batch while filters only full-rebuilt, so every
+    * since-appended fp read bloom-NEGATIVE and its duplicates were
+    * silently readmitted around the confirm join.
+    *
+    * One filter row per (touched) shard per append; the screen probes
+    * a shard's rows as a UNION, so appended rows are correct by the
+    * same semantics that make torn writes safe. Filters are sized to
+    * the APPEND (2× slack over the even-spread expectation — batch
+    * fps hash-spread across shards), not the epoch: per-batch rows
+    * stay KiB-sized instead of repeating the epoch's MiB filters.
+    * Rows accrete one per shard per append — linear probe cost in
+    * appends — so fold them back on the store-compaction cadence via
+    * [[rebuildBloomStore]].
+    *
+    * `coversEpoch`: the fp store epoch this append brings coverage up
+    * to. Filters land BEFORE the sidecar advances — a crash between
+    * the two leaves coverage UNDER-claimed (loud false alarm at the
+    * next screen), never over-claimed.
+    *
+    * `expectedItems` sizes the append's filters; ≤ 0 counts `newFps`
+    * (a batch-sized frame — bounded, unlike the corpus-action counts
+    * the r12 rule bans). */
+  def appendToBloomStore(spark: SparkSession, newFps: DataFrame,
+      storePath: String, coversEpoch: Long,
+      expectedItems: Long = -1L): Unit = {
+    val meta = bloomStoreMeta(spark, storePath).getOrElse(
+      throw new IllegalStateException(
+        s"bloom store at $storePath has no $BloomMetaSidecar sidecar " +
+          "(pre-coherence layout); rebuild it via buildBloomStore " +
+          "before appending"))
+    val items = if (expectedItems > 0) expectedItems else newFps.count()
+    if (items > 0) {
+      val perShard = math.max(1024L,
+        2L * ((items + meta.shards - 1) / meta.shards))
+      bloomShardFrame(newFps, meta.shards, perShard, meta.fpp)
+        .repartition(meta.shards, col("shard"))
+        .write.mode("append").parquet(storePath)
+    }
+    writeBloomMeta(spark, storePath, meta.copy(coversEpoch = coversEpoch))
+  }
+
+  /** Rebuild the filter store from the fp store's CURRENT contents —
+    * the compaction-cadence maintenance op that folds accreted
+    * per-append filter rows back to one row per shard (and re-sizes
+    * the layout if the history outgrew it). Sizing comes from the old
+    * store's own `n_fps` rows (kilobytes; append overlap overcounts,
+    * which only oversizes — safe), never a corpus count. The epoch is
+    * read BEFORE the history snapshot: an append racing the rebuild
+    * makes the guard fail loud, never pass stale. Maintenance op —
+    * not concurrent with screens (the overwrite window), same caveat
+    * as the fp store's compactStore. */
+  def rebuildBloomStore(spark: SparkSession, fpStoreDir: String,
+      storePath: String): BloomMeta = {
+    val meta = bloomStoreMeta(spark, storePath).getOrElse(
+      throw new IllegalStateException(
+        s"bloom store at $storePath has no $BloomMetaSidecar sidecar; " +
+          "create it via buildBloomStore/ensureBloomStore first"))
+    val epoch = graft.streaming.Ingest.storeEpoch(spark, fpStoreDir)
+    val totalRow = readBloomFrame(spark, storePath)
+      .agg(sum("n_fps").as("t")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val shards =
+      if (total <= 0) meta.shards
+      else math.max(meta.shards,
+        ((total + BloomShardItemCap - 1) / BloomShardItemCap).toInt)
+    val itemsPerShard =
+      if (total <= 0) meta.itemsPerShard
+      else math.max(1L, (total + shards - 1) / shards)
+    buildBloomStore(graft.streaming.Ingest.readStore(spark, fpStoreDir),
+      storePath, shards, itemsPerShard, meta.fpp, coversEpoch = epoch)
+    BloomMeta(shards, itemsPerShard, meta.fpp, epoch)
+  }
+
+  /** The loud coherence gate every two-store screen passes through:
+    * the filter store must cover the fp store's live append epoch,
+    * and the caller's shard count must match the store layout. A
+    * stale filter does not degrade — it silently drops the dedup
+    * guarantee for every post-build fp — so staleness is a crash,
+    * not a warning. `shards ≤ 0` means "whatever the store uses"
+    * (the returned meta carries the real count). */
+  private[graft] def requireCoherentStores(spark: SparkSession,
+      fpStoreDir: String, bloomStorePath: String,
+      shards: Int): BloomMeta = {
+    val meta = bloomStoreMeta(spark, bloomStorePath).getOrElse(
+      throw new IllegalStateException(
+        s"bloom store at $bloomStorePath has no $BloomMetaSidecar " +
+          "sidecar (pre-coherence layout) — staleness vs the fp store " +
+          "is uncheckable; rebuild it via buildBloomStore"))
+    require(shards <= 0 || meta.shards == shards,
+      s"bloom store at $bloomStorePath was built with ${meta.shards} " +
+        s"shards; caller asked for $shards — shard routing is store " +
+        "layout, probing at another count silently misses")
+    val fpEpoch = graft.streaming.Ingest.storeEpoch(spark, fpStoreDir)
+    if (meta.coversEpoch < fpEpoch)
+      throw new IllegalStateException(
+        s"STALE bloom store: fp store at $fpStoreDir is at append " +
+          s"epoch $fpEpoch but the filters at $bloomStorePath cover " +
+          s"only epoch ${meta.coversEpoch}. Fingerprints appended " +
+          "since the last filter build would read bloom-NEGATIVE and " +
+          "be routed around the exact confirm — silently readmitting " +
+          "their duplicates. Append the missing fps' filters via " +
+          "appendToBloomStore, or rebuildBloomStore, before screening.")
+    meta
+  }
 
   /** Screen a batch against a persisted [[buildBloomStore]] store:
     * returns the batch (slim projection + fp) tagged `__maybe` —
@@ -343,9 +643,18 @@ object Dedup {
     * the history side each batch (the measured growth term in
     * StressBloom's flat-history full-dedup column). */
   def screenAgainstBloomStore(spark: SparkSession, newDocs: DataFrame,
-      storePath: String, shards: Int): DataFrame =
+      storePath: String, shards: Int): DataFrame = {
+    // shard ROUTING is store layout: validate the caller's count
+    // against the sidecar when one exists (legacy stores screen
+    // un-validated, as before)
+    bloomStoreMeta(spark, storePath).foreach(m =>
+      require(m.shards == shards,
+        s"bloom store at $storePath was built with ${m.shards} shards; " +
+          s"caller asked for $shards — probing at another count " +
+          "silently misses"))
     screenShardedBatch(shardTagged(newDocs, shards),
-      spark.read.parquet(storePath))
+      readBloomFrame(spark, storePath), shards)
+  }
 
   /** [[dedupAgainstHistoryBloomSharded]] reading filters from a
     * persisted [[buildBloomStore]] store instead of rebuilding them —
@@ -378,6 +687,9 @@ object Dedup {
     * This function enables it as part of its contract. */
   def dedupAgainstIngestStore(spark: SparkSession, newDocs: DataFrame,
       fpStoreDir: String, bloomStorePath: String, shards: Int): DataFrame = {
+    // the loud stale-filter gate: a bloom store that missed an fp
+    // append would silently readmit the appended fps' duplicates
+    requireCoherentStores(spark, fpStoreDir, bloomStorePath, shards)
     spark.conf.set(
       "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     dedupeScreened(
@@ -442,7 +754,8 @@ object Dedup {
       graft.streaming.Ingest.appendToStore(spark, s"$path/fps", history,
         buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt)
       buildBloomStore(history, s"$path/bloom", shards,
-        itemsPerShard = math.max(1L, (history.count() + shards - 1) / shards))
+        itemsPerShard = math.max(1L, (history.count() + shards - 1) / shards),
+        coversEpoch = graft.streaming.Ingest.storeEpoch(spark, s"$path/fps"))
     }
     dedupAgainstIngestStore(spark,
       Tables.documents(spark, dir).where(col("source").isin("src0", "src1")),

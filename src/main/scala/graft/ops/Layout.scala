@@ -75,12 +75,18 @@ object Layout {
         lit(1L).as("one"))
     // span guard on the 1-ROW bounds frame, not the event scan: same
     // loud failure, evaluated once instead of per row (a per-row
-    // assert_true filter measured +0.85 s on 1M events at sf1)
+    // assert_true filter measured +0.85 s on 1M events at sf1).
+    // try_subtract: a raw u_max - u_min WRAPS negative past a 2^63
+    // span (negative min, huge positive max) and would sail through
+    // the very guard built for it — the try_ form yields null there
+    // and assert_true(null) fails loudly like false. An EMPTY events
+    // frame (all-null bounds row) short-circuits via the isNull arm
+    // instead of tripping the assert: the join below is empty anyway.
     val bounds = ev.agg(
         min("user_id").as("u_min"), max("user_id").as("u_max"),
         min("day").as("d_min"), max("day").as("d_max"))
-      .where(assert_true(
-        col("u_max") - col("u_min") < lit(1L << (63 - bits)) &&
+      .where(col("u_min").isNull || assert_true(
+        try_subtract(col("u_max"), col("u_min")) < lit(1L << (63 - bits)) &&
           datediff(col("d_max"), col("d_min")) < lit(1L << (63 - bits)),
         lit(s"z-order bucketing needs dimension spans < 2^${63 - bits} " +
           "(multiply-first binning would overflow); pre-bin wider " +
@@ -264,37 +270,55 @@ object Layout {
     * Returns one (layout, rows_read, rows_match) per layout. */
   def zorderScanMeasure(spark: SparkSession, dir: String, outBase: String,
       numFiles: Int = 64): Seq[(String, Long, Long)] = {
+    zorderScanWrite(spark, dir, outBase, numFiles)
+    zorderScanProbe(spark, dir, outBase)
+  }
+
+  /** The write half of [[zorderScanMeasure]]: events filed twice
+    * (z-clustered vs x-sorted) under `outBase` — deterministic per
+    * (dir, numFiles), so the gate query Scratch-caches it and repeat
+    * probes pay only the pruned scans. */
+  def zorderScanWrite(spark: SparkSession, dir: String, outBase: String,
+      numFiles: Int = 64): Unit = {
     val n = 256
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-      "TIMESTAMP_MICROS")
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("event_type"), col("value"))
-    // bounds as plain longs (epoch days, not java.sql.Date — Date
-    // deserialization needs sun.util.calendar opens a bare-java
-    // classpath doesn't have)
-    val b = ev.agg(min("user_id"), max("user_id"),
-      min(unix_date(to_date(col("ts")))).cast("long"),
-      max(unix_date(to_date(col("ts")))).cast("long")).head()
-    val (uMin, uMax) = (b.getLong(0), b.getLong(1))
-    val dMin = java.time.LocalDate.ofEpochDay(b.getLong(2))
-    val dRange = b.getLong(3) - b.getLong(2)
-    // width-first layout buckets (overflow-proof; stretch across the
-    // full bucket space is irrelevant here — Morton locality only
-    // needs MONOTONE bins, and the box below is phrased on the raw
-    // value domain, not the bucket domain)
-    val uW = (uMax - uMin) / n + 1
-    val dW = dRange / n + 1
-    val xb = expr(s"(user_id - $uMin) DIV $uW")
-    val yb = expr(s"datediff(to_date(ts), DATE'$dMin') DIV $dW")
+    // TIMESTAMP_MICROS for the two layout writes only — INT96 carries
+    // no usable min/max stats — then RESTORED: leaking it session-wide
+    // would silently flip every later parquet write's physical
+    // timestamp type (masking the very INT96 behavior documented
+    // elsewhere)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val (uMin, uMax, dMin, dRange) = scanBounds(spark, dir)
+      // width-first layout buckets (overflow-proof; stretch across the
+      // full bucket space is irrelevant here — Morton locality only
+      // needs MONOTONE bins, and the box below is phrased on the raw
+      // value domain, not the bucket domain)
+      val uW = (uMax - uMin) / n + 1
+      val dW = dRange / n + 1
+      val xb = expr(s"(user_id - $uMin) DIV $uW")
+      val yb = expr(s"datediff(to_date(ts), DATE'$dMin') DIV $dW")
+      zorderWrite(ev, xb, yb, s"$outBase/zorder", numFiles)
+      ev.repartitionByRange(numFiles, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(s"$outBase/xsort")
+    } finally tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+  }
 
-    val zDir = s"$outBase/zorder"
-    val xDir = s"$outBase/xsort"
-    zorderWrite(ev, xb, yb, zDir, numFiles)
-    ev.repartitionByRange(numFiles, col("user_id"))
-      .sortWithinPartitions("user_id")
-      .write.mode("overwrite").parquet(xDir)
-
+  /** The probe half: push the same 2-D box through the real reader
+    * over both layouts. Bounds recompute deterministically from the
+    * source table (one agg — the box must be derived identically on
+    * every probe of a cached layout). */
+  def zorderScanProbe(spark: SparkSession, dir: String,
+      outBase: String): Seq[(String, Long, Long)] = {
+    val (uMin, uMax, dMin, dRange) = scanBounds(spark, dir)
     // the center 1/8 x 1/8 of each RAW value range (so the box always
     // holds data at any SF), phrased on the raw columns so only file
     // stats — not helper columns — can prune it
@@ -302,14 +326,68 @@ object Layout {
     val (uLo, uHi) = (uMin + 3 * uStep, uMin + 4 * uStep - 1)
     val dStep = math.max(1L, (dRange + 1) / 8)
     // TIMESTAMP literals in SQL text: a lit(java.sql.Timestamp) would
-    // route through the same sun.util.calendar handles as Date above
+    // route through the same sun.util.calendar handles as Date below
     val tLo = dMin.plusDays(3 * dStep).atStartOfDay()
     val tHiX = dMin.plusDays(4 * dStep).atStartOfDay()
     val box = col("user_id").between(uLo, uHi) &&
       expr(s"ts >= TIMESTAMP'$tLo'") && expr(s"ts < TIMESTAMP'$tHiX'")
-    Seq(zDir -> "zorder", xDir -> "xsort").map { case (d, name) =>
-      val (read, matched) = scanRowsRead(spark, d, box)
-      (name, read, matched)
-    }
+    Seq(s"$outBase/zorder" -> "zorder", s"$outBase/xsort" -> "xsort")
+      .map { case (d, name) =>
+        val (read, matched) = scanRowsRead(spark, d, box)
+        (name, read, matched)
+      }
   }
+
+  /** (u_min, u_max, first day, day span) of the events table — as
+    * plain longs (epoch days, not java.sql.Date: Date deserialization
+    * needs sun.util.calendar opens a bare-java classpath lacks). */
+  private def scanBounds(spark: SparkSession,
+      dir: String): (Long, Long, java.time.LocalDate, Long) = {
+    val b = Tables.events(spark, dir).agg(
+      min("user_id"), max("user_id"),
+      min(unix_date(to_date(col("ts")))).cast("long"),
+      max(unix_date(to_date(col("ts")))).cast("long")).head()
+    (b.getLong(0), b.getLong(1),
+      java.time.LocalDate.ofEpochDay(b.getLong(2)),
+      b.getLong(3) - b.getLong(2))
+  }
+
+  /** Driver-gate form of the real-reader proof: the z-layout must
+    * deliver the SAME matching rows while reading STRICTLY fewer from
+    * disk than the single-column sort — SF-checked on every verify
+    * run like the ANN recall gates, not only in LayoutSpec. The two
+    * layout writes are session-cached (Scratch) — first toucher pays
+    * the filing cost, repeat probes pay two pruned scans. File count
+    * scales with volume (~64 per 120k events, the compaction knob a
+    * lake would set from target file size): a fixed 64 at sf1+ makes
+    * files so large the day dimension's per-file span saturates —
+    * the recorded 64-file sf0.1 sensitivity. */
+  def zorderScanGate(spark: SparkSession, dir: String): DataFrame = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val base = Scratch.cached(spark, s"zorderscan:$md5",
+      "graft-zorder-scan") { path =>
+      // file count derives from volume INSIDE the one-time write (no
+      // per-probe corpus action): ~400 events per simulated file —
+      // the grain where sf0.1 lands at the proven 256-file regime
+      // (0.39x rows read); 64 files at sf0.1 is the RECORDED
+      // too-shallow-day sensitivity and would flip the gate
+      val nEvents = Tables.events(spark, dir).count()
+      val numFiles = math.max(64L, math.min(4096L, nEvents / 400L)).toInt
+      zorderScanWrite(spark, dir, path, numFiles)
+    }
+    val r = zorderScanProbe(spark, dir, base)
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val (zRead, zMatch) = (r("zorder")._1, r("zorder")._2)
+    val (xRead, xMatch) = (r("xsort")._1, r("xsort")._2)
+    import spark.implicits._
+    Seq((if (zMatch == xMatch && zMatch > 0) 1L else 0L,
+        if (zRead < xRead) 1L else 0L))
+      .toDF("results_match", "z_reads_fewer")
+  }
+
+  val zorderScanGateSql: String =
+    "SELECT CAST(1 AS BIGINT) AS results_match, " +
+      "CAST(1 AS BIGINT) AS z_reads_fewer"
 }

@@ -255,6 +255,51 @@ object Sketches {
       .groupBy("w", "cms_row", "bucket")
       .agg(sum("cnt").as("cnt"))
 
+  /** Registered driver gate for the persisted epoch store — the
+    * OpsSpec append+merge proof lifted to the hash-exact tier where
+    * every other persisted store lives. The store is built from the
+    * first half-month epoch with the width FROZEN from epoch 1's
+    * exact cardinality (the one width source the SQL oracle can
+    * reproduce — the HLL-fed production sizing stays band-pinned in
+    * OpsSpec), the second epoch appends AT the frozen width
+    * ([[appendEpochToCmsStore]] — never re-deriving w), and the
+    * merged result must hash-match DuckDB's from-scratch sketch
+    * (width over epoch 1, buckets over ALL events): build + append +
+    * merge ≡ one-pass, at every SF the driver runs. Session-cached
+    * build (Scratch), first toucher pays. */
+  def cmsStoreMergedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val store = Scratch.cached(spark, s"cmsstore:$md5",
+        "graft-cms-store") { path =>
+      val raw = Tables.events(spark, dir)
+      def me(df: DataFrame): DataFrame =
+        df.select(date_trunc("month", to_date(col("ts"))).cast("date")
+          .as("month"), col("user_id"))
+      val epoch1 = me(raw.where(dayofmonth(col("ts")) <= 15))
+      val epoch2 = me(raw.where(dayofmonth(col("ts")) > 15))
+      monthlySketchAt(epoch1, cmsWidthFrame(epoch1))
+        .write.mode("overwrite").parquet(path)
+      appendEpochToCmsStore(spark, epoch2, path)
+    }
+    cmsStoreMerged(spark, store)
+  }
+
+  val cmsStoreMergedSql: String =
+    s"""WITH e1 AS (
+       |  SELECT user_id FROM events WHERE EXTRACT(day FROM ts) <= 15),
+       |cw AS (SELECT $cmsWidthSqlExpr AS w FROM e1),
+       |rb AS (
+       |  SELECT cw.w AS w, t.j AS cms_row,
+       |         CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+       |              CAST(user_id AS VARCHAR)), 25, 8)) AS BIGINT) % cw.w
+       |           AS bucket
+       |  FROM events, cw, UNNEST(range(0, 4)) AS t(j))
+       |SELECT CAST(w AS BIGINT) AS w, cms_row, bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM rb GROUP BY 1, 2, 3""".stripMargin
+
   /** Spec seam: flat sketch of a (user_id) frame at an EXPLICIT width
     * — lets the store spec rebuild the union from scratch at the
     * frozen width and assert the append+merge path estimate-invariant. */

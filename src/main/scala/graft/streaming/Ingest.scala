@@ -83,6 +83,51 @@ object Ingest {
     * it as metadata, same convention as `_SUCCESS`. */
   private val BucketsSidecar = "_graft_buckets"
 
+  /** Sidecar holding the store's APPEND EPOCH — a counter bumped by
+    * every [[appendToStore]]. Derived artifacts that must stay
+    * coherent with the store's CONTENT (the sharded bloom-filter
+    * store a steady-state dedup screens with) record the epoch they
+    * were built at; comparing the two at screen time turns the
+    * silent-wrong-answer shape (a stale filter routes since-appended
+    * duplicates around the exact confirm) into a loud failure.
+    * [[compactStore]] PRESERVES the counter across its swap — the
+    * rewrite is content-invariant (a distinct over a set), so every
+    * filter that covered the store before still covers it after. */
+  private val EpochSidecar = "_graft_epoch"
+
+  /** The store's append epoch: how many [[appendToStore]] calls have
+    * landed (0 for a store that predates epoch tracking or doesn't
+    * exist yet — such a store can only be screened by a filter store
+    * built AFTER this counter existed, which is the safe direction). */
+  def storeEpoch(spark: SparkSession, storeDir: String): Long = {
+    val p = new Path(storeDir, EpochSidecar)
+    val fs = fileSystem(spark, storeDir)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8).trim
+      } finally in.close()
+      val parsed = scala.util.Try(text.toLong).toOption.filter(_ >= 0)
+      require(parsed.isDefined,
+        s"corrupt $EpochSidecar sidecar at $storeDir (content: " +
+          s"'${text.take(64)}'): expected a non-negative epoch counter")
+      parsed.get
+    }
+  }
+
+  private[streaming] def writeEpochSidecar(spark: SparkSession,
+      storeDir: String, epoch: Long): Unit = {
+    val fs = fileSystem(spark, storeDir)
+    val out = fs.create(new Path(storeDir, EpochSidecar), true)
+    try out.write(epoch.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** One catalog table per store directory (the catalog needs a name).
     * The name is an md5 of the NORMALIZED absolute URI: a 31-bit
     * String.hashCode could collide two distinct directories (silently
@@ -252,6 +297,16 @@ object Ingest {
     val (tbl, n) = ensureStore(spark, storeDir, buckets)
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     appendLock.synchronized {
+      // bump BEFORE the rows land — the fail-safe order. A crash
+      // after the bump but before (or during) the write leaves the
+      // epoch OVER-counted: the coherence guard then rejects a filter
+      // store as stale when it actually covers everything — a loud
+      // false alarm, repaired by the ingest replay's filter append.
+      // The reverse order would leave appended fps UNDER the recorded
+      // epoch after a crash: a filter claiming full coverage while
+      // rows it never saw sit in the store — the silent-readmission
+      // shape this sidecar exists to kill.
+      writeEpochSidecar(spark, storeDir, storeEpoch(spark, storeDir) + 1)
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "false")
       try {
@@ -305,6 +360,12 @@ object Ingest {
     // fps twice (harmless to the anti-join — the store is a set);
     // compaction is where the duplicates get swept
     val snapshot = spark.read.schema(storeSchema).parquet(storeDir).distinct()
+    // the append epoch SURVIVES compaction: the rewrite is
+    // content-invariant (a distinct over a set), so every filter
+    // store that covered this epoch before still covers it after —
+    // letting the tmp store's own epoch (1) through would instead
+    // make the next append under-count and pass a stale filter
+    val epoch = storeEpoch(spark, storeDir)
 
     // 1. Write the compacted buckets to a sibling temp dir, durable
     //    before any delete. The temp table exists only to carry the
@@ -333,6 +394,7 @@ object Ingest {
         s"(previous store preserved at $oldPath)")
     fs.delete(oldPath, true)
     ensureStore(spark, storeDir, n)
+    writeEpochSidecar(spark, storeDir, epoch)
     ()
   }
 
@@ -361,7 +423,8 @@ object Ingest {
   def applyIngestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, corpusDir: String, storeDir: String,
       storeBuckets: Int = 0,
-      admit: DataFrame => DataFrame = identity): Unit = {
+      admit: DataFrame => DataFrame = identity,
+      bloomStorePath: String = null): Unit = {
     val fs = fileSystem(spark, corpusDir)
     val corpusQ = qualified(spark, corpusDir)
     val commitDir = new Path(corpusQ, s"ingest_batch=$batchId")
@@ -372,10 +435,19 @@ object Ingest {
     // a COMPLETE stage (_SUCCESS) is authoritative: survivors must
     // not be recomputed once any fp of this batch may have reached
     // the store, or the anti-join would drop those docs and the
-    // commit would lose them
+    // commit would lose them. The same check heals bloom/fp epoch
+    // skew after a crash between the two appends below: the
+    // re-delivered batch skips the (guarded) screen and re-appends
+    // BOTH stores, restoring covers_epoch ≥ store epoch before the
+    // next batch screens.
     if (!fs.exists(new Path(stageDir, "_SUCCESS"))) {
-      ingestBatch(admit(batch), readStore(spark, storeDir))
-        .drop("fp")
+      val survivors =
+        if (bloomStorePath == null)
+          ingestBatch(admit(batch), readStore(spark, storeDir))
+        else
+          ingestBatchScreened(spark, admit(batch), storeDir,
+            bloomStorePath)
+      survivors.drop("fp")
         .write.mode("overwrite").parquet(stageDir.toString)
     }
     // explicit schema: an empty stage directory (all-duplicate batch)
@@ -384,6 +456,14 @@ object Ingest {
     appendToStore(spark, storeDir,
       staged.select(TextStats.fingerprint(col("text")).as("fp")),
       storeBuckets)
+    // filter coverage rides every fp append: survivors' fps are
+    // unique (min-doc_id collapse), so one KiB-scale filter row per
+    // shard per batch. A redelivered batch appends a duplicate row —
+    // the union probe makes that correct, rebuildBloomStore sweeps it.
+    if (bloomStorePath != null)
+      graft.ops.Dedup.appendToBloomStore(spark,
+        staged.select(TextStats.fingerprint(col("text")).as("fp")),
+        bloomStorePath, coversEpoch = storeEpoch(spark, storeDir))
     fs.mkdirs(corpusQ)
     require(fs.rename(stageDir, commitDir),
       s"ingest commit failed: could not rename $stageDir to $commitDir")
@@ -405,6 +485,38 @@ object Ingest {
       .join(history.select("fp"), Seq("fp"), "left_anti")
     val keep = fresh.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     fresh.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
+  /** [[ingestBatch]] with the sharded bloom screen in front — the
+    * designated steady-state micro-batch shape: only the
+    * bloom-POSITIVE slice of the batch reaches the exact confirm
+    * anti-join against the bucketed store (whose scan is exchange-
+    * and sort-free off the written layout), instead of the whole
+    * batch paying the full merge join every trigger. Verdicts ride a
+    * slim (doc_id, fp) frame — the batch's text never enters the
+    * cogroup shuffle — and join back to the full-schema batch by
+    * doc_id at the end. Output is row-identical to [[ingestBatch]]
+    * (same anti-join + min-doc_id collapse semantics, null fps routed
+    * to the exact path); IngestSpec proves the equality and the
+    * coherence guard makes a stale filter store a loud failure, never
+    * a silent readmission. */
+  def ingestBatchScreened(spark: SparkSession, batch: DataFrame,
+      storeDir: String, bloomStorePath: String): DataFrame = {
+    val meta = graft.ops.Dedup.requireCoherentStores(spark, storeDir,
+      bloomStorePath, shards = 0)
+    // sort-free bucketed confirm, same contract as dedupAgainstIngestStore
+    spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val verdicts = graft.ops.Dedup.screenVerdictsAgainstBloomStore(
+      spark, batch, bloomStorePath, meta.shards)
+    val fresh = verdicts.where(col("__maybe"))
+      .join(readStore(spark, storeDir).select("fp"), Seq("fp"), "left_anti")
+      .unionByName(verdicts.where(!col("__maybe")))
+      .select("doc_id", "fp")
+    val keep = fresh.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    batch.join(
+      fresh.join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),
+      Seq("doc_id"), "inner")
   }
 
   /** The store as a DataFrame: the bucketed catalog table (registered
@@ -435,19 +547,42 @@ object Ingest {
     * Safe at any point: compaction is content-invariant (a distinct
     * over a set) and runs AFTER the batch commits, so a crash inside
     * it leaves a committed batch plus an uncompacted store. */
+  /** `bloomShards` > 0 opts the loop into the SCREENED steady state:
+    * a sharded filter store at `<storeDir>.bloom` fronts every
+    * batch's confirm join ([[ingestBatchScreened]]), created empty on
+    * first run, appended per batch alongside the fp store, folded
+    * back to one row per shard (and re-covered from the compacted fp
+    * store) on the same `compactEvery` cadence. A pre-existing fp
+    * history with no filter coverage (or a crash-stale store) is
+    * healed ONCE at startup by a full rebuild — the loud-guard
+    * alternative would reject the first batch. */
   def runIngest(spark: SparkSession, srcDir: String, schema: StructType,
       corpusDir: String, storeDir: String, checkpointDir: String,
       storeBuckets: Int = 0, compactEvery: Int = 0,
-      admit: DataFrame => DataFrame = identity): Unit = {
+      admit: DataFrame => DataFrame = identity,
+      bloomShards: Int = 0): Unit = {
+    val bloomStorePath = if (bloomShards > 0) {
+      val p = qualified(spark, storeDir)
+      val path = new Path(p.getParent, p.getName + ".bloom").toString
+      val meta = graft.ops.Dedup.ensureBloomStore(spark, path, bloomShards)
+      if (meta.coversEpoch < storeEpoch(spark, storeDir))
+        graft.ops.Dedup.rebuildBloomStore(spark, storeDir, path)
+      path
+    } else null
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyIngestBatch(batch.sparkSession, batch, id, corpusDir,
-          storeDir, storeBuckets, admit)
-        if (compactEvery > 0 && id % compactEvery == (compactEvery - 1))
+          storeDir, storeBuckets, admit, bloomStorePath)
+        if (compactEvery > 0 && id % compactEvery == (compactEvery - 1)) {
           compactStore(batch.sparkSession, storeDir)
+          if (bloomStorePath != null)
+            graft.ops.Dedup.rebuildBloomStore(batch.sparkSession,
+              storeDir, bloomStorePath)
+        }
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

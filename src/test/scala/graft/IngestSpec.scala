@@ -299,7 +299,8 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     // precondition holds without a compaction pass
     Ingest.appendToStore(spark, s"$base/fps", history)
     graft.ops.Dedup.buildBloomStore(history, s"$base/bloom", shards = 4,
-      itemsPerShard = math.max(1L, history.count() / 4))
+      itemsPerShard = math.max(1L, history.count() / 4),
+      coversEpoch = Ingest.storeEpoch(spark, s"$base/fps"))
 
     noBroadcast {
       val df = graft.ops.Dedup.dedupAgainstIngestStore(spark, batch,
@@ -511,5 +512,147 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       docs.where(col("doc_id") >= 80 && col("doc_id") < 90).select("fp")
         .exceptAll(docs.where(col("doc_id") < 80).select("fp")))
     assert(spark.read.parquet(store).count() > expected)
+  }
+
+  test("bloom/fp store coherence: fps appended after the filter build " +
+    "fail LOUDLY at screen time; appendToBloomStore restores the " +
+    "guarantee (duplicates caught, never silently readmitted)") {
+    val base = Files.createTempDirectory("graft-coherence").toString
+    val docs = Tables.documents(spark, sf)
+    val h1 = docs.where(!col("source").isin("src0", "src1"))
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+      .localCheckpoint()
+    // epoch 1: history fps + covering filters
+    Ingest.appendToStore(spark, s"$base/fps", h1)
+    graft.ops.Dedup.buildBloomStore(h1, s"$base/bloom", shards = 4,
+      itemsPerShard = math.max(1L, h1.count() / 4),
+      coversEpoch = Ingest.storeEpoch(spark, s"$base/fps"))
+    // epoch 2: src1 docs' fps reach the FP STORE ONLY — the exact
+    // cadence (fps append every batch, filters rebuilt rarely) that
+    // used to readmit every since-appended duplicate silently
+    val h2docs = docs.where(col("source") === "src1")
+    val h2 = h2docs.select(TextStats.fingerprint(col("text")).as("fp"))
+      .distinct().exceptAll(h1).localCheckpoint()
+    Ingest.appendToStore(spark, s"$base/fps", h2)
+    // batch: src0 docs + re-crawled copies of epoch-2 docs — the rows
+    // a stale filter routes around the confirm as "definitely new"
+    val recrawl = h2docs.orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("source", lit("src0"))
+    val batch = docs.where(col("source") === "src0")
+      .unionByName(recrawl).localCheckpoint()
+    // 1. staleness is a CRASH, not a wrong answer
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.dedupAgainstIngestStore(spark, batch,
+        s"$base/fps", s"$base/bloom", shards = 4).collect()
+    }
+    assert(e.getMessage.contains("STALE"))
+    // 2. appending epoch 2's filters restores coherence AND the
+    //    answer: identical to a from-scratch dedup against the full
+    //    history — every re-crawled copy caught
+    graft.ops.Dedup.appendToBloomStore(spark, h2, s"$base/bloom",
+      coversEpoch = Ingest.storeEpoch(spark, s"$base/fps"))
+    val got = graft.ops.Dedup.dedupAgainstIngestStore(spark, batch,
+      s"$base/fps", s"$base/bloom", shards = 4)
+      .collect().map(_.getLong(0)).toSet
+    val want = graft.ops.Dedup.dedupAgainstHistory(batch,
+      h1.unionByName(h2)).collect().map(_.getLong(0)).toSet
+    assert(got === want && got.nonEmpty)
+    assert(!got.exists(_ >= 1000000L), "re-crawled duplicates readmitted")
+  }
+
+  test("ingestBatchScreened == ingestBatch row-for-row; compaction " +
+    "preserves the append epoch so filter coverage survives it") {
+    val base = Files.createTempDirectory("graft-screened-batch").toString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val hist = docs.where(col("doc_id") >= 300).localCheckpoint()
+    val histFps = hist
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+      .localCheckpoint()
+    Ingest.appendToStore(spark, s"$base/fps", histFps)
+    graft.ops.Dedup.buildBloomStore(histFps, s"$base/bloom", shards = 4,
+      itemsPerShard = math.max(1L, histFps.count() / 4),
+      coversEpoch = Ingest.storeEpoch(spark, s"$base/fps"))
+    // in-batch dups (copies under higher ids) + history re-crawls
+    val batch = docs.where(col("doc_id") < 300)
+      .unionByName(docs.where(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 5000))
+      .unionByName(hist.limit(10)
+        .withColumn("doc_id", col("doc_id") + 9000))
+      .localCheckpoint()
+    val plain = Ingest.ingestBatch(batch,
+      Ingest.readStore(spark, s"$base/fps"))
+    val screened = Ingest.ingestBatchScreened(spark, batch,
+      s"$base/fps", s"$base/bloom")
+    val cols = plain.columns.sorted.toSeq
+    assert(screened.select(cols.map(col): _*).collect().toSet ===
+      plain.select(cols.map(col): _*).collect().toSet)
+    // count captured BEFORE compaction: the plan holds the pre-swap
+    // file listing and would read renamed-away part files after it
+    val plainCount = plain.count()
+    assert(plainCount > 0)
+    // epoch survives compaction (content-invariant rewrite) — the
+    // filter store's coverage claim must not reset with it
+    val before = Ingest.storeEpoch(spark, s"$base/fps")
+    assert(before > 0)
+    Ingest.compactStore(spark, s"$base/fps")
+    assert(Ingest.storeEpoch(spark, s"$base/fps") === before)
+    assert(Ingest.ingestBatchScreened(spark, batch, s"$base/fps",
+      s"$base/bloom").count() === plainCount)
+  }
+
+  test("screened runIngest (bloomShards > 0): corpus == first-arrival " +
+    "dedup across batches; filter store appends per batch, rebuilds " +
+    "on the compaction cadence, and ends coherent") {
+    val base = Files.createTempDirectory("graft-ingest-bloom").toString
+    val (src, corpus, store, ckpt) =
+      (s"$base/src", s"$base/corpus", s"$base/store", s"$base/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).cache()
+    val b1 = docs.where(col("doc_id") < 170)
+    val b2 = docs.where(col("doc_id") >= 170 && col("doc_id") < 340)
+      .unionByName(b1.limit(20).withColumn("doc_id", col("doc_id") + 5000))
+    val b3 = docs.where(col("doc_id") >= 340)
+      .unionByName(docs.where(col("doc_id") >= 170 && col("doc_id") < 190)
+        .withColumn("doc_id", col("doc_id") + 6000))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      ()
+    }
+    drop(b1, "b1"); drop(b2, "b2"); drop(b3, "b3")
+
+    Ingest.runIngest(spark, src, Schemas.documents, corpus, store, ckpt,
+      compactEvery = 2, bloomShards = 4)
+
+    val union = b1.unionByName(b2).unionByName(b3)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+    val expected = union
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val got = spark.read.schema(Schemas.documents).parquet(corpus)
+    assert(got.count() === expected.count())
+    assert(got.select("doc_id").exceptAll(expected).count() === 0)
+    assert(got.where(col("doc_id") >= 5000).count() === 0)
+
+    // the filter store sits beside the fp store and covers its epoch
+    val bloom = s"$store.bloom"
+    val meta = graft.ops.Dedup.bloomStoreMeta(spark, bloom)
+    assert(meta.isDefined && meta.get.shards === 4)
+    assert(meta.get.coversEpoch === Ingest.storeEpoch(spark, store))
+
+    // re-delivering OLD content through a NEW file stays a no-op on
+    // the screened path (the filters + confirm catch all of it)
+    drop(b1.limit(30).withColumn("doc_id", col("doc_id") + 7000), "b4")
+    Ingest.runIngest(spark, src, Schemas.documents, corpus, store, ckpt,
+      compactEvery = 2, bloomShards = 4)
+    assert(spark.read.schema(Schemas.documents).parquet(corpus).count()
+      === expected.count())
+    docs.unpersist()
   }
 }
