@@ -49,6 +49,17 @@ object StressBloom {
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")))
       .localCheckpoint()
+    // the steady-state regime: a mostly-NEW batch (0.1% re-crawls) —
+    // the screened confirm's bucket-pruned IN probe should make its
+    // per-batch store IO proportional to the dup count, where the
+    // unscreened loop pays the full history scan regardless
+    val lowDup = spark.range(400000L)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 1000 === 0, concat(lit("h "), col("id") / 1000))
+          .otherwise(concat(lit("y "), col("id"))).as("text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .localCheckpoint()
 
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -124,16 +135,34 @@ object StressBloom {
           fpStore, store))
         (System.nanoTime() - b0) / 1e9
       }
+      // LOW-DUP (0.1%) micro-batch: the screened path's IN-probe
+      // confirm vs the unscreened full history join
+      def ingestPlainLow(): Double = {
+        val b0 = System.nanoTime()
+        force(graft.streaming.Ingest.ingestBatch(lowDup,
+          graft.streaming.Ingest.readStore(spark, fpStore)))
+        (System.nanoTime() - b0) / 1e9
+      }
+      def ingestScreenedLow(): Double = {
+        val b0 = System.nanoTime()
+        force(graft.streaming.Ingest.ingestBatchScreened(spark, lowDup,
+          fpStore, store))
+        (System.nanoTime() - b0) / 1e9
+      }
       val screenS = Seq(screenOnce(), screenOnce()).min
       val fullFlatS = Seq(fullFlatOnce(), fullFlatOnce()).min
       val fullStoreS = Seq(fullStoreOnce(), fullStoreOnce()).min
       val ingestS = Seq(ingestPlainOnce(), ingestPlainOnce()).min
       val ingestScrS = Seq(ingestScreenedOnce(), ingestScreenedOnce()).min
+      val ingLowS = Seq(ingestPlainLow(), ingestPlainLow()).min
+      val ingLowScrS = Seq(ingestScreenedLow(), ingestScreenedLow()).min
       println(f"[stress-bloom] history=${n / 1000000}%2dM shards=$shards%2d " +
         f"epoch=${epochS}%6.1f s  epoch_fp=${epochFpS}%6.1f s  " +
         f"screen=${screenS}%5.1f s  full_flat=${fullFlatS}%5.1f s  " +
         f"full_store=${fullStoreS}%5.1f s  " +
         f"ingest=${ingestS}%5.1f s  ingest_screened=${ingestScrS}%5.1f s  " +
+        f"ingest_lowdup=${ingLowS}%5.1f s  " +
+        f"ingest_lowdup_screened=${ingLowScrS}%5.1f s  " +
         f"max_filter=${sizes.getAs[Int]("mx") / 1048576.0}%5.1f MiB  " +
         f"stored_fps=${sizes.getAs[Long]("tot")}")
       // drop the 32M-row checkpoint blocks before the next decade —

@@ -152,18 +152,117 @@ object Dedup {
     dedupeScreened(tagged, historyFps)
   }
 
+  /** Positive-slice size under which the exact confirm runs as an
+    * IN-set probe of the history store instead of the full anti
+    * merge join. The full join's cost is the HISTORY-side scan —
+    * O(history) per batch no matter how small the positive slice —
+    * while an IN-set of the slice's fps BUCKET-PRUNES the store scan
+    * (`SelectedBucketsCount` < total in the plan; the fps ship to the
+    * driver first, a collect bounded by this cap — ~32 KiB at the
+    * default). That makes the steady state's per-batch store IO
+    * proportional to the DUPLICATE COUNT, not the accumulated history
+    * — the mostly-new batch (the common crawl-ingest regime) touches
+    * only the buckets its few re-crawls hash to. Above the cap the
+    * merge join over the bucket layout is the right plan (exchange-
+    * and sort-free on the store side). Tunable / disable-with-0 via
+    * `spark.graft.dedup.confirmInFilterCap` (the plan-shape specs pin
+    * both regimes).
+    *
+    * Sizing note: the positive slice of a mostly-new batch is
+    * ~`fpp × batchSize` FALSE positives plus the true re-crawls, so
+    * the cap must exceed that product for the probe to fire in the
+    * very regime it serves — 10k covers a 400k-row batch at the
+    * default fpp 0.01 with headroom (the collect stays ~320 KiB of
+    * 32-char fps). */
+  private def confirmInFilterCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.confirmInFilterCap")
+      .map(_.toLong).getOrElse(10000L)
+
+  /** The store fps matching a small fp set — the probe scan of the
+    * bucket-pruned confirm. MUST execute with
+    * `autoBucketedScan.enabled = false`: the planner's
+    * DisableUnnecessaryBucketedScan un-buckets a scan feeding a
+    * broadcast join (no distribution needed) and bucket-set pruning
+    * does NOT apply on the plain read path — measured 8/8 files read
+    * un-bucketed vs `SelectedBucketsCount: 2 out of 8` bucketed on
+    * the same probe. [[confirmAgainstHistory]] materializes it under
+    * the pinned conf; exposed for the plan-shape spec. */
+  private[graft] def storeFpsIn(historyFps: DataFrame,
+      fps: Seq[String]): DataFrame =
+    historyFps.select("fp").where(col("fp").isin(fps: _*))
+
+  /** The exact confirm of a bloom-positive slice against the history
+    * store — IN-set probe below the cap, full anti-join above (see
+    * [[confirmInFilterCap]]). `maybes` must be a MATERIALIZED frame
+    * (checkpointed screen output): the count and the small collect
+    * re-read cached blocks, never re-run the screen. Identical output
+    * either way: null fps match nothing in both forms and duplicate
+    * store fps can't multiply an anti-join.
+    *
+    * The probe materializes EAGERLY (a ≤ cap-row localCheckpoint)
+    * under the same conf lock the store's appends use — the
+    * bucketed-scan pin and an append's identical toggle must not
+    * race each other's save/restore. */
+  private def confirmAgainstHistory(maybes: DataFrame,
+      historyFps: DataFrame): DataFrame = {
+    val spark = maybes.sparkSession
+    val cap = confirmInFilterCap(spark)
+    // ONE bounded job decides the regime AND fetches the probe set:
+    // collect at most cap+1 distinct fps (driver memory bounded by
+    // the cap either way) — cap+1 rows back means "too many, take
+    // the merge join", never an unbounded collect
+    val fps = if (cap > 0)
+      maybes.select("fp").where(col("fp").isNotNull)
+        .distinct().limit(cap.toInt + 1)
+        .collect().map(_.getString(0)).toIndexedSeq
+      else IndexedSeq.empty[String]
+    if (cap > 0 && fps.length <= cap) {
+      if (fps.isEmpty) maybes
+      else {
+        val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val dup = graft.streaming.Ingest.bucketedConfLock.synchronized {
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "false")
+          try storeFpsIn(historyFps, fps).localCheckpoint()
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
+        maybes.join(dup, Seq("fp"), "left_anti")
+      }
+    } else maybes.join(historyFps.select("fp"), Seq("fp"), "left_anti")
+  }
+
   /** Shared tail of every bloom-screened variant: bloom-positive rows
-    * are confirmed by the exact anti-join, definite-new rows skip the
-    * store, batch self-dups collapse to min doc_id. */
+    * are confirmed by the exact anti-join ([[confirmAgainstHistory]]
+    * — bucket-pruned IN probe when the slice is small), definite-new
+    * rows skip the store, batch self-dups collapse to min doc_id.
+    *
+    * `fresh` is localCheckpoint'd (batch-sized, slim) because it fans
+    * out TWICE below (survivor aggregate + final semi-join) and Spark
+    * inlines the subtree at each reference: without the checkpoint
+    * the confirm anti-join — whose cost is the HISTORY-side store
+    * scan, the dominant per-batch term — executes once per
+    * reference. Measured at 8M fps: the store anti-join appeared 2-3x
+    * in one executed plan; checkpointing collapses it to exactly ONE
+    * store scan per batch. */
   private def dedupeScreened(tagged: DataFrame,
       historyFps: DataFrame): DataFrame = {
-    val confirmed = tagged.where(col("__maybe"))
-      .join(historyFps.select("fp"), Seq("fp"), "left_anti")
+    val confirmed =
+      confirmAgainstHistory(tagged.where(col("__maybe")), historyFps)
     val fresh = tagged.where(!col("__maybe")).unionByName(confirmed)
+      .localCheckpoint()
     val survivors = fresh.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     fresh.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source", "n_chars")
   }
+
+  /** [[confirmAgainstHistory]] for callers outside this file (the
+    * streaming ingest loop's screened micro-batch). */
+  private[graft] def confirmScreened(maybes: DataFrame,
+      historyFps: DataFrame): DataFrame =
+    confirmAgainstHistory(maybes, historyFps)
 
   /** Per-filter item budget for the plan-literal screen — Spark's own
     * runtime row-level filtering refuses to build a single bloom past
@@ -252,10 +351,18 @@ object Dedup {
     * ~parallelism × filter bytes. Verdicts are per-row functions of
     * (h, shard filters), so results are salt-invariant by
     * construction (StressBloom measures the shard-flatness row;
-    * hashes pinned by the registered store twin). */
+    * hashes pinned by the registered store twin).
+    *
+    * Tradeoff knob `spark.graft.dedup.screenSalts` (> 0 overrides):
+    * more salts = wider probe parallelism but salts× the filter
+    * frame's shuffle bytes per batch (8 shards × 4 salts × 4.6 MiB ≈
+    * 147 MB/batch) — on small batches the replication can cost more
+    * than the parallelism buys back. */
   private def saltsFor(spark: SparkSession, shards: Int): Int =
-    math.max(1, math.min(16,
-      spark.sparkContext.defaultParallelism / math.max(shards, 1)))
+    spark.conf.getOption("spark.graft.dedup.screenSalts")
+      .map(_.toInt).filter(_ > 0)
+      .getOrElse(math.max(1, math.min(16,
+        spark.sparkContext.defaultParallelism / math.max(shards, 1))))
 
   /** The one cogroup screen both row shapes ride: batch rows keyed by
     * (shard, h mod salts) meet the shard's filter row(s), replicated

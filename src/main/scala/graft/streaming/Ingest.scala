@@ -283,20 +283,21 @@ object Ingest {
     * THEN disables the bucketed scan as "unnecessary" — the writer
     * would get raw file splits and emit tasks×buckets files. Pinning
     * the scan bucketed makes the elision actually hold. */
-  /** Serializes the session-global conf toggle in [[appendToStore]]:
-    * two concurrent appends in one JVM would otherwise race the
-    * save/restore and could leave autoBucketedScan disabled. Queries
+  /** Serializes the session-global autoBucketedScan toggle shared by
+    * [[appendToStore]] and the bucket-pruned confirm probe
+    * ([[graft.ops.Dedup]]): two concurrent togglers would otherwise
+    * race the save/restore and could leave the conf disabled. Queries
     * OUTSIDE this lock that run concurrently with an append still see
     * the toggled conf for the append's duration — appends are a
     * maintenance write, not meant to overlap latency-sensitive reads
     * on the same session. */
-  private val appendLock = new Object
+  private[graft] val bucketedConfLock = new Object
 
   def appendToStore(spark: SparkSession, storeDir: String,
       fps: DataFrame, buckets: Int = 0): Unit = {
     val (tbl, n) = ensureStore(spark, storeDir, buckets)
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    appendLock.synchronized {
+    bucketedConfLock.synchronized {
       // bump BEFORE the rows land — the fail-safe order. A crash
       // after the bump but before (or during) the write leaves the
       // epoch OVER-counted: the coherence guard then rejects a filter
@@ -480,9 +481,15 @@ object Ingest {
     * their fingerprints. Exposed for testing the batch semantics
     * without the stream. */
   def ingestBatch(batch: DataFrame, history: DataFrame): DataFrame = {
+    // localCheckpoint: `fresh` fans out below (collapse aggregate +
+    // semi-join) and each reference re-executes the anti-join — i.e.
+    // re-SCANS the history store, the dominant per-batch term. The
+    // checkpoint pins one batch-sized frame and makes it exactly one
+    // store scan per micro-batch.
     val fresh = batch
       .withColumn("fp", TextStats.fingerprint(col("text")))
       .join(history.select("fp"), Seq("fp"), "left_anti")
+      .localCheckpoint()
     val keep = fresh.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     fresh.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
   }
@@ -509,10 +516,18 @@ object Ingest {
       "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val verdicts = graft.ops.Dedup.screenVerdictsAgainstBloomStore(
       spark, batch, bloomStorePath, meta.shards)
-    val fresh = verdicts.where(col("__maybe"))
-      .join(readStore(spark, storeDir).select("fp"), Seq("fp"), "left_anti")
+    // localCheckpoint for the same reason as ingestBatch: the frame
+    // fans out into the collapse + semi-join and would otherwise
+    // re-run the store anti-join once per reference. The confirm
+    // itself is Dedup.confirmScreened: a small positive slice probes
+    // the store as a bucket-PRUNED IN-set scan (per-batch store IO
+    // proportional to the duplicate count), a large one takes the
+    // exchange-free merge join off the bucket layout.
+    val fresh = graft.ops.Dedup.confirmScreened(
+        verdicts.where(col("__maybe")), readStore(spark, storeDir))
       .unionByName(verdicts.where(!col("__maybe")))
       .select("doc_id", "fp")
+      .localCheckpoint()
     val keep = fresh.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     batch.join(
       fresh.join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),

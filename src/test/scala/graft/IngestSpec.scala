@@ -302,28 +302,74 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       itemsPerShard = math.max(1L, history.count() / 4),
       coversEpoch = Ingest.storeEpoch(spark, s"$base/fps"))
 
-    noBroadcast {
-      val df = graft.ops.Dedup.dedupAgainstIngestStore(spark, batch,
+    // end-to-end result parity under BOTH confirm regimes (the
+    // confirm executes eagerly inside — `fresh` is checkpointed — so
+    // plan shapes are asserted on the confirm frame itself below)
+    val want = graft.ops.Dedup.dedupAgainstHistory(batch, history)
+      .collect().map(_.getLong(0)).toSet
+    assert(graft.ops.Dedup.dedupAgainstIngestStore(spark, batch,
         s"$base/fps", s"$base/bloom", shards = 4)
-      val got = df.collect().map(_.getLong(0)).toSet
-      val want = graft.ops.Dedup.dedupAgainstHistory(batch, history)
-        .collect().map(_.getLong(0)).toSet
-      assert(got === want && got.nonEmpty)
+      .collect().map(_.getLong(0)).toSet === want)
+    spark.conf.set("spark.graft.dedup.confirmInFilterCap", "0")
+    try assert(graft.ops.Dedup.dedupAgainstIngestStore(spark, batch,
+        s"$base/fps", s"$base/bloom", shards = 4)
+      .collect().map(_.getLong(0)).toSet === want)
+    finally spark.conf.unset("spark.graft.dedup.confirmInFilterCap")
+    assert(want.nonEmpty)
 
-      // plan: the history side of the confirm anti-join is the
-      // bucketed store scan — its single-column (fp) rows must never
-      // cross an exchange or a sort; only the batch side moves
-      def expand(p: org.apache.spark.sql.execution.SparkPlan):
-          Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        val kids = p match {
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            Seq(q.plan)
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(a.executedPlan)
-          case other => other.children
-        }
-        p +: kids.flatMap(expand)
+    // the confirm frame, probed directly: screen the batch, take the
+    // positive slice, confirm against the bucketed store
+    val maybes = graft.ops.Dedup.screenAgainstBloomStore(spark, batch,
+      s"$base/bloom", shards = 4).where(col("__maybe")).localCheckpoint()
+    val store = Ingest.readStore(spark, s"$base/fps")
+    def expand(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case other => other.children
       }
+      p +: kids.flatMap(expand)
+    }
+
+    // regime 1 (small positive slice, the default cap): the probe
+    // scan the confirm materializes internally, re-built here under
+    // the same pinned conf (autoBucketedScan off — the planner would
+    // otherwise un-bucket the scan and bucket pruning does not apply
+    // on the plain read path): SelectedBucketsCount must be < total
+    // and the scan must deliver fewer rows than the store holds
+    val posFps = maybes.select("fp").where(col("fp").isNotNull)
+      .distinct().collect().map(_.getString(0)).toIndexedSeq
+    assert(posFps.nonEmpty)
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = graft.ops.Dedup.storeFpsIn(store, posFps)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(sel.nonEmpty && sel.forall(p => p._1 < p._2),
+        s"small-slice probe did not bucket-prune the store scan:\n$plan")
+      val rowsRead = expand(probe.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+      assert(rowsRead < history.count(),
+        s"pruned probe still delivered all $rowsRead store rows")
+    } finally spark.conf.unset(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+    // regime 2 (cap disabled → the at-scale merge-join shape): the
+    // store side of the anti-join crosses NO exchange and NO sort;
+    // only the batch side moves
+    spark.conf.set("spark.graft.dedup.confirmInFilterCap", "0")
+    try noBroadcast {
+      val df = graft.ops.Dedup.confirmScreened(maybes, store)
+      df.collect()
       val nodes = expand(df.queryExecution.executedPlan)
       val storeScans = nodes.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -345,7 +391,7 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       assert(historySorts.isEmpty,
         s"history side re-sorted ${historySorts.size}x (written bucket " +
           s"order should carry):\n${nodes.head}")
-    }
+    } finally spark.conf.unset("spark.graft.dedup.confirmInFilterCap")
   }
 
   test("store survives catalog loss (fresh-JVM reopen): appends keep " +
