@@ -44,7 +44,9 @@ object StressBloom {
     // fixed batch: doc ids 0..400k, even ids duplicate a history doc
     val batch = spark.range(400000L)
       .select(col("id").as("doc_id"),
-        when(col("id") % 2 === 0, concat(lit("h "), col("id") / 2))
+        // integer DIV: `col / 2` is DOUBLE division ("h 192.0" never
+        // matches history's "h 192" — the dup rate silently read 0%)
+        when(col("id") % 2 === 0, concat(lit("h "), expr("id DIV 2")))
           .otherwise(concat(lit("x "), col("id"))).as("text"))
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")))
@@ -55,7 +57,7 @@ object StressBloom {
     // unscreened loop pays the full history scan regardless
     val lowDup = spark.range(400000L)
       .select(col("id").as("doc_id"),
-        when(col("id") % 1000 === 0, concat(lit("h "), col("id") / 1000))
+        when(col("id") % 1000 === 0, concat(lit("h "), expr("id DIV 1000")))
           .otherwise(concat(lit("y "), col("id"))).as("text"))
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")))

@@ -158,8 +158,8 @@ object Dedup {
     * O(history) per batch no matter how small the positive slice —
     * while an IN-set of the slice's fps BUCKET-PRUNES the store scan
     * (`SelectedBucketsCount` < total in the plan; the fps ship to the
-    * driver first, a collect bounded by this cap — ~32 KiB at the
-    * default). That makes the steady state's per-batch store IO
+    * driver first, a collect bounded by this cap — ~320 KiB of
+    * 32-char fps at the default). That makes the steady state's per-batch store IO
     * proportional to the DUPLICATE COUNT, not the accumulated history
     * — the mostly-new batch (the common crawl-ingest regime) touches
     * only the buckets its few re-crawls hash to. Above the cap the
@@ -613,12 +613,25 @@ object Dedup {
       fpp: Double = 0.01): BloomMeta =
     bloomStoreMeta(spark, storePath) match {
       case Some(m) =>
-        require(shards <= 0 || m.shards == shards,
-          s"bloom store at $storePath was built with ${m.shards} " +
-            s"shards; caller asked for $shards — shard routing is " +
-            "store layout (rebuild via rebuildBloomStore to change it)")
+        // the requested layout applies at CREATION only: an existing
+        // store keeps its own (rebuildBloomStore may legitimately
+        // have grown the shard count past the creation-time value as
+        // the history outgrew it — failing here would permanently
+        // lock a pipeline out of restarting with its original
+        // config). Probe paths validate against the meta they read,
+        // never against this argument.
         m
       case None =>
+        val fs = bloomFs(spark, storePath)
+        val path = new org.apache.hadoop.fs.Path(storePath)
+        val legacy = fs.exists(path) && fs.listStatus(path)
+          .exists(_.getPath.getName.endsWith(".parquet"))
+        if (legacy)
+          throw new IllegalStateException(
+            s"$storePath holds filter data but no $BloomMetaSidecar " +
+              "sidecar (pre-coherence layout) — overwriting it with " +
+              "an empty store would destroy existing coverage; " +
+              "rebuild it via buildBloomStore")
         spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             BloomStoreSchema)
@@ -725,6 +738,16 @@ object Dedup {
         s"shards; caller asked for $shards — shard routing is store " +
         "layout, probing at another count silently misses")
     val fpEpoch = graft.streaming.Ingest.storeEpoch(spark, fpStoreDir)
+    if (fpEpoch == 0 &&
+        graft.streaming.Ingest.storeHasData(spark, fpStoreDir))
+      throw new IllegalStateException(
+        s"fp store at $fpStoreDir holds data but no append-epoch " +
+          "sidecar (pre-epoch layout) — filter coverage is " +
+          "uncheckable, and an empty/stale filter store would pass " +
+          "the 0 >= 0 compare while silently readmitting the legacy " +
+          "history's duplicates. Stamp it (compactStore, or the " +
+          "screened runIngest startup heal) and rebuildBloomStore " +
+          "before screening.")
     if (meta.coversEpoch < fpEpoch)
       throw new IllegalStateException(
         s"STALE bloom store: fp store at $fpStoreDir is at append " +

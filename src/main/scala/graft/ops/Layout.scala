@@ -358,7 +358,7 @@ object Layout {
     * run like the ANN recall gates, not only in LayoutSpec. The two
     * layout writes are session-cached (Scratch) — first toucher pays
     * the filing cost, repeat probes pay two pruned scans. File count
-    * scales with volume (~64 per 120k events, the compaction knob a
+    * scales with volume (~400 events per file, the compaction knob a
     * lake would set from target file size): a fixed 64 at sf1+ makes
     * files so large the day dimension's per-file span saturates —
     * the recorded 64-file sf0.1 sensitivity. */

@@ -156,6 +156,17 @@ object Ingest {
   private[streaming] def pathExists(spark: SparkSession, dir: String): Boolean =
     fileSystem(spark, dir).exists(new Path(dir))
 
+  /** Whether the store directory holds any data files — the check the
+    * coherence gate needs for PRE-EPOCH stores: content at epoch 0
+    * means appends happened before epoch tracking existed, so no
+    * filter store can prove it covers them. One directory listing;
+    * only consulted when the epoch reads 0 (never in steady state). */
+  private[graft] def storeHasData(spark: SparkSession,
+      storeDir: String): Boolean =
+    pathExists(spark, storeDir) && fileSystem(spark, storeDir)
+      .listStatus(new Path(storeDir))
+      .exists(_.getPath.getName.endsWith(".parquet"))
+
   private def swapSiblings(spark: SparkSession, storeDir: String): (Path, Path) = {
     val p = qualified(spark, storeDir)
     (new Path(p.getParent, p.getName + ".old"),
@@ -380,6 +391,18 @@ object Ingest {
     spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
     appendToStore(spark, tmpPath.toString, snapshot, n)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    // the preserved epoch is written INTO the tmp dir so it rides the
+    // swap rename atomically — restoring it after the swap left a
+    // crash window that reset the store to the tmp dir's own count
+    // (1), deflating it below existing filter coverage and silently
+    // disarming the staleness guard. A pre-epoch legacy store WITH
+    // content stamps at 1: compaction is the documented migration
+    // path, and the stamp gives its history a checkable epoch (a
+    // filter store rebuilt from the compacted content covers it).
+    val hadData = fs.exists(storePath) && fs.listStatus(storePath)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    writeEpochSidecar(spark, tmpPath.toString,
+      if (hadData) math.max(epoch, 1L) else epoch)
 
     // 2. Swap: old store aside, compacted copy in, old store dropped.
     //    The catalog entry (location unchanged) survives the swap; the
@@ -395,7 +418,6 @@ object Ingest {
         s"(previous store preserved at $oldPath)")
     fs.delete(oldPath, true)
     ensureStore(spark, storeDir, n)
-    writeEpochSidecar(spark, storeDir, epoch)
     ()
   }
 
@@ -454,17 +476,21 @@ object Ingest {
     // explicit schema: an empty stage directory (all-duplicate batch)
     // has no part files to infer from
     val staged = spark.read.schema(batch.schema).parquet(stageDir.toString)
-    appendToStore(spark, storeDir,
-      staged.select(TextStats.fingerprint(col("text")).as("fp")),
-      storeBuckets)
+    // one materialized fps frame serves the store append, the filter
+    // append AND its sizing count — not three stage-file re-reads +
+    // md5 passes per micro-batch
+    val fps = staged
+      .select(TextStats.fingerprint(col("text")).as("fp"))
+      .localCheckpoint()
+    appendToStore(spark, storeDir, fps, storeBuckets)
     // filter coverage rides every fp append: survivors' fps are
     // unique (min-doc_id collapse), so one KiB-scale filter row per
     // shard per batch. A redelivered batch appends a duplicate row —
     // the union probe makes that correct, rebuildBloomStore sweeps it.
     if (bloomStorePath != null)
-      graft.ops.Dedup.appendToBloomStore(spark,
-        staged.select(TextStats.fingerprint(col("text")).as("fp")),
-        bloomStorePath, coversEpoch = storeEpoch(spark, storeDir))
+      graft.ops.Dedup.appendToBloomStore(spark, fps, bloomStorePath,
+        coversEpoch = storeEpoch(spark, storeDir),
+        expectedItems = fps.count())
     fs.mkdirs(corpusQ)
     require(fs.rename(stageDir, commitDir),
       s"ingest commit failed: could not rename $stageDir to $commitDir")
@@ -529,9 +555,15 @@ object Ingest {
       .select("doc_id", "fp")
       .localCheckpoint()
     val keep = fresh.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    batch.join(
-      fresh.join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),
-      Seq("doc_id"), "inner")
+    val survivors = fresh.join(keep.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    // (doc_id, fp) SEMI join, not an inner join on doc_id alone: a
+    // batch with duplicate doc_ids would otherwise cross-pair each
+    // text with every survivor fp of that id (row inflation vs
+    // ingestBatch); the fingerprint recompute keys each row to its
+    // own content exactly as the plain path does
+    batch.withColumn("fp", TextStats.fingerprint(col("text")))
+      .join(survivors, Seq("doc_id", "fp"), "left_semi")
   }
 
   /** The store as a DataFrame: the bucketed catalog table (registered
@@ -580,6 +612,16 @@ object Ingest {
       val p = qualified(spark, storeDir)
       val path = new Path(p.getParent, p.getName + ".bloom").toString
       val meta = graft.ops.Dedup.ensureBloomStore(spark, path, bloomShards)
+      // a PRE-EPOCH fp store (content, counter 0) gets stamped at 1
+      // here: the stamp asserts "this content is epoch 1" and the
+      // rebuild below reads that exact content, so coverage is
+      // coherent by construction — without the stamp the legacy
+      // history would screen against an empty filter store that
+      // PASSES the 0 >= 0 epoch compare and silently readmits every
+      // legacy duplicate
+      if (storeEpoch(spark, storeDir) == 0 &&
+          storeHasData(spark, storeDir))
+        writeEpochSidecar(spark, storeDir, 1)
       if (meta.coversEpoch < storeEpoch(spark, storeDir))
         graft.ops.Dedup.rebuildBloomStore(spark, storeDir, path)
       path
