@@ -206,14 +206,17 @@ object Dedup {
   private def confirmAgainstHistory(maybes: DataFrame,
       historyFps: DataFrame): DataFrame = {
     val spark = maybes.sparkSession
-    val cap = confirmInFilterCap(spark)
+    // clamp before the +1: a conf cap >= Int.MaxValue would overflow
+    // limit() to a negative argument and fail at runtime instead of
+    // (as the contract says) falling back to the merge join
+    val cap = math.min(confirmInFilterCap(spark), Int.MaxValue - 1L).toInt
     // ONE bounded job decides the regime AND fetches the probe set:
     // collect at most cap+1 distinct fps (driver memory bounded by
     // the cap either way) — cap+1 rows back means "too many, take
     // the merge join", never an unbounded collect
     val fps = if (cap > 0)
       maybes.select("fp").where(col("fp").isNotNull)
-        .distinct().limit(cap.toInt + 1)
+        .distinct().limit(cap + 1)
         .collect().map(_.getString(0)).toIndexedSeq
       else IndexedSeq.empty[String]
     if (cap > 0 && fps.length <= cap) {

@@ -561,9 +561,16 @@ object Ingest {
     // batch with duplicate doc_ids would otherwise cross-pair each
     // text with every survivor fp of that id (row inflation vs
     // ingestBatch); the fingerprint recompute keys each row to its
-    // own content exactly as the plain path does
-    batch.withColumn("fp", TextStats.fingerprint(col("text")))
-      .join(survivors, Seq("doc_id", "fp"), "left_semi")
+    // own content exactly as the plain path does. The fp leg is
+    // NULL-SAFE (<=>): a null text fingerprints to a null fp, which
+    // survives the whole screened pipeline (shard -1 → exact confirm
+    // → anti-join keeps it) only to be dropped here by null-unsafe
+    // equality — the plain path keeps its min-doc_id null row, so a
+    // plain = would silently lose every null-text document.
+    val withFp = batch.withColumn("fp", TextStats.fingerprint(col("text")))
+    withFp.join(survivors,
+      withFp("doc_id") === survivors("doc_id") &&
+        withFp("fp") <=> survivors("fp"), "left_semi")
   }
 
   /** The store as a DataFrame: the bucketed catalog table (registered

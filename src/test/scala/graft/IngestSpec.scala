@@ -621,11 +621,18 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       itemsPerShard = math.max(1L, histFps.count() / 4),
       coversEpoch = Ingest.storeEpoch(spark, s"$base/fps"))
     // in-batch dups (copies under higher ids) + history re-crawls
+    // + NULL-text rows: fp = md5(null) = null, which must ride the
+    // exact-confirm path and survive the final (doc_id, fp) semi-join
+    // — that join needs null-SAFE fp equality or the rows vanish from
+    // the screened path only (the plain path keeps min-doc_id 8000)
     val batch = docs.where(col("doc_id") < 300)
       .unionByName(docs.where(col("doc_id") < 40)
         .withColumn("doc_id", col("doc_id") + 5000))
       .unionByName(hist.limit(10)
         .withColumn("doc_id", col("doc_id") + 9000))
+      .unionByName(docs.where(col("doc_id") < 2)
+        .withColumn("doc_id", col("doc_id") + 8000)
+        .withColumn("text", lit(null).cast("string")))
       .localCheckpoint()
     val plain = Ingest.ingestBatch(batch,
       Ingest.readStore(spark, s"$base/fps"))
@@ -634,6 +641,9 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     val cols = plain.columns.sorted.toSeq
     assert(screened.select(cols.map(col): _*).collect().toSet ===
       plain.select(cols.map(col): _*).collect().toSet)
+    assert(screened.where(col("text").isNull)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq === Seq(8000L),
+      "null-text document dropped or duplicated by the screened path")
     // count captured BEFORE compaction: the plan holds the pre-swap
     // file listing and would read renamed-away part files after it
     val plainCount = plain.count()
