@@ -453,11 +453,18 @@ object SparkEntry {
       graft.ops.Corpus.trainingShardsSemantic(s, d, memoSurvivors = true)),
     "q_training_shards_semantic_gate" -> ((s: SparkSession, d: String) =>
       graft.ops.Corpus.trainingShardsSemanticGate(s, d)),
-    // multimodal plumbing
+    // multimodal plumbing; the *_portable twins run the same
+    // mapPartitions decode seam at integer grain so the family is
+    // hash-oracled (slot_sums ≡ round(255 × features) is spec-pinned,
+    // making the green oracle rows a differential proof of the float
+    // path too)
     "q_media_features" -> (Multimodal.featureSummary _),
+    "q_media_features_portable" -> (Multimodal.featuresPortable _),
     "q_media_frames" -> (Multimodal.frameSampleSummary _),
     "q_media_ann" -> ((s: SparkSession, d: String) =>
-      Multimodal.mediaAnnTopK(s, d))
+      Multimodal.mediaAnnTopK(s, d)),
+    "q_media_ann_portable" -> ((s: SparkSession, d: String) =>
+      Multimodal.mediaAnnPortable(s, d))
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). Queries
@@ -625,6 +632,8 @@ object SparkEntry {
     "q_training_shards_mixed" -> graft.ops.Corpus.trainingShardsMixedSql,
     "q_training_shards_chunked" -> graft.ops.Corpus.trainingShardsChunkedSql,
     "q_embed_near_dup" -> Similarity.nearDupPairsExactSql,
-    "q_media_frames" -> Multimodal.frameSampleSummarySql
+    "q_media_frames" -> Multimodal.frameSampleSummarySql,
+    "q_media_features_portable" -> Multimodal.featuresPortableSql,
+    "q_media_ann_portable" -> Multimodal.mediaAnnPortableSql
   )
 }

@@ -33,6 +33,14 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       checksum: Long, features: Array[Float])
 
+  /** Integer-exact portable twin of [[MediaFeatures]]: per-slot raw
+    * BYTE SUMS — exactly the [[FakeCodec.decode]] fold without the
+    * /255 float grain, so a SQL oracle can recompute every value from
+    * the payload bytes and the whole media pipeline hash-gates like
+    * any other family. */
+  case class MediaFeaturesPortable(media_id: Long, kind: String,
+      n_bytes: Int, slot_sums: Array[Long])
+
   /** STUB — deterministic fake decoder. Real systems decode
     * JPEG/PNG/WAV here; this container has no codecs, so features are
     * a seeded fold of the payload bytes (stable across runs, engines,
@@ -53,6 +61,21 @@ object Multimodal {
       var i = 0
       while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
       h
+    }
+    /** Integer companion of [[decode]]: slot j accumulates the raw
+      * unsigned bytes at positions i ≡ j (mod featureDim). Slot sums
+      * are exactly 255 × the float features in Long arithmetic (no
+      * rounding), which is what makes the media family oracle-able:
+      * DuckDB recomputes each slot as a position-filtered ascii sum
+      * over the (pure-ASCII) payload text. */
+    def decodeIntSums(payload: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % featureDim) += (payload(i) & 0xFF)
+        i += 1
+      }
+      out
     }
   }
 
@@ -83,6 +106,23 @@ object Multimodal {
       rows.map { r =>
         MediaFeatures(r.media_id, r.kind, r.payload.length,
           FakeCodec.checksum(r.payload), FakeCodec.decode(r.payload))
+      }
+    }
+  }
+
+  /** [[extractFeatures]] through the SAME iterator-to-iterator
+    * mapPartitions seam, emitting the integer-exact
+    * [[MediaFeaturesPortable]] shape — the hash-oracle-able twin of
+    * the float pipeline (MultimodalSpec pins slot_sums ≡
+    * round(255 × features) row-for-row, so a green oracle row here is
+    * a differential proof of the real decode path too). */
+  def extractFeaturesPortable(
+      media: Dataset[MediaRow]): Dataset[MediaFeaturesPortable] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeaturesPortable(r.media_id, r.kind, r.payload.length,
+          FakeCodec.decodeIntSums(r.payload))
       }
     }
   }
@@ -184,4 +224,91 @@ object Multimodal {
       |       CAST(((octet_length(encode(text)) - 1) // 64) // 4 + 1 AS BIGINT) AS n_frames,
       |       CAST(LEAST(64, octet_length(encode(text))) AS INT) AS max_frame_bytes
       |FROM documents""".stripMargin
+
+  /** Hash-oracled media features: payload → (stub) decode → per-slot
+    * byte sums as columns. Runs the REAL mapPartitions extraction —
+    * only the emitted grain is integer instead of float. */
+  def featuresPortable(spark: SparkSession, dir: String): DataFrame = {
+    val slots = (0 until FakeCodec.featureDim).map(j =>
+      col("slot_sums").getItem(j).as(f"s$j%02d"))
+    extractFeaturesPortable(mediaTable(spark, dir)).toDF()
+      .select(Seq(col("media_id"), col("kind"),
+        col("n_bytes").cast("long").as("n_bytes")) ++ slots: _*)
+  }
+
+  /** Oracle for [[featuresPortable]]: the payload is the UTF-8 bytes
+    * of `documents.text`, which TESTDATA.md's generator keeps pure
+    * ASCII (verified octet_length == length at every SF) — so byte i
+    * of the payload is `ascii(substr(text, i, 1))` and each feature
+    * slot is a position-filtered sum. */
+  val featuresPortableSql: String = {
+    val slotCols = (0 until FakeCodec.featureDim).map(j =>
+      f"       CAST(sum(CASE WHEN slot = $j THEN byte ELSE 0 END) AS BIGINT) AS s$j%02d")
+      .mkString(",\n")
+    s"""WITH pos AS (
+       |  SELECT d.doc_id, d.text,
+       |         unnest(range(1, length(d.text) + 1)) AS i
+       |  FROM documents d
+       |), b AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |         length(text) AS n_bytes,
+       |         (i - 1) % 16 AS slot,
+       |         ascii(substr(text, CAST(i AS INT), 1)) AS byte
+       |  FROM pos
+       |)
+       |SELECT media_id, any_value(kind) AS kind,
+       |       CAST(any_value(n_bytes) AS BIGINT) AS n_bytes,
+       |$slotCols
+       |FROM b GROUP BY media_id""".stripMargin
+  }
+
+  /** Integer-dot ANN twin of [[mediaAnnTopK]]: the same payload →
+    * decode → feature → broadcast-queries → per-query window top-k
+    * plumbing, ranked by the EXACT Long dot product of the slot-sum
+    * vectors (ties broken by neighbor_id) so DuckDB replays the
+    * ranking bit-for-bit. The float path keeps the production cosine
+    * semantics; this twin is its hash gate. */
+  def mediaAnnPortable(spark: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = extractFeaturesPortable(mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("slot_sums"))
+    val queries = feats.where(col("media_id") < numQueries)
+      .select(col("media_id").as("query_id"), col("slot_sums").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    feats.join(broadcast(queries), col("media_id") =!= col("query_id"))
+      .select(col("query_id"), col("media_id").as("neighbor_id"),
+        aggregate(zip_with(col("slot_sums"), col("qvec"),
+          (x, y) => x * y), lit(0L), (acc, v) => acc + v).as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot")
+  }
+
+  val mediaAnnPortableSql: String =
+    """WITH pos AS (
+      |  SELECT d.doc_id, d.text,
+      |         unnest(range(1, length(d.text) + 1)) AS i
+      |  FROM documents d
+      |), v AS (
+      |  SELECT doc_id AS media_id,
+      |         (i - 1) % 16 AS slot,
+      |         sum(ascii(substr(text, CAST(i AS INT), 1))) AS s
+      |  FROM pos GROUP BY doc_id, (i - 1) % 16
+      |), dots AS (
+      |  SELECT a.media_id AS query_id, c.media_id AS neighbor_id,
+      |         CAST(sum(a.s * c.s) AS BIGINT) AS dot
+      |  FROM v a JOIN v c ON a.slot = c.slot AND a.media_id <> c.media_id
+      |  WHERE a.media_id < 5
+      |  GROUP BY a.media_id, c.media_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, dot,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY dot DESC, neighbor_id) AS rank
+      |  FROM dots
+      |)
+      |SELECT query_id, neighbor_id, rank, dot
+      |FROM ranked WHERE rank <= 3""".stripMargin
 }

@@ -394,6 +394,37 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.unset("spark.graft.dedup.confirmInFilterCap")
   }
 
+  test("IN-probe bucket pruning holds at the production-wide layout " +
+    "(4096 buckets): selected buckets track the positive fps, not the " +
+    "store width") {
+    val base = Files.createTempDirectory("graft-wide-probe").toString
+    val docs = Tables.documents(spark, sf)
+    val history = docs.where(col("doc_id") >= 100)
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+      .localCheckpoint()
+    Ingest.appendToStore(spark, s"$base/fps", history, buckets = 4096)
+    val posFps = history.limit(5).collect().map(_.getString(0)).toIndexedSeq
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = graft.ops.Dedup.storeFpsIn(
+        Ingest.readStore(spark, s"$base/fps"), posFps)
+      // the probe is CORRECT at the wide layout ...
+      assert(probe.collect().map(_.getString(0)).toSet === posFps.toSet)
+      // ... and PRUNED: ≤ one bucket per probe fp out of 4096, the
+      // regime claimed at Dedup.confirmInFilterCap's doc
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(sel.nonEmpty, s"no bucket pruning in the probe plan:\n$plan")
+      assert(sel.forall(_._2 === 4096), s"store not read at 4096 buckets: $sel")
+      assert(sel.map(_._1).sum <= posFps.length,
+        s"selected more buckets than probe fps: $sel")
+    } finally spark.conf.unset(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("store survives catalog loss (fresh-JVM reopen): appends keep " +
     "working via DDL re-registration, never CTAS over the data") {
     val base = Files.createTempDirectory("graft-reopen").toString
@@ -709,6 +740,77 @@ class IngestSpec extends AnyFunSuite with SharedSpark {
       compactEvery = 2, bloomShards = 4)
     assert(spark.read.schema(Schemas.documents).parquet(corpus).count()
       === expected.count())
+    docs.unpersist()
+  }
+
+  test("crash between the fp append and the bloom append: the stale " +
+    "guard trips for any new screen; restart heals (startup rebuild + " +
+    "staged re-delivery) with no lost doc and no readmitted duplicate") {
+    val base = Files.createTempDirectory("graft-ingest-crashwin").toString
+    val (src, corpus, store, ckpt) =
+      (s"$base/src", s"$base/corpus", s"$base/store", s"$base/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Tables.documents(spark, sf).cache()
+    val b1 = docs.where(col("doc_id") < 200)
+    // b2: new docs + re-crawls of b1 + in-batch self-dups
+    val b2 = docs.where(col("doc_id") >= 200 && col("doc_id") < 400)
+      .unionByName(b1.limit(15).withColumn("doc_id", col("doc_id") + 5000))
+      .unionByName(docs.where(col("doc_id") >= 200 && col("doc_id") < 210)
+        .withColumn("doc_id", col("doc_id") + 6000))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$src/$name")
+      val dir = new java.io.File(s"$src/$name")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      ()
+    }
+    drop(b1, "b1")
+    Ingest.runIngest(spark, src, Schemas.documents, corpus, store, ckpt,
+      bloomShards = 4)
+    val bloom = s"$store.bloom"
+
+    // Simulate applyIngestBatch(batch 1) KILLED in the real crash
+    // window: stage complete (_SUCCESS), fp store took its append
+    // (epoch bumps), bloom store did NOT — computed with the same
+    // calls the loop makes, stopped between the two appends.
+    drop(b2, "b2")
+    val batch2 = spark.read.schema(Schemas.documents)
+      .parquet(s"$src/b2.parquet")
+    val survivors = Ingest.ingestBatchScreened(spark, batch2, store, bloom)
+    val stageDir = s"$corpus.staging/1"
+    survivors.drop("fp").write.mode("overwrite").parquet(stageDir)
+    val fps = spark.read.schema(Schemas.documents).parquet(stageDir)
+      .select(TextStats.fingerprint(col("text")).as("fp")).localCheckpoint()
+    Ingest.appendToStore(spark, store, fps)
+    // -- crash here: no bloom append, no commit rename --
+    assert(graft.ops.Dedup.bloomStoreMeta(spark, bloom).get.coversEpoch
+      < Ingest.storeEpoch(spark, store))
+
+    // 1. the window is LOUD: any screen against the skewed stores
+    //    fails, never silently readmits
+    val e = intercept[IllegalStateException] {
+      Ingest.ingestBatchScreened(spark, batch2, store, bloom).collect()
+    }
+    assert(e.getMessage.contains("STALE"))
+
+    // 2. restart: the startup rebuild re-covers the filter store, the
+    //    stream re-delivers b2 as batch 1, finds the authoritative
+    //    stage, re-appends BOTH stores and commits
+    Ingest.runIngest(spark, src, Schemas.documents, corpus, store, ckpt,
+      bloomShards = 4)
+    val expected = b1.unionByName(b2)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val got = spark.read.schema(Schemas.documents).parquet(corpus)
+    assert(got.count() === expected.count(), "lost or duplicated docs")
+    assert(got.select("doc_id").exceptAll(expected).count() === 0)
+    assert(got.where(col("doc_id") >= 5000).count() === 0,
+      "readmitted duplicate after the heal")
+    assert(graft.ops.Dedup.bloomStoreMeta(spark, bloom).get.coversEpoch
+      === Ingest.storeEpoch(spark, store), "stores end incoherent")
     docs.unpersist()
   }
 }

@@ -942,6 +942,30 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(p("str").getDouble(4) === 4.0)   // max length
   }
 
+  test("screen salts are semantics-invariant: identical survivors at " +
+    "salts 1/4/8 on the same batch (the knob only widens parallelism)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val hist = docs.where(col("doc_id") >= 250)
+      .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+      .localCheckpoint()
+    val batch = docs.where(col("doc_id") < 250)
+      .unionByName(docs.where(col("doc_id") >= 250 && col("doc_id") < 270)
+        .withColumn("doc_id", col("doc_id") + 9000)) // history re-crawls
+      .localCheckpoint()
+    val key = "spark.graft.dedup.screenSalts"
+    def run(salts: Int): Set[Long] = {
+      spark.conf.set(key, salts.toString)
+      try Dedup.dedupAgainstHistoryBloomSharded(batch, hist,
+          shards = 4, itemsPerShard = 1000)
+        .select("doc_id").as[Long].collect().toSet
+      finally spark.conf.unset(key)
+    }
+    val (s1, s4, s8) = (run(1), run(4), run(8))
+    assert(s1.nonEmpty && !s1.exists(_ >= 9000L))
+    assert(s1 === s4, "salts=4 changed the survivor set")
+    assert(s1 === s8, "salts=8 changed the survivor set")
+  }
+
   // ----- multimodal -----
 
   test("feature extraction preserves partitioning and batch shape") {
@@ -954,6 +978,31 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     val twice = Multimodal.extractFeatures(media)
     assert(feats.select("media_id", "checksum").exceptAll(
       twice.select("media_id", "checksum")).count() === 0)
+  }
+
+  test("portable media features: slot_sums == round(255 * features) " +
+    "row-for-row, so the hash-oracled twin proves the float decode") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val floats = Multimodal.extractFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    val ports = Multimodal.extractFeaturesPortable(media).collect()
+    assert(ports.length === floats.size && ports.nonEmpty)
+    ports.foreach { p =>
+      val f = floats(p.media_id)
+      assert(p.kind === f.kind && p.n_bytes === f.n_bytes)
+      // each float slot is sum(b/255f); 255x it and the Long slot sum
+      // must agree after rounding (accumulated float error << 0.5 at
+      // payload lengths of a few hundred bytes)
+      val scaled = f.features.map(v => math.round(v * 255.0f).toLong)
+      assert(scaled.toSeq === p.slot_sums.toSeq,
+        s"media ${p.media_id}: float decode and integer twin diverge")
+    }
+    // the ANN twin ranks by exact integer dot: a duplicated payload
+    // must land rank 1 for its twin's query, same as the cosine path
+    val ann = Multimodal.mediaAnnPortable(spark, sf, numQueries = 3, k = 3)
+      .collect()
+    assert(ann.nonEmpty)
+    assert(ann.count(_.getAs[Long]("rank") == 1L) === 3)
   }
 
   test("resize updates metadata dims and keeps payload deterministic") {
