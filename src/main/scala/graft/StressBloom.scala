@@ -38,11 +38,31 @@ object StressBloom {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.{Dedup, TextStats}
-    val cap = Dedup.BloomShardItemCap
+    args.headOption match {
+      case Some("crossover") =>
+        // item: MEASURE the screened-vs-plain ingest crossover at the
+        // decade the slope extrapolation claimed (~1e8 fps), instead
+        // of extrapolating it from 32M
+        crossover(spark,
+          args.lift(1).map(_.toLong).getOrElse(100L) * 1000000L)
+      case Some("probe") =>
+        // item: prove the IN-probe confirm's bucket pruning at a
+        // PRODUCTION store layout (4096 buckets, fpp 1e-3), not just
+        // the 32-bucket gate store the spec pins
+        probe(spark, args.lift(1).map(_.toLong).getOrElse(32L) * 1000000L,
+          buckets = args.lift(2).map(_.toInt).getOrElse(4096),
+          fpp = 1e-3)
+      case _ => defaultRun(spark)
+    }
+    spark.stop()
+  }
 
-    // fixed batch: doc ids 0..400k, even ids duplicate a history doc
-    val batch = spark.range(400000L)
+  private def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  /** Fixed 400k batch, 50% true dups of an `"h <i>"` history. */
+  private def mkBatch(spark: SparkSession): DataFrame =
+    spark.range(400000L)
       .select(col("id").as("doc_id"),
         // integer DIV: `col / 2` is DOUBLE division ("h 192.0" never
         // matches history's "h 192" — the dup rate silently read 0%)
@@ -51,11 +71,11 @@ object StressBloom {
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")))
       .localCheckpoint()
-    // the steady-state regime: a mostly-NEW batch (0.1% re-crawls) —
-    // the screened confirm's bucket-pruned IN probe should make its
-    // per-batch store IO proportional to the dup count, where the
-    // unscreened loop pays the full history scan regardless
-    val lowDup = spark.range(400000L)
+
+  /** Fixed 400k mostly-NEW batch (0.1% re-crawls) — the steady-state
+    * crawl-ingest regime the IN-probe confirm serves. */
+  private def mkLowDup(spark: SparkSession): DataFrame =
+    spark.range(400000L)
       .select(col("id").as("doc_id"),
         when(col("id") % 1000 === 0, concat(lit("h "), expr("id DIV 1000")))
           .otherwise(concat(lit("y "), col("id"))).as("text"))
@@ -63,8 +83,180 @@ object StressBloom {
       .withColumn("n_chars", length(col("text")))
       .localCheckpoint()
 
-    def force(df: DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
+  /** Synthetic history of n fps ("h 0".."h n-1" fingerprints). */
+  private def mkHistory(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .select(graft.ops.TextStats.fingerprint(concat(lit("h "), col("id")))
+        .as("fp"))
+      .localCheckpoint()
+
+  /** Build the fp store (bucketed) + covering bloom store for a
+    * synthetic n-fp history; returns (fpStoreDir, bloomStoreDir). */
+  private def mkStores(spark: SparkSession, history: DataFrame, n: Long,
+      shards: Int, buckets: Int, fpp: Double, tag: String): (String, String) = {
+    import graft.ops.Dedup
+    val store = s"/tmp/graft-bloom-store/$tag-bloom$n"
+    val fpStore = s"/tmp/graft-bloom-store/$tag-fps$n"
+    spark.sql("DROP TABLE IF EXISTS " +
+      graft.streaming.Ingest.storeTableName(spark, fpStore))
+    val fpPath = new org.apache.hadoop.fs.Path(fpStore)
+    fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(fpPath, true)
+    val t1 = System.nanoTime()
+    graft.streaming.Ingest.appendToStore(spark, fpStore, history,
+      buckets = buckets)
+    val epochFpS = (System.nanoTime() - t1) / 1e9
+    val t0 = System.nanoTime()
+    Dedup.buildBloomStore(history, store, shards,
+      itemsPerShard = (n + shards - 1) / shards, fpp = fpp,
+      coversEpoch = graft.streaming.Ingest.storeEpoch(spark, fpStore))
+    val epochS = (System.nanoTime() - t0) / 1e9
+    println(f"[stress-bloom] $tag stores: n=${n / 1000000}%dM " +
+      f"buckets=$buckets shards=$shards fpp=$fpp%.0e " +
+      f"epoch_fp=${epochFpS}%6.1f s epoch_bloom=${epochS}%6.1f s")
+    (fpStore, store)
+  }
+
+  /** The measured screened-vs-plain crossover row: per-micro-batch
+    * ingest wall, unscreened (full bucketed anti-join) vs screened
+    * (sharded bloom + confirm), at 50% and 0.1% dup rates, against an
+    * n-fp history — run at n ≈ 1e8 this replaces the extrapolated
+    * crossover with a measurement. */
+  private def crossover(spark: SparkSession, n: Long): Unit = {
+    import graft.ops.Dedup
+    val cap = Dedup.BloomShardItemCap
+    val shards = ((n + cap - 1) / cap).toInt
+    val batch = mkBatch(spark)
+    val lowDup = mkLowDup(spark)
+    // GRAFT_XOVER_REUSE=1 skips the store build and measures against
+    // the previous run's stores (layout must match; saves ~4 min at
+    // 100M when decomposing a wall)
+    val reuse = sys.env.get("GRAFT_XOVER_REUSE").contains("1")
+    val (fpStore, store) = if (reuse)
+      (s"/tmp/graft-bloom-store/xover-fps$n",
+        s"/tmp/graft-bloom-store/xover-bloom$n")
+    else {
+      val history = mkHistory(spark, n)
+      val dirs = mkStores(spark, history, n, shards, buckets = 32,
+        fpp = 0.01, tag = "xover")
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(history)
+      dirs
+    }
+    def time(f: => Unit): Double = {
+      val b0 = System.nanoTime(); f; (System.nanoTime() - b0) / 1e9
+    }
+    def plainOnce(b: DataFrame): Double = time(force(
+      graft.streaming.Ingest.ingestBatch(b,
+        graft.streaming.Ingest.readStore(spark, fpStore))))
+    def screenedOnce(b: DataFrame): Double = time(force(
+      graft.streaming.Ingest.ingestBatchScreened(spark, b, fpStore, store)))
+    // decomposition: the screen stage alone (cogroup over the filter
+    // store, verdicts checkpointed) — the rest of the screened wall
+    // is the confirm + collapse tail
+    def screenOnly(b: DataFrame): Double = time {
+      val meta = Dedup.bloomStoreMeta(spark, store).get
+      force(Dedup.screenVerdictsAgainstBloomStore(spark, b, store,
+        meta.shards))
+    }
+    // warm the page cache over the fp store ONCE before any measured
+    // config — the first measured slot otherwise pays the whole
+    // store's cold read (observed 15-150 s of pure first-slot bias at
+    // a 7.7 GB store, always billed to whichever config runs first)
+    force(graft.streaming.Ingest.readStore(spark, fpStore))
+    // ROUND-ROBIN protocol: a long-running ingest loop is a WARM JVM,
+    // so per-config walls are taken as the min over alternating
+    // rounds (never a fixed sequence — the first-measured config
+    // otherwise absorbs all cold-JVM/cold-cache cost: measured 22 s
+    // isolated vs 2.9 s late-round for the SAME plain confirm)
+    val rounds = sys.env.get("GRAFT_XOVER_ROUNDS").map(_.toInt).getOrElse(4)
+    val walls = scala.collection.mutable.Map[String, Double]()
+      .withDefaultValue(Double.MaxValue)
+    for (_ <- 1 to rounds) {
+      for ((name, run) <- Seq[(String, () => Double)](
+          ("plain50", () => plainOnce(batch)),
+          ("screened50", () => screenedOnce(batch)),
+          ("plainlow", () => plainOnce(lowDup)),
+          ("screenedlow", () => screenedOnce(lowDup)),
+          ("screen_only50", () => screenOnly(batch)),
+          ("screen_onlylow", () => screenOnly(lowDup))))
+        walls(name) = math.min(walls(name), run())
+    }
+    println(f"[stress-bloom] crossover n=${n / 1000000}%dM shards=$shards " +
+      f"rounds=$rounds " +
+      f"ingest_plain_50pct=${walls("plain50")}%6.2f s " +
+      f"ingest_screened_50pct=${walls("screened50")}%6.2f s " +
+      f"ingest_plain_lowdup=${walls("plainlow")}%6.2f s " +
+      f"ingest_screened_lowdup=${walls("screenedlow")}%6.2f s " +
+      f"screen_only_50pct=${walls("screen_only50")}%6.2f s " +
+      f"screen_only_lowdup=${walls("screen_onlylow")}%6.2f s")
+  }
+
+  /** The production-layout IN-probe proof: a 400k mostly-new batch
+    * against an n-fp store at `buckets` buckets / fpp `fpp`. Reports
+    * the full dedup wall, then rebuilds the confirm's probe scan under
+    * the pinned conf to read SelectedBucketsCount and scan-delivered
+    * rows — the claim is selected ≈ distinct positive fps (each
+    * hashing to its own bucket at positives ≪ buckets) and rows read
+    * ≪ store rows. */
+  private def probe(spark: SparkSession, n: Long, buckets: Int,
+      fpp: Double): Unit = {
+    import graft.ops.Dedup
+    val cap = Dedup.BloomShardItemCap
+    val shards = ((n + cap - 1) / cap).toInt
+    val lowDup = mkLowDup(spark)
+    val history = mkHistory(spark, n)
+    val (fpStore, store) =
+      mkStores(spark, history, n, shards, buckets, fpp, tag = "probe")
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(history)
+    val b0 = System.nanoTime()
+    force(Dedup.dedupAgainstIngestStore(spark, lowDup, fpStore, store,
+      shards))
+    val fullS = (System.nanoTime() - b0) / 1e9
+    // the probe scan, re-built exactly as confirmAgainstHistory makes
+    // it (same pinned conf), instrumented for bucket pruning
+    val maybes = Dedup.screenAgainstBloomStore(spark, lowDup, store, shards)
+      .where(col("__maybe")).localCheckpoint()
+    val posFps = maybes.select("fp").where(col("fp").isNotNull)
+      .distinct().collect().map(_.getString(0)).toIndexedSeq
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probeDf = Dedup.storeFpsIn(
+        graft.streaming.Ingest.readStore(spark, fpStore), posFps)
+      probeDf.collect()
+      val plan = probeDf.queryExecution.executedPlan
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan.toString)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      def expand(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case other => other.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      val rowsRead = expand(plan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+      println(f"[stress-bloom] probe n=${n / 1000000}%dM buckets=$buckets " +
+        f"fpp=$fpp%.0e full_store=${fullS}%6.2f s positives=${posFps.length} " +
+        f"selected_buckets=${sel.map(_._1).sum}/${sel.map(_._2).sum} " +
+        f"rows_read=$rowsRead of $n")
+    } finally spark.conf.unset(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  private def defaultRun(spark: SparkSession): Unit = {
+    import graft.ops.{Dedup, TextStats}
+    val cap = Dedup.BloomShardItemCap
+
+    val batch = mkBatch(spark)
+    val lowDup = mkLowDup(spark)
 
     for (n <- Seq(2000000L, 8000000L, 32000000L)) {
       val shards = ((n + cap - 1) / cap).toInt
@@ -195,6 +387,5 @@ object StressBloom {
         f"shards=$shards%2d screen=${screenS}%5.1f s")
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(history)
     }
-    spark.stop()
   }
 }
