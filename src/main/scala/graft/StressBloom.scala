@@ -52,7 +52,12 @@ object StressBloom {
         probe(spark, args.lift(1).map(_.toLong).getOrElse(32L) * 1000000L,
           buckets = args.lift(2).map(_.toInt).getOrElse(4096),
           fpp = 1e-3)
-      case _ => defaultRun(spark)
+      case None => defaultRun(spark)
+      case Some(other) =>
+        // fail loud: a typo'd mode silently running the default suite
+        // would print rows that read like the intended measurement
+        sys.error(s"unknown StressBloom mode '$other' " +
+          "(expected: crossover <nM> | probe <nM> [buckets] | no args)")
     }
     spark.stop()
   }

@@ -240,10 +240,16 @@ object Multimodal {
     * of `documents.text`, which TESTDATA.md's generator keeps pure
     * ASCII (verified octet_length == length at every SF) — so byte i
     * of the payload is `ascii(substr(text, i, 1))` and each feature
-    * slot is a position-filtered sum. */
+    * slot is a position-filtered sum. LEFT join from `documents`
+    * with coalesce(0): a zero-length text unnests to no positions
+    * but the Spark side still emits its all-zero slot_sums row. */
   val featuresPortableSql: String = {
-    val slotCols = (0 until FakeCodec.featureDim).map(j =>
-      f"       CAST(sum(CASE WHEN slot = $j THEN byte ELSE 0 END) AS BIGINT) AS s$j%02d")
+    val dim = FakeCodec.featureDim
+    val slotCols = (0 until dim).map(j =>
+      f"       CAST(coalesce(s.s$j%02d, 0) AS BIGINT) AS s$j%02d")
+      .mkString(",\n")
+    val slotSums = (0 until dim).map(j =>
+      f"       sum(CASE WHEN slot = $j THEN byte ELSE 0 END) AS s$j%02d")
       .mkString(",\n")
     s"""WITH pos AS (
        |  SELECT d.doc_id, d.text,
@@ -251,16 +257,19 @@ object Multimodal {
        |  FROM documents d
        |), b AS (
        |  SELECT doc_id AS media_id,
-       |         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-       |         length(text) AS n_bytes,
-       |         (i - 1) % 16 AS slot,
+       |         (i - 1) % $dim AS slot,
        |         ascii(substr(text, CAST(i AS INT), 1)) AS byte
        |  FROM pos
+       |), s AS (
+       |  SELECT media_id,
+       |$slotSums
+       |  FROM b GROUP BY media_id
        |)
-       |SELECT media_id, any_value(kind) AS kind,
-       |       CAST(any_value(n_bytes) AS BIGINT) AS n_bytes,
+       |SELECT d.doc_id AS media_id,
+       |       CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |       CAST(length(d.text) AS BIGINT) AS n_bytes,
        |$slotCols
-       |FROM b GROUP BY media_id""".stripMargin
+       |FROM documents d LEFT JOIN s ON s.media_id = d.doc_id""".stripMargin
   }
 
   /** Integer-dot ANN twin of [[mediaAnnTopK]]: the same payload →
@@ -269,8 +278,14 @@ object Multimodal {
     * vectors (ties broken by neighbor_id) so DuckDB replays the
     * ranking bit-for-bit. The float path keeps the production cosine
     * semantics; this twin is its hash gate. */
+  /** Registered defaults for [[mediaAnnPortable]] — shared with its
+    * oracle SQL so the two sides cannot drift apart. */
+  val AnnPortableQueries = 5
+  val AnnPortableK = 3
+
   def mediaAnnPortable(spark: SparkSession, dir: String,
-      numQueries: Int = 5, k: Int = 3): DataFrame = {
+      numQueries: Int = AnnPortableQueries,
+      k: Int = AnnPortableK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val feats = extractFeaturesPortable(mediaTable(spark, dir)).toDF()
       .select(col("media_id"), col("slot_sums"))
@@ -287,21 +302,27 @@ object Multimodal {
       .select("query_id", "neighbor_id", "rank", "dot")
   }
 
-  val mediaAnnPortableSql: String =
-    """WITH pos AS (
+  /** Oracle for [[mediaAnnPortable]] at its registered defaults.
+    * Assumes non-empty texts (true at every testdata SF, min length
+    * 44): a zero-length text would have no `v` rows, so its all-zero
+    * vector would be missing from the candidate set the Spark side
+    * keeps (at dot = 0 with everything). */
+  val mediaAnnPortableSql: String = {
+    val dim = FakeCodec.featureDim
+    s"""WITH pos AS (
       |  SELECT d.doc_id, d.text,
       |         unnest(range(1, length(d.text) + 1)) AS i
       |  FROM documents d
       |), v AS (
       |  SELECT doc_id AS media_id,
-      |         (i - 1) % 16 AS slot,
+      |         (i - 1) % $dim AS slot,
       |         sum(ascii(substr(text, CAST(i AS INT), 1))) AS s
-      |  FROM pos GROUP BY doc_id, (i - 1) % 16
+      |  FROM pos GROUP BY doc_id, (i - 1) % $dim
       |), dots AS (
       |  SELECT a.media_id AS query_id, c.media_id AS neighbor_id,
       |         CAST(sum(a.s * c.s) AS BIGINT) AS dot
       |  FROM v a JOIN v c ON a.slot = c.slot AND a.media_id <> c.media_id
-      |  WHERE a.media_id < 5
+      |  WHERE a.media_id < $AnnPortableQueries
       |  GROUP BY a.media_id, c.media_id
       |), ranked AS (
       |  SELECT query_id, neighbor_id, dot,
@@ -310,5 +331,6 @@ object Multimodal {
       |  FROM dots
       |)
       |SELECT query_id, neighbor_id, rank, dot
-      |FROM ranked WHERE rank <= 3""".stripMargin
+      |FROM ranked WHERE rank <= $AnnPortableK""".stripMargin
+  }
 }
