@@ -52,12 +52,22 @@ object StressBloom {
         probe(spark, args.lift(1).map(_.toLong).getOrElse(32L) * 1000000L,
           buckets = args.lift(2).map(_.toInt).getOrElse(4096),
           fpp = 1e-3)
+      case Some("coldscan") =>
+        // item: measure the IO-BOUND regime the screen exists for —
+        // page cache dropped before every measured batch, so the
+        // plain confirm pays the store's full disk read per batch
+        // while the screened probe pays filter frame + pruned buckets
+        coldScan(spark,
+          args.lift(1).map(_.toLong).getOrElse(240L) * 1000000L,
+          buckets = args.lift(2).map(_.toInt).getOrElse(32),
+          fpp = args.lift(3).map(_.toDouble).getOrElse(0.01))
       case None => defaultRun(spark)
       case Some(other) =>
         // fail loud: a typo'd mode silently running the default suite
         // would print rows that read like the intended measurement
         sys.error(s"unknown StressBloom mode '$other' " +
-          "(expected: crossover <nM> | probe <nM> [buckets] | no args)")
+          "(expected: crossover <nM> | probe <nM> [buckets] | " +
+          "coldscan <nM> | no args)")
     }
     spark.stop()
   }
@@ -254,6 +264,61 @@ object StressBloom {
         f"rows_read=$rowsRead of $n")
     } finally spark.conf.unset(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  /** The cluster-regime proxy the crossover rows can't show (every
+    * store this host builds page-caches): drop the OS page cache
+    * before each measured micro-batch, making the fp store's scan
+    * genuinely IO-bound the way a 100 TB remote store is. Requires
+    * the stores from a prior `crossover <nM>` run and root (the
+    * sandbox has both). JIT warms on cached runs first so the cold
+    * rounds measure IO, not compilation; configs alternate. */
+  private def coldScan(spark: SparkSession, n: Long, buckets: Int,
+      fpp: Double): Unit = {
+    import graft.ops.Dedup
+    // bucket/fpp choice decides whether the screened path can PRUNE:
+    // at 32 buckets / fpp 1e-2 a 400k batch's ~4k false positives
+    // select every bucket (the probe re-reads the whole store); the
+    // production 4096 / 1e-3 layout selects ~positives buckets
+    val tag = s"cold$buckets-${fpp}"
+    val (fpStore, store) =
+      if (sys.env.get("GRAFT_XOVER_REUSE").contains("1"))
+        (s"/tmp/graft-bloom-store/$tag-fps$n",
+          s"/tmp/graft-bloom-store/$tag-bloom$n")
+      else {
+        val history = mkHistory(spark, n)
+        val shards = ((n + Dedup.BloomShardItemCap - 1)
+          / Dedup.BloomShardItemCap).toInt
+        val dirs = mkStores(spark, history, n, shards, buckets, fpp, tag)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(history)
+        dirs
+      }
+    val lowDup = mkLowDup(spark)
+    def dropCaches(): Unit = {
+      val p = new ProcessBuilder("sh", "-c",
+        "sync; echo 3 > /proc/sys/vm/drop_caches").start()
+      require(p.waitFor() == 0,
+        "drop_caches failed (coldscan needs root)")
+    }
+    def time(f: => Unit): Double = {
+      val b0 = System.nanoTime(); f; (System.nanoTime() - b0) / 1e9
+    }
+    def plainOnce(): Double = time(force(
+      graft.streaming.Ingest.ingestBatch(lowDup,
+        graft.streaming.Ingest.readStore(spark, fpStore))))
+    def screenedOnce(): Double = time(force(
+      graft.streaming.Ingest.ingestBatchScreened(spark, lowDup,
+        fpStore, store)))
+    plainOnce(); screenedOnce() // JIT warmup, cached
+    var (plain, scr) = (Double.MaxValue, Double.MaxValue)
+    for (_ <- 1 to 3) {
+      dropCaches(); plain = math.min(plain, plainOnce())
+      dropCaches(); scr = math.min(scr, screenedOnce())
+    }
+    println(f"[stress-bloom] coldscan n=${n / 1000000}%dM " +
+      f"buckets=$buckets fpp=$fpp%.0e " +
+      f"(cache dropped before every batch, 0.1%% dups) " +
+      f"ingest_plain=${plain}%6.2f s ingest_screened=${scr}%6.2f s")
   }
 
   private def defaultRun(spark: SparkSession): Unit = {
