@@ -84,6 +84,11 @@ object Dedup {
       history)
   }
 
+  // NULL-fp rows mirror the Spark anti-join exactly: a null batch fp
+  // matches nothing (kept), a null history fp matches nothing (must
+  // not poison the NOT IN — one NULL in the subquery makes every
+  // membership test UNKNOWN and empties `fresh` under three-valued
+  // logic)
   val dedupIncrementalSql: String =
     """WITH f AS (
       |  SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -91,7 +96,9 @@ object Dedup {
       |fresh AS (
       |  SELECT * FROM f
       |  WHERE source IN ('src0', 'src1')
-      |    AND fp NOT IN (SELECT fp FROM f WHERE source NOT IN ('src0', 'src1')))
+      |    AND (fp IS NULL OR fp NOT IN (
+      |      SELECT fp FROM f
+      |      WHERE source NOT IN ('src0', 'src1') AND fp IS NOT NULL)))
       |SELECT doc_id, lang, source, n_chars FROM fresh
       |WHERE doc_id IN (SELECT MIN(doc_id) FROM fresh GROUP BY fp)""".stripMargin
 
@@ -122,10 +129,12 @@ object Dedup {
     * which embeds no literal at all — filters travel as cogroup rows.
     *
     * Null fingerprints (null/absent text) never enter a filter and
-    * always take the exact confirm path (`coalesce(might, true)`), so
-    * the screened output is IDENTICAL to [[dedupAgainstHistory]] on
-    * null-fp rows too — the anti-join keeps them (null matches
-    * nothing), same as the unscreened form. */
+    * always take the exact confirm path (an explicit `fp IS NULL`
+    * branch — the probe itself is never null, xxhash64 maps null to
+    * its seed), so the screened output is IDENTICAL to
+    * [[dedupAgainstHistory]] on null-fp rows too — the anti-join
+    * keeps them (null matches nothing), same as the unscreened
+    * form. */
   def dedupAgainstHistoryBloom(newDocs: DataFrame, historyFps: DataFrame,
       expectedItems: Long, fpp: Double = 0.01, shards: Int = 0): DataFrame = {
     val numShards = if (shards > 0) shards
@@ -138,6 +147,9 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.BinaryType
     val bloom = historyFps
+      // null history fps never enter a filter (same as the sharded
+      // build) — they can match nothing in the anti-join anyway
+      .where(col("fp").isNotNull)
       .select(xxhash64(col("fp")).as("h"))
       .stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
@@ -147,8 +159,17 @@ object Dedup {
       Bridge.expression(xxhash64(col("fp")))))
     val tagged = newDocs
       .withColumn("fp", TextStats.fingerprint(col("text")))
-      // null fp ⇒ probe to the confirm path, never silently dropped
-      .withColumn("__maybe", coalesce(might, lit(true)))
+      // null fp ⇒ the exact confirm path by its OWN branch: a
+      // coalesce over the probe is dead code (xxhash64(null) returns
+      // the SEED, never null, so the probe itself never is) and would
+      // quietly give null rows whatever verdict hash-of-seed draws
+      .withColumn("__maybe",
+        when(col("fp").isNull, lit(true)).otherwise(might))
+      // materialized: the confirm tail fans out (distinct-fp collect,
+      // anti-join slice, definite-new slice) and an unmaterialized
+      // screen re-runs the md5 + probe once per reference — the same
+      // lazy-fan-out term the sharded path checkpoints away
+      .localCheckpoint()
     dedupeScreened(tagged, historyFps)
   }
 
@@ -486,14 +507,29 @@ object Dedup {
   def screenVerdictsAgainstBloomStore(spark: SparkSession,
       newDocs: DataFrame, storePath: String, shards: Int): DataFrame = {
     import spark.implicits._
+    // shard ROUTING is store layout — the same guard the sibling
+    // screenAgainstBloomStore applies: a caller probing at another
+    // count routes fps to the wrong shard's filters and tags true
+    // duplicates definite-new (a silent readmission). shards ≤ 0
+    // takes the store's own count from the sidecar.
+    val meta = bloomStoreMeta(spark, storePath)
+    meta.foreach(m =>
+      require(shards <= 0 || m.shards == shards,
+        s"bloom store at $storePath was built with ${m.shards} shards; " +
+          s"caller asked for $shards — probing at another count " +
+          "silently misses"))
+    val useShards = meta.map(_.shards).getOrElse(shards)
+    require(useShards > 0,
+      s"bloom store at $storePath has no sidecar and the caller " +
+        s"passed shards = $shards — the shard count is unknowable")
     val rows = newDocs
       .withColumn("fp", TextStats.fingerprint(col("text")))
       .select(col("doc_id").cast("long"), col("fp"),
         xxhash64(col("fp")).as("h"),
-        coalesce(fpShard(col("fp"), shards), lit(-1)).as("shard"))
+        coalesce(fpShard(col("fp"), useShards), lit(-1)).as("shard"))
       .as[FpRow]
     cogroupScreen[FpRow, FpVerdict](rows, readBloomFrame(spark, storePath),
-        saltsFor(spark, shards), _.shard, _.h,
+        saltsFor(spark, useShards), _.shard, _.h,
         (r, m) => FpVerdict(r.doc_id, r.fp, m))
       .select(col("doc_id"), col("fp"), col("maybe").as("__maybe"))
       .localCheckpoint()
@@ -821,12 +857,17 @@ object Dedup {
   def dedupAgainstIngestStore(spark: SparkSession, newDocs: DataFrame,
       fpStoreDir: String, bloomStorePath: String, shards: Int): DataFrame = {
     // the loud stale-filter gate: a bloom store that missed an fp
-    // append would silently readmit the appended fps' duplicates
-    requireCoherentStores(spark, fpStoreDir, bloomStorePath, shards)
+    // append would silently readmit the appended fps' duplicates.
+    // The returned meta carries the store's REAL shard count, which
+    // honors the "shards ≤ 0 means whatever the store uses" contract
+    // (forwarding the raw argument would fail the screen's own
+    // validation on a contract-conformant 0)
+    val meta = requireCoherentStores(spark, fpStoreDir, bloomStorePath,
+      shards)
     spark.conf.set(
       "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     dedupeScreened(
-      screenAgainstBloomStore(spark, newDocs, bloomStorePath, shards),
+      screenAgainstBloomStore(spark, newDocs, bloomStorePath, meta.shards),
       graft.streaming.Ingest.readStore(spark, fpStoreDir))
   }
 
@@ -1019,6 +1060,13 @@ object Dedup {
     * clustering ops use after collapsing exact duplicates. */
   def minhashLshPairsFor(docs: DataFrame, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame = {
+    // loud, not truncated: bands ∤ numHashes would silently leave the
+    // trailing signature components out of every band (recall quietly
+    // below what the parameters imply) while est_jaccard still
+    // divides by the full numHashes
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — " +
+        s"${numHashes % bands} trailing components would never band")
     val rowsPerBand = numHashes / bands
     // cached: the banding self-join consumes the signatures twice
     val sigs = minhashSignatures(docs, n, numHashes)

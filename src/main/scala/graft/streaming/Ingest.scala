@@ -357,6 +357,10 @@ object Ingest {
     // over: the snapshot read below would otherwise see a missing (or
     // half-swapped) store and compact an empty history
     checkNoInterruptedSwap(spark, storeDir)
+    // a store that was never created is a no-op, not a raw
+    // path-does-not-exist AnalysisException from inside the read —
+    // the same missing-dir handling readStore applies
+    if (!pathExists(spark, storeDir)) return
     // An explicit positive count WINS over the sidecar: compactStore is
     // the documented re-bucketing path (ensureStore's mismatch error
     // points here), and the durable tmp-write + two-rename swap below
