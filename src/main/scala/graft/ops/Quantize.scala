@@ -57,6 +57,17 @@ object Quantize {
   private def subvectors(vectors: DataFrame, m: Int): DataFrame = {
     val dsub = expr(s"size(vec) DIV $m")
     vectors
+      // loud, not truncated: m ∤ dim would silently leave the trailing
+      // dim % m dimensions out of codebooks, codes AND query LUTs —
+      // ADC quality quietly below what the parameters imply. The
+      // assert rides the row (codegen'd, no extra pass); isNull keeps
+      // the select's type = vec's
+      .withColumn("vec", when(
+        assert_true(expr(s"size(vec) % $m = 0"),
+          lit(s"PQ subvector count m=$m must divide the vector " +
+            "dimension — trailing dims would silently drop from " +
+            "codebooks, codes and LUTs")).isNull,
+        col("vec")))
       .select(col("vec_id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("vec"), j * dsub + 1, dsub))))
@@ -203,18 +214,25 @@ object Quantize {
           transform(entries, e => dot(
             slice(col("qvec"), j * dsub + 1, dsub), e.getField("cvec"))))
           .as("lut"))
-    val adc = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("vec_id").as("neighbor_id"),
+    // the ADC stream through the n×numQueries window shuffle carries
+    // ONLY (query_id, neighbor_id, adc) — the dim-wide qvec would
+    // otherwise ride every candidate row through the exchange (the
+    // module's own discipline; ivfPqTopK already does it this way)
+    val adc = codes.join(broadcast(queries.select("query_id", "lut")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adcScore(col("codes"), col("lut")).as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
     val cand = adc.withColumn("rn", row_number().over(wAdc))
       .where(col("rn") <= k * rerank)
-      .select("query_id", "qvec", "neighbor_id")
-    // exact rerank of the candidate set only
+      .select("query_id", "neighbor_id")
+    // exact rerank of the candidate set only; the query vectors
+    // re-attach HERE (broadcast, k·rerank·numQueries rows)
     val exact = cand.join(
       corpus.select(col("vec_id").as("neighbor_id"), col("vec")),
       "neighbor_id")
+      .join(broadcast(queries.select("query_id", "qvec")), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         dot(col("vec"), col("qvec")).as("sim"))
     val w = Window.partitionBy("query_id")
@@ -304,6 +322,10 @@ object Quantize {
     corpus
       .join(assign, "vec_id")
       .join(pqEncode(corpus, packBooks(books)), "vec_id")
+      // cell-align BEFORE partitionBy — without it every scan task
+      // writes its own file per cell (tasks × cells small files; the
+      // appendToIvfPqIndex/compact paths already apply this)
+      .repartition(col("cell"))
       .select(col("vec_id"), col("codes"), col("vec"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/data")
@@ -700,7 +722,16 @@ object Quantize {
   def driftedBatch(base: DataFrame, b: Int, alpha: Double = 0.15,
       idStride: Long = 1000000L): DataFrame = {
     val s = b * alpha
-    base.select((col("vec_id") + lit(b.toLong * idStride)).as("vec_id"),
+    // the no-collision claim is a PRECONDITION, enforced per-row
+    // (codegen'd, no extra pass): a base corpus with ids ≥ idStride
+    // would silently alias appended ids onto history ids and corrupt
+    // ground truth, self-exclusion and hit counts downstream
+    base.select(when(
+      assert_true(col("vec_id") >= 0 && col("vec_id") < idStride,
+        lit(s"driftedBatch: base vec_id must sit in [0, $idStride) " +
+          "(idStride) or appended batch ids collide with history — " +
+          "raise idStride for larger corpora")).isNull,
+      col("vec_id") + lit(b.toLong * idStride)).as("vec_id"),
       normalize(transform(col("vec"),
         x => x + lit(s) / sqrt(size(col("vec")).cast("double"))))
         .as("vec"))

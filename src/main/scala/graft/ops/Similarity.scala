@@ -251,6 +251,10 @@ object Similarity {
       .withColumn("cell",
         slice(reverse(array_sort(scored)), 1, 1)
           .getItem(0).getField("cid"))
+      // cell-align BEFORE partitionBy: without it every scan task
+      // writes its own file per cell (tasks × cells small files paid
+      // on every later probe)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     cents
   }
@@ -260,7 +264,8 @@ object Similarity {
     * DIRECTORY level, so scan cost is nprobe/cells of the corpus. */
   def ivfTopKIndexed(spark: SparkSession, indexPath: String,
       cents: Array[(Int, Array[Double])], numQueries: Int = 10,
-      k: Int = 10, nprobe: Int = 0): DataFrame = {
+      k: Int = 10, nprobe: Int = 0,
+      queriesFrom: DataFrame = null): DataFrame = {
     val np = if (nprobe > 0) nprobe else nprobeAuto(cents.length)
     val indexed = spark.read.parquet(indexPath)
     def bestCells(v: org.apache.spark.sql.Column, n: Int) = {
@@ -269,7 +274,12 @@ object Similarity {
       }: _*)
       slice(reverse(array_sort(scored)), 1, n)
     }
-    val queries = indexed.where(col("vec_id") < numQueries)
+    // query vectors from a SIDE INPUT when the caller has one: the
+    // vec_id predicate is a data column, so fetching queries from the
+    // index itself full-scans every cell directory before the pruned
+    // probe — the exact anti-pattern the ivfPqTopK scaladoc documents
+    val querySrc = Option(queriesFrom).getOrElse(indexed)
+    val queries = querySrc.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         explode(transform(bestCells(col("vec"), np),
           s => s.getField("cid"))).as("cell"))
@@ -492,8 +502,17 @@ object Similarity {
       .groupBy("ccid")
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("fines"))
     // whole coarse table as one broadcast array row: top-wc super-cells
-    // per vector computed map-side, no shuffle
+    // per vector computed map-side, no shuffle. LIVE cells only: a
+    // coarse centroid carried forward from an empty Lloyd cell can be
+    // NO fine centroid's best — probing it would score zero fines,
+    // and a vector whose top-wc cells were all such orphans would
+    // vanish from the inner join below (dropped from every downstream
+    // index join, unsearchable forever). Restricting the probe array
+    // to packedFine's ccids guarantees every probed cell joins ≥ 1
+    // fine, so no vector can drop; orphans contributed nothing to
+    // scoring anyway (output unchanged when none exist).
     val coarseArr = coarse
+      .join(packedFine.select("ccid"), Seq("ccid"), "left_semi")
       .agg(collect_list(struct(col("ccid"), col("ccvec"))).as("cc"))
     val probed = vectors.select(col("vec_id"), col("vec"))
       .crossJoin(broadcast(coarseArr))
@@ -1075,7 +1094,16 @@ object Similarity {
       bitsPerTable: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val flat: Seq[Seq[Double]] = (0 until numTables)
       .flatMap(t => planes(bitsPerTable, dim, seed + t).map(_.toSeq))
-    vectors.select(col("vec_id"), col("vec"),
+    vectors.select(
+      // loud, not silently degraded: a dim mismatch makes every
+      // projection dot only the common prefix of vector and plane —
+      // bucket collisions stop reflecting angles and recall decays
+      // with nothing erroring (the guard is codegen'd, no extra pass)
+      when(assert_true(size(col("vec")) === dim,
+        lit(s"lshBuckets: hyperplanes are $dim-dim but a vector " +
+          "differs — pass the corpus dimension")).isNull,
+        col("vec_id")).as("vec_id"),
+      col("vec"),
       posexplode(graft.functions.VectorFunctions.lshSignature(
         col("vec"), typedLit(flat), bitsPerTable)))
       .withColumnRenamed("pos", "table_id")
@@ -1114,7 +1142,12 @@ object Similarity {
     val corpus = normalized(spark, dir).cache()
     val bits = if (bitsPerTable > 0) bitsPerTable
       else lshAutoBits(corpus.count())
-    val buckets = lshBuckets(corpus, numTables, bits)
+    // hyperplane dimension DERIVED from the data, never assumed: a
+    // regenerated embedding table at another dim would otherwise
+    // project against 64-dim planes' prefix (one 1-row job; the
+    // corpus is cached and counted above anyway)
+    val dim = corpus.select(size(col("vec"))).head().getInt(0)
+    val buckets = lshBuckets(corpus, numTables, bits, dim)
       .select("vec_id", "table_id", "bucket")
     val candidates = buckets.as("a")
       .join(buckets.as("b"),

@@ -877,6 +877,29 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     val viaIndex = indexed
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(viaIndex === direct)
+    // side-input queries: same results, and the index is scanned ONLY
+    // through the pruned probe (no second, unpruned scan for the
+    // query-vector fetch)
+    val sideQueries = graft.ops.Similarity.normalized(spark, sf)
+    val viaSide = graft.ops.Similarity.ivfTopKIndexed(spark, idx, cents,
+      numQueries = 4, nprobe = 4, queriesFrom = sideQueries)
+    // plan check BEFORE execution (post-execution AQE leaves are query
+    // stages, not scans)
+    val sidePhysical = viaSide.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val indexScans = sidePhysical.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+        f
+    }
+    assert(indexScans.nonEmpty && indexScans.forall(_.partitionFilters.nonEmpty),
+      s"side-input probe still carries an unpruned index scan: " +
+        s"${indexScans.map(_.partitionFilters).mkString(";")}")
+    assert(viaSide.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === direct)
     spark.catalog.clearCache()
   }
 
