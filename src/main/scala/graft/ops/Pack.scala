@@ -383,7 +383,11 @@ object Pack {
         lit(":"),
         md5(concat(lit(s"graft:batch:$seed:"), col("doc_id").cast("string"))),
         lit(":"),
-        lpad(col("doc_id").cast("string"), 12, "0")).as("bk"),
+        // 20 chars fits EVERY Long (19 digits + sign): Spark's lpad
+        // TRUNCATES longer inputs, so a narrower pad would silently
+        // corrupt ids ≥ 10^12 in the output and could collide sort
+        // keys (snapshot-prefixed id schemes reach 13+ digits)
+        lpad(col("doc_id").cast("string"), 20, "0")).as("bk"),
         col("n_toks"))
     val cum = packIntoShards(keyed, "bk", col("n_toks"),
         budget = Long.MaxValue)
@@ -393,7 +397,7 @@ object Pack {
       .agg(min(col("cum_tokens") - col("w")).as("b_start"))
     cum.join(broadcast(bucketStarts), "bucket")
       .select(
-        substring(col("bk"), 37, 12).cast("long").as("doc_id"),
+        substring(col("bk"), 37, 20).cast("long").as("doc_id"),
         col("bucket"),
         expr(s"(cum_tokens - w - b_start) DIV $cap").as("batch_id"),
         col("w").as("n_toks"))

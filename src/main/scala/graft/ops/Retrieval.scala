@@ -116,8 +116,13 @@ object Retrieval {
     * the embedding table BY ID — one semi-join-sized probe, never a
     * scan-vs-scan similarity pass, and the seed vectors broadcast.
     * The `< tau` filter on an exact dot is the [[q_embed_near_dup]]
-    * oracle pattern (both engines compute the same IEEE dot on the
-    * same doubles), so the row set is hash-exact. */
+    * oracle pattern. NOTE the two engines do NOT run an identical
+    * float sequence (Spark dots pre-normalized vectors; DuckDB's
+    * list_cosine_similarity divides the raw dot by the raw norms), so
+    * hash-exactness rests on every candidate's margin |sim − tau|
+    * sitting far above ulp scale — OpsSpec's threshold-margin audit
+    * asserts that on each data vintage, failing loudly there before
+    * the driver's oracle gate could flip. */
   def hardNegatives(spark: SparkSession, dir: String,
       numQueries: Int = 5, qTerms: Int = 2, kLex: Int = 20,
       tau: Double = 0.1): DataFrame = {
@@ -192,9 +197,9 @@ object Retrieval {
     // eager Bridge.unpersistCheckpoint here would truncate lineage
     // under a still-referenced plan
     val tf = Terms.termFrequencies(docs).localCheckpoint()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("long").as("n"),
-      sum("dl").cast("long").as("s"))
+    // dfreq recurs inside bm25TopKWith over the SAME checkpointed tf:
+    // identical exchange subtrees, so ReuseExchange dedupes the
+    // aggregation at execution — no second corpus shuffle
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     // seed terms: the window ranks only the seeds' (doc, term) rows —
@@ -207,23 +212,12 @@ object Retrieval {
       .where(col("r") <= qTerms)
       .select(col("doc_id").as("query_id"), col("term"))
 
-    val scored = broadcast(queries)
-      .join(tf, "term")
-      .join(broadcast(dfreq.join(
-        broadcast(queries.select("term").distinct()), "term")
-        .select("term", "df")), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .where(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"),
-        expr(Terms.bm25ScoreExpr).as("sc"))
-    val wLex = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.groupBy("query_id", "doc_id")
-      .agg(sum("sc").as("score"))
-      .withColumn("lex_rank", row_number().over(wLex))
-      .where(col("lex_rank") <= k)
-      .select("query_id", "doc_id", "lex_rank")
+    // scoring + ranking IS the flat BM25 pipeline — reused (tf shared
+    // via tfIn, self-pairs excluded) rather than re-spelled, so a fix
+    // to the shared plan lands once
+    Terms.bm25TopKWith(spark, dir, k, Terms.bm25ScoreExpr,
+        queriesIn = Some(queries), tfIn = Some(tf), excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
   }
 
   /** RRF fusion of two (query_id, doc_id, *_rank) frames. */

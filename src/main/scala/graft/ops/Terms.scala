@@ -159,22 +159,34 @@ object Terms {
   /** The shared flat-retrieval pipeline: corpus-derived query set
     * joined onto the tf stream with df/dl/stats attached, scored by
     * `scoreExpr` over (n, s, df, tf, dl), ranked per query. Both idf
-    * variants are this plan with a different one-line score. */
+    * variants are this plan with a different one-line score;
+    * `Retrieval.lexRanks` is this plan with seed-doc queries,
+    * `excludeSelf` and a shared tf pass (`tfIn`). */
   private[graft] def bm25TopKWith(spark: SparkSession, dir: String, k: Int,
-      scoreExpr: String, queriesIn: Option[DataFrame] = None): DataFrame = {
-    val tf = termFrequencies(Tables.documents(spark, dir))
-      .localCheckpoint() // reused 3× (dl, df, scoring scan): one pass
+      scoreExpr: String, queriesIn: Option[DataFrame] = None,
+      tfIn: Option[DataFrame] = None,
+      excludeSelf: Boolean = false): DataFrame = {
+    // callers passing tfIn have already checkpointed their shared pass
+    val tf = tfIn.getOrElse(termFrequencies(Tables.documents(spark, dir))
+      .localCheckpoint()) // reused 3× (dl, df, scoring scan): one pass
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("long").as("n"),
       sum("dl").cast("long").as("s"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val queries = queriesIn.getOrElse(dfRankQueries(dfreq))
-    val scored = broadcast(queries)
+    // df attaches per DISTINCT term: two queries sharing a term (or a
+    // query repeating one) must not multiply that term's tf rows —
+    // duplicate (term, df) rows here would double-count sc per pair
+    val scored0 = broadcast(queries)
       .join(tf, "term")
-      .join(broadcast(dfreq.join(broadcast(queries), "term")
+      .join(broadcast(dfreq.join(
+        broadcast(queries.select("term").distinct()), "term")
         .select("term", "df")), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
+    val scored = (if (excludeSelf)
+        scored0.where(col("doc_id") =!= col("query_id"))
+      else scored0)
       .select(col("query_id"), col("doc_id"), expr(scoreExpr).as("sc"))
     rankTopK(scored, k)
   }
@@ -239,6 +251,15 @@ object Terms {
     * overwrite is static (a rebuild replaces every batch). */
   def buildBm25IndexFor(docs: DataFrame, indexPath: String,
       nBuckets: Int = 64): Unit = {
+    // a rebuild replaces EVERY batch, tombstones included: a deletes/
+    // dir surviving from the previous generation would silently drop
+    // live documents from the rebuilt index (probes anti-join it)
+    // while the rebuilt stats still count them. Cleared up front — the
+    // three static overwrites below make a mid-build crash a torn
+    // index regardless of ordering, so first is the simple choice.
+    val del = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    del.getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf()).delete(del, true)
     val tf = termFrequencies(docs).localCheckpoint()
     tf.withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
@@ -280,7 +301,13 @@ object Terms {
       indexPath: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    // data presence = a batch= partition dir, not bare existence: a
+    // zero-row partitioned write leaves a schema-less directory that
+    // would fail schema inference on read (delete no-ops skip their
+    // writes, but a crashed/hand-made empty dir must not brick probes)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (hasData) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Live postings of a persisted index: the postings scan minus
@@ -335,18 +362,25 @@ object Terms {
       case None => present
     }
     val nl = newly.localCheckpoint()
-    nl.select("doc_id").withColumn("batch", lit(id))
-      .coalesce(1)
-      .write.mode("overwrite").partitionBy("batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$indexPath/deletes")
-    nl.agg((-count(lit(1))).cast("long").as("n"),
-        coalesce(-sum("dl"), lit(0L)).cast("long").as("s"),
-        lit(nBuckets).as("n_buckets"))
-      .withColumn("batch", lit(id))
-      .write.mode("overwrite").partitionBy("batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$indexPath/stats")
+    // an all-no-op batch (every id unknown or already tombstoned)
+    // writes NOTHING: a zero-row partitioned write would create a
+    // schema-less deletes/ dir that breaks schema inference on every
+    // later probe, and a 0-delta stats row buys nothing. Skipping
+    // both writes consumes no batch id and changes no results.
+    if (!nl.isEmpty) {
+      nl.select("doc_id").withColumn("batch", lit(id))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexPath/deletes")
+      nl.agg((-count(lit(1))).cast("long").as("n"),
+          coalesce(-sum("dl"), lit(0L)).cast("long").as("s"),
+          lit(nBuckets).as("n_buckets"))
+        .withColumn("batch", lit(id))
+        .write.mode("overwrite").partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexPath/stats")
+    }
   }
 
   /** Append new documents to a persisted BM25 index WITHOUT touching
@@ -454,15 +488,30 @@ object Terms {
       case Some(t) => df.join(t, Seq("doc_id"), "left_anti")
       case None => df
     }
+    // a rewrite that folds to ZERO rows (every document tombstoned —
+    // a legal complete-takedown state) must still leave a READABLE
+    // table: a partitioned write of an empty frame creates a
+    // schema-less dir that fails schema inference forever after. The
+    // flat empty write keeps the full schema with the partition
+    // columns as ordinary columns — zero rows, identical probe
+    // results, and later partitioned appends coexist with the flat
+    // schema file (partition discovery merges them; probed empirically
+    // on this Spark: values and bucket filters stay correct).
+    def writeMaybeEmpty(df: DataFrame, out: String,
+        parts: Seq[String], align: Option[String]): Unit =
+      if (df.isEmpty) df.write.parquet(out)
+      else align.map(c => df.repartition(col(c))).getOrElse(df)
+        .write.partitionBy(parts: _*).parquet(out)
     swap("postings") { (df, out) =>
-      minusTomb(df).drop("batch").withColumn("batch", lit(maxBatch))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket", "batch").parquet(out)
+      writeMaybeEmpty(
+        minusTomb(df).drop("batch").withColumn("batch", lit(maxBatch)),
+        out, Seq("bucket", "batch"), align = Some("bucket"))
     }
     if (tomb.isDefined) {
       swap("doclen") { (df, out) =>
-        minusTomb(df).drop("batch").withColumn("batch", lit(maxBatch))
-          .write.partitionBy("batch").parquet(out)
+        writeMaybeEmpty(
+          minusTomb(df).drop("batch").withColumn("batch", lit(maxBatch)),
+          out, Seq("batch"), align = None)
       }
       val del = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
       del.getFileSystem(conf).delete(del, true)

@@ -1806,4 +1806,137 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     val eg = graft.ops.Tokenize.bpeEncodeGate(spark, sf).collect().head
     assert(eg.getInt(2) === 1 && eg.getInt(3) === 1)
   }
+
+  test("BM25 delete lifecycle edges: a no-op delete on a delete-free " +
+    "index writes nothing; a rebuild clears the previous generation's " +
+    "tombstones") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25-edge").toString
+    val idx = s"$base/index"
+    val docs = graft.core.Tables.documents(spark, sf)
+    graft.ops.Terms.buildBm25IndexFor(docs, idx)
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    def probe() = graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val clean = probe()
+    assert(clean.nonEmpty)
+    // every requested id unknown — the documented no-op case. A
+    // zero-row partitioned write here would leave a schema-less
+    // deletes/ dir that fails parquet schema inference on every later
+    // probe (a bricked index); the batch must write NOTHING
+    graft.ops.Terms.deleteFromBm25Index(spark, idx,
+      spark.range(900000, 900005).select(col("id").as("doc_id")))
+    assert(!new java.io.File(s"$idx/deletes").exists(),
+      "a no-op delete should write no tombstone partition")
+    assert(probe() === clean, "no-op delete changed probe results")
+    // a REAL delete still lands after the no-op…
+    graft.ops.Terms.deleteFromBm25Index(spark, idx,
+      docs.where(col("doc_id") % 3 === 0).select("doc_id"))
+    assert(probe() !== clean)
+    // …and a REBUILD must resurrect the deleted docs: tombstones are
+    // a property of the generation that wrote them, so stale deletes/
+    // silently anti-joined against new postings would unretrievably
+    // drop live documents while the rebuilt stats still count them
+    graft.ops.Terms.buildBm25IndexFor(docs, idx)
+    assert(!new java.io.File(s"$idx/deletes").exists(),
+      "rebuild left the previous generation's tombstones behind")
+    assert(probe() === clean, "rebuild did not restore deleted documents")
+  }
+
+  test("BM25 complete takedown: compacting an all-tombstoned index " +
+    "keeps it readable and appendable") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25-takedown").toString
+    val idx = s"$base/index"
+    val docs = graft.core.Tables.documents(spark, sf)
+    val early = docs.where(col("doc_id") < 30)
+    graft.ops.Terms.buildBm25IndexFor(early, idx)
+    graft.ops.Terms.deleteFromBm25Index(spark, idx, early.select("doc_id"))
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge")).toDF("query_id", "term")
+    def probe() = graft.ops.Terms.bm25IndexedTopK(spark, idx, queries)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(probe().isEmpty, "all-tombstoned probe returned rows")
+    // the rewrite folds to ZERO rows: a partitioned empty write would
+    // install a schema-less postings/ (unreadable forever); the flat
+    // empty write keeps the schema and identical (empty) results
+    graft.ops.Terms.compactBm25Index(spark, idx)
+    assert(probe().isEmpty)
+    // and the compacted-empty index still accepts partitioned appends
+    // (flat schema file + batch partitions coexist — probed behavior)
+    graft.ops.Terms.appendToBm25Index(spark, idx,
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 60))
+    assert(probe().nonEmpty, "append after complete takedown not probeable")
+  }
+
+  test("BM25 shared-term query sets: df attaches per DISTINCT term, " +
+    "so a second query sharing a term cannot inflate scores") {
+    import spark.implicits._
+    val solo = graft.ops.Terms.bm25TopKWith(spark, sf, 10,
+      graft.ops.Terms.bm25ScoreExpr,
+      queriesIn = Some(Seq((0, "filter")).toDF("query_id", "term")))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(solo.nonEmpty)
+    // the duplicated (term, df) row the un-distinct join would emit
+    // doubles every sc for the shared term — query 0's rows must be
+    // byte-identical with and without the co-querying neighbor
+    val q0 = graft.ops.Terms.bm25TopKWith(spark, sf, 10,
+      graft.ops.Terms.bm25ScoreExpr,
+      queriesIn = Some(Seq((0, "filter"), (1, "filter"))
+        .toDF("query_id", "term")))
+      .where(col("query_id") === 0)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(q0 === solo,
+      "a second query sharing the term changed query 0's scores")
+  }
+
+  test("threshold-margin audit: tau-filtered oracle families sit far " +
+    "above float-drift scale on this vintage") {
+    // Spark and DuckDB do NOT run identical float sequences for the
+    // cosine-vs-tau filters (normalize-then-dot vs dot-over-raw-norms
+    // in list_cosine_similarity): hash-exactness rests on no candidate
+    // sitting within drift distance of tau. Accumulated cross-engine
+    // drift for unit 64-dim dots is ≲ 1e-14; 1e-12 gives two orders of
+    // slack while real vintages measure ≥ 7e-6. A failure here means
+    // the VINTAGE moved onto a knife edge — fix the data assumption,
+    // not the engines.
+    val c = graft.ops.Similarity.normalized(spark, sf)
+    def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.dot(a, b)
+    val nearDupMargin = c.as("a")
+      .join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(abs(dotc(col("a.vec"), col("b.vec")) - lit(0.4)).as("m"))
+      .agg(min("m")).head().getDouble(0)
+    assert(nearDupMargin > 1e-12,
+      s"q_embed_near_dup tau margin $nearDupMargin is inside float noise")
+    // hardNegatives (tau = 0.1): audited over ALL query×corpus pairs —
+    // a superset of the lexical candidate set, so the bound holds for
+    // any kLex
+    val q = c.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val hnMargin = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(abs(dotc(col("vec"), col("qvec")) - lit(0.1)).as("m"))
+      .agg(min("m")).head().getDouble(0)
+    assert(hnMargin > 1e-12,
+      s"q_hard_negatives tau margin $hnMargin is inside float noise")
+  }
+
+  test("length-bucket batches: 13+-digit doc_ids round-trip exactly " +
+    "(the sort-key pad fits every Long)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bigid").toString
+    import spark.implicits._
+    // ids ≥ 10^12 sharing a long prefix: a 12-char pad TRUNCATES both
+    // to the same key (corrupted output ids, colliding sort keys)
+    val ids = Seq(1234567890123L, 1234567890124L, 7L)
+    ids.map(i => (i, "alpha beta gamma delta", "en", "web", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.ops.Pack.lengthBucketBatches(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === ids.toSet,
+      s"doc_ids corrupted through the composite sort key: $got")
+  }
 }
