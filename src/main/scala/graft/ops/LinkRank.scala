@@ -113,12 +113,35 @@ object LinkRank {
     ranks
   }
 
-  /** [[linkRank]] over an arbitrary corpus frame. */
-  private def linkRankFor(docs: DataFrame, k: Int): DataFrame = {
+  /** [[linkRank]] over an arbitrary corpus frame. `release = true`
+    * materializes the K-round result (localCheckpoint — an eager
+    * unpersist under a still-lazy result would re-derive the edges
+    * once per consumer, the lazy-fanout lesson) and then DROPS the
+    * edge cache entry: CacheManager holds every `.persist` until an
+    * explicit unpersist/clearCache, so a caller that runs the
+    * recurrence more than once per session (the churn gate runs it
+    * twice) must release or the edge caches accumulate. The
+    * single-shot public queries keep the lazy default — their plan
+    * is what LinkRankSpec asserts, and the repeated-use production
+    * form is the persisted bucketed table ([[linkRankFromTable]]),
+    * which caches nothing. */
+  private def linkRankFor(docs: DataFrame, k: Int,
+      release: Boolean = false): DataFrame = {
     val nodes = docs
       .select(col("doc_id"), lit(Mass0).as("m0"), lit(Base).as("base"))
     val e2 = derivedEdgesFor(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    powerIterate(nodes, e2, k)
+    val out = powerIterate(nodes, e2, k)
+    if (release) {
+      // withFreshStats: the checkpoint leaf INHERITS the recurrence's
+      // multiplicatively-exploded join estimates (the Components
+      // BigInteger-planning lesson) — without the reset the churn
+      // gate's downstream planning burns seconds of driver CPU
+      // (measured 4.3 → 12.2 s at sf0.1 on the unwrapped form)
+      val m = org.apache.spark.sql.graftbridge.Bridge.withFreshStats(
+        out.localCheckpoint())
+      e2.unpersist()
+      m
+    } else out
   }
 
   /** K rounds of damped integer-mass propagation over the derived
@@ -270,8 +293,9 @@ object LinkRank {
   def linkRankChurn(spark: SparkSession, dir: String,
       k: Int = 4, topN: Int = 20): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val fresh = linkRankFor(docs, k)
-    val stale = linkRankFor(docs.where(col("doc_id") % 5 =!= 4), k)
+    val fresh = linkRankFor(docs, k, release = true)
+    val stale = linkRankFor(docs.where(col("doc_id") % 5 =!= 4), k,
+      release = true)
     val topF = fresh.orderBy(col("mass").desc, col("doc_id"))
       .limit(topN).select("doc_id")
     val topS = stale.orderBy(col("mass").desc, col("doc_id"))

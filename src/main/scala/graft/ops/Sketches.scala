@@ -159,29 +159,27 @@ object Sketches {
     cmsWidthFrame(ev).head().getLong(0)
 
   private[graft] def cmsSketchFor(ev: DataFrame): DataFrame =
-    ev.crossJoin(broadcast(cmsWidthFrame(ev)))
-      .select(explode(array((0 until cmsDepth).map(j =>
-        struct(lit(j).as("cms_row"),
-          cmsBucket(j, col("user_id"), col("w")).as("bucket"))): _*))
-        .as("rb"))
-      .select(col("rb.cms_row").as("cms_row"), col("rb.bucket").as("bucket"))
-      .groupBy("cms_row", "bucket").agg(count(lit(1)).as("cnt"))
+    // composed from the SAME parameterized core the persisted store
+    // path uses (dummy month + derived width) — not a re-spelled
+    // copy, so a change to bucket/depth derivation cannot fork the
+    // spec seam from the store sketch the specs compare against
+    monthlySketchAt(
+        ev.select(lit(java.sql.Date.valueOf("1970-01-01")).as("month"),
+          col("user_id")),
+        cmsWidthFrame(ev))
+      .groupBy("cms_row", "bucket").agg(sum("cnt").as("cnt"))
 
   /** Per-month CMS of per-user event counts — the ingest-grain frame
     * a pipeline persists; coarser sketches are GROUP BY sums of it. */
   def monthlyCmsSketches(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(date_trunc("month", to_date(col("ts"))).cast("date")
-        .as("month"), col("user_id"))
-    ev.crossJoin(broadcast(cmsWidthFrame(Tables.events(spark, dir))))
-      .select(col("month"), explode(array((0 until cmsDepth).map(j =>
-        struct(lit(j).as("cms_row"),
-          cmsBucket(j, col("user_id"), col("w")).as("bucket"))): _*))
-        .as("rb"))
-      .select(col("month"), col("rb.cms_row").as("cms_row"),
-        col("rb.bucket").as("bucket"))
-      .groupBy("month", "cms_row", "bucket")
-      .agg(count(lit(1)).as("cnt"))
+    // one base frame feeds BOTH the sketch rows and the width
+    // derivation; the sketch itself is the shared parameterized core
+    val base = Tables.events(spark, dir)
+    monthlySketchAt(
+        base.select(date_trunc("month", to_date(col("ts"))).cast("date")
+          .as("month"), col("user_id")),
+        cmsWidthFrame(base))
+      .select("month", "cms_row", "bucket", "cnt")
   }
 
   /** Global sketch by MERGING the monthly grain — pure arithmetic
@@ -338,11 +336,17 @@ object Sketches {
     * (k·d rows against the 1k-row broadcast sketch). */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("user_id"))
+    // the width derives ONCE per query (materialized 1-row frame):
+    // the key-grain COUNT DISTINCT shuffle behind it is the dominant
+    // non-candidate cost at corpus scale, and it previously ran twice
+    // — once for the candidate buckets, once inside the merged
+    // sketch's own derivation
+    val width = cmsWidthFrame(ev).localCheckpoint()
     val cand = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id").asc)
       .limit(10)
     val candBuckets = cand
-      .crossJoin(broadcast(cmsWidthFrame(Tables.events(spark, dir))))
+      .crossJoin(broadcast(width))
       .select(col("user_id"), col("exact_cnt"),
         explode(array((0 until cmsDepth).map(j =>
           struct(lit(j).as("cms_row"),
@@ -350,9 +354,17 @@ object Sketches {
           .as("rb"))
       .select(col("user_id"), col("exact_cnt"),
         col("rb.cms_row").as("cms_row"), col("rb.bucket").as("bucket"))
+    // the merged sketch still goes THROUGH the monthly grain (the
+    // estimate-invariance of merging is what the query proves), at
+    // the shared width
+    val merged = monthlySketchAt(
+        Tables.events(spark, dir)
+          .select(date_trunc("month", to_date(col("ts"))).cast("date")
+            .as("month"), col("user_id")),
+        width)
+      .groupBy("cms_row", "bucket").agg(sum("cnt").as("cnt"))
     candBuckets
-      .join(broadcast(mergedCmsSketch(spark, dir)),
-        Seq("cms_row", "bucket"))
+      .join(broadcast(merged), Seq("cms_row", "bucket"))
       .groupBy("user_id", "exact_cnt")
       .agg(min("cnt").as("cms_est"))
   }

@@ -260,24 +260,45 @@ object Terms {
     val del = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
     del.getFileSystem(
       docs.sparkSession.sessionState.newHadoopConf()).delete(del, true)
+    // empty-safe writes: a first stream batch can legally carry zero
+    // adds (a delete-only CDC batch), and a zero-row PARTITIONED build
+    // would create schema-less postings/doclen dirs that crash every
+    // later read — wedging the stream on each redelivery
     val tf = termFrequencies(docs).localCheckpoint()
-    tf.withColumn("bucket",
-        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
-      .withColumn("batch", lit(0L))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket", "batch")
-      .parquet(s"$indexPath/postings")
+    writePartitionedSafe(
+      tf.withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+        .withColumn("batch", lit(0L)),
+      s"$indexPath/postings", Seq("bucket", "batch"),
+      align = Some("bucket"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
-    dl.withColumn("batch", lit(0L))
-      .write.mode("overwrite").partitionBy("batch")
-      .parquet(s"$indexPath/doclen")
+    writePartitionedSafe(dl.withColumn("batch", lit(0L)),
+      s"$indexPath/doclen", Seq("batch"), align = None)
     dl.agg(count(lit(1)).cast("long").as("n"),
-        sum("dl").cast("long").as("s"),
+        // sum over zero rows is NULL, not 0 — a null total would
+        // poison every later delta sum in readBm25Stats
+        coalesce(sum("dl").cast("long"), lit(0L)).as("s"),
         lit(nBuckets).as("n_buckets"))
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$indexPath/stats")
   }
+
+  /** Overwrite-write `df` under `out` partitioned by `parts` —
+    * EMPTY-SAFE: a partitioned write of ZERO rows creates a
+    * schema-less directory (no data file carries the schema) that
+    * fails parquet schema inference on every later read, so an empty
+    * frame flat-writes one schema-bearing empty file instead, with
+    * the partition columns riding as ordinary columns. Later
+    * partitioned appends coexist with the flat schema file (partition
+    * discovery merges them; probed on this Spark: values and
+    * partition filters stay correct). `align` repartitions by that
+    * column first so each partition dir gets ≤ one file. */
+  private def writePartitionedSafe(df: DataFrame, out: String,
+      parts: Seq[String], align: Option[String]): Unit =
+    if (df.isEmpty) df.write.mode("overwrite").parquet(out)
+    else align.map(c => df.repartition(col(c))).getOrElse(df)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(out)
 
   /** Corpus totals + layout constants of a persisted index: ONE row
     * (n, s, n_buckets, max_batch) summed over the per-batch stats
@@ -488,28 +509,14 @@ object Terms {
       case Some(t) => df.join(t, Seq("doc_id"), "left_anti")
       case None => df
     }
-    // a rewrite that folds to ZERO rows (every document tombstoned —
-    // a legal complete-takedown state) must still leave a READABLE
-    // table: a partitioned write of an empty frame creates a
-    // schema-less dir that fails schema inference forever after. The
-    // flat empty write keeps the full schema with the partition
-    // columns as ordinary columns — zero rows, identical probe
-    // results, and later partitioned appends coexist with the flat
-    // schema file (partition discovery merges them; probed empirically
-    // on this Spark: values and bucket filters stay correct).
-    def writeMaybeEmpty(df: DataFrame, out: String,
-        parts: Seq[String], align: Option[String]): Unit =
-      if (df.isEmpty) df.write.parquet(out)
-      else align.map(c => df.repartition(col(c))).getOrElse(df)
-        .write.partitionBy(parts: _*).parquet(out)
     swap("postings") { (df, out) =>
-      writeMaybeEmpty(
+      writePartitionedSafe(
         minusTomb(df).drop("batch").withColumn("batch", lit(maxBatch)),
         out, Seq("bucket", "batch"), align = Some("bucket"))
     }
     if (tomb.isDefined) {
       swap("doclen") { (df, out) =>
-        writeMaybeEmpty(
+        writePartitionedSafe(
           minusTomb(df).drop("batch").withColumn("batch", lit(maxBatch)),
           out, Seq("batch"), align = None)
       }

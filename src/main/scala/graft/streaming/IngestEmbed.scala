@@ -64,6 +64,16 @@ object IngestEmbed {
   private def centsPath(workDir: String) = s"$workDir/vindex/centroids"
   private def dataPath(workDir: String) = s"$workDir/vindex/data"
 
+  /** Cell granularity for a work dir's discipline — ONE formula
+    * shared by first-batch training and [[rebuildEmbedIndex]], whose
+    * recall contract depends on rebuilding at the same granularity
+    * rule the ingest trained with (only n changes between them). */
+  private def cellCount(nv: Double, withinBatch: String,
+      nprobe: Int): Int =
+    math.min(4096, math.max(16,
+      (if (withinBatch == "screen") math.sqrt(nv)
+       else nprobe * math.sqrt(nv)).toLong)).toInt
+
   /** (vec_id, vec) with unit-normalized double vectors, from any
     * frame with an `embedding: array<float>` column. */
   def normalizedFor(batch: DataFrame): DataFrame =
@@ -118,9 +128,19 @@ object IngestEmbed {
 
     if (!fs.exists(new Path(stageDir, "_SUCCESS"))) {
       val vecs = normalizedFor(batch).localCheckpoint()
-      // frozen centroids: trained on the FIRST batch (overwrite ⇒ a
-      // re-delivered first batch retrains identically — the build is
-      // deterministic), read back for every later one
+      if (vecs.isEmpty) {
+        // an EMPTY batch stages as-is and trains nothing: training on
+        // it would freeze an empty centroid table forever (no cell
+        // ever assigns again — dedup silently off for the life of the
+        // store, and the first index append would create a schema-less
+        // partitioned data dir that bricks every later probe).
+        // Training defers to the first non-empty batch; the flat empty
+        // write keeps the stage readable.
+        batch.write.mode("overwrite").parquet(stageDir.toString)
+      } else {
+      // frozen centroids: trained on the first NON-EMPTY batch
+      // (overwrite ⇒ a re-delivered first batch retrains identically —
+      // the build is deterministic), read back for every later one
       if (!Ingest.pathExists(spark, centsPath(workDir))) {
         // cell granularity follows the within-batch discipline the
         // work dir runs (frozen thereafter): the pair join wants
@@ -130,11 +150,9 @@ object IngestEmbed {
         // chain never sees the pair; measured 12.8% → band-compliant
         // stragglers on the planted spec corpus). Both granularities
         // serve the history probe; coarser just probes more rows.
-        val nv = vecs.count().toDouble
-        val k = math.min(4096, math.max(16,
-          (if (withinBatch == "screen") math.sqrt(nv)
-           else nprobe * math.sqrt(nv)).toLong)).toInt
-        Similarity.ivfCentroidsDf(vecs, k, iters = 2)
+        Similarity.ivfCentroidsDf(vecs,
+            cellCount(vecs.count().toDouble, withinBatch, nprobe),
+            iters = 2)
           .write.mode("overwrite").parquet(centsPath(workDir))
       }
       val cents = spark.read.parquet(centsPath(workDir)).localCheckpoint()
@@ -221,21 +239,30 @@ object IngestEmbed {
       }
       batch.join(survivors, Seq("vec_id"), "left_semi")
         .write.mode("overwrite").parquet(stageDir.toString)
+      }
     }
 
     // index append AFTER the stage is complete, BEFORE the commit:
     // batch=N dynamic overwrite makes a re-applied id replace (not
-    // double-count) its earlier, possibly torn, contribution
+    // double-count) its earlier, possibly torn, contribution. An
+    // EMPTY staged batch appends nothing — a zero-row partitioned
+    // write would CREATE a schema-less data dir on the store's first
+    // write (bricking every later probe) and contributes nothing
+    // otherwise
     val staged = spark.read.schema(batch.schema)
       .parquet(stageDir.toString)
-    val cents = spark.read.parquet(centsPath(workDir)).localCheckpoint()
-    Similarity.assignCells(normalizedFor(staged), cents, nprobe = 1)
-      .join(normalizedFor(staged), "vec_id")
-      .withColumn("batch", lit(batchId))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(dataPath(workDir))
+    if (!staged.isEmpty) {
+      val cents = spark.read.parquet(centsPath(workDir)).localCheckpoint()
+      // ONE stage read + normalize pass, reused by assign and join
+      val normed = normalizedFor(staged).localCheckpoint()
+      Similarity.assignCells(normed, cents, nprobe = 1)
+        .join(normed, "vec_id")
+        .withColumn("batch", lit(batchId))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell", "batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(dataPath(workDir))
+    }
 
     fs.mkdirs(corpusQ)
     require(fs.rename(stageDir, commitDir),
@@ -330,12 +357,9 @@ object IngestEmbed {
       withinBatch: String = "pairs", nprobe: Int = 4): Unit = {
     val hist = spark.read.parquet(dataPath(workDir))
       .select("vec_id", "vec", "batch").localCheckpoint()
-    val nv = hist.count().toDouble
-    val k = math.min(4096, math.max(16,
-      (if (withinBatch == "screen") math.sqrt(nv)
-       else nprobe * math.sqrt(nv)).toLong)).toInt
     val cents = Similarity
-      .ivfCentroidsDf(hist.select("vec_id", "vec"), k, iters = 2)
+      .ivfCentroidsDf(hist.select("vec_id", "vec"),
+        cellCount(hist.count().toDouble, withinBatch, nprobe), iters = 2)
       .localCheckpoint()
     val fs = Ingest.fileSystem(spark, workDir)
     val vindex = fs.makeQualified(

@@ -38,7 +38,21 @@ object Sessionize {
 
   /** Fold a user's new events into the open session, emitting sessions
     * that closed (gap exceeded between consecutive events, or state
-    * timeout fired). */
+    * timeout fired).
+    *
+    * LATE events (admitted by the 1 h watermark, which is wider than
+    * the 30 min gap) may precede the open session and are folded by
+    * POSITION against its [start, lastSeen] span, matching the batch
+    * oracle: within-gap-after extends the end, inside-span only adds
+    * to the aggregates, within-gap-before extends the START backwards
+    * (never the end — the naive `gap <= gapMs` fold accepts every
+    * negative gap and walks lastSeen backwards, inverting bounds),
+    * and a batch of events all > gap BEFORE the span forms its own
+    * earlier chain, emitted as a completed session while the open one
+    * is parked. Residual (inherent to one-open-session state): an
+    * earlier chain is closed in the batch that delivers it, so MORE
+    * late events for that same chain in a LATER batch would start a
+    * fresh session instead of extending the emitted one. */
   def updateUser(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     if (state.hasTimedOut) {
@@ -46,25 +60,68 @@ object Sessionize {
       state.remove()
       Iterator(Session(userId, s.start, s.lastSeen, s.nEvents, s.sumValue))
     } else {
-      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      // full-precision order: getTime truncates to ms, so sub-ms
+      // siblings would sort by arrival, not time (the file's own
+      // microsecond contract); gap ARITHMETIC stays ms-grain to match
+      // the oracle's unix_millis/epoch_ms comparisons exactly
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
+      def minTs(a: Timestamp, b: Timestamp) =
+        if (a.compareTo(b) <= 0) a else b
+      def maxTs(a: Timestamp, b: Timestamp) =
+        if (a.compareTo(b) >= 0) a else b
       var closed = List.empty[Session]
-      var cur = state.getOption
+      def close(s: SessionState): Unit =
+        closed ::= Session(userId, s.start, s.lastSeen, s.nEvents,
+          s.sumValue)
+      // the open session restored from state may lie AHEAD of late
+      // events in this batch: park it, run the batch chronologically,
+      // reconcile when the timeline reaches its merge zone
+      var parked = state.getOption
+      var cur: Option[SessionState] = None
       sorted.foreach { e =>
+        parked.foreach { p =>
+          if (e.ts.getTime >= p.start.getTime - gapMs) {
+            cur match {
+              case Some(c) if p.start.getTime - c.lastSeen.getTime <= gapMs =>
+                // the early chain grew into the parked span: one session
+                cur = Some(SessionState(minTs(c.start, p.start),
+                  maxTs(c.lastSeen, p.lastSeen),
+                  c.nEvents + p.nEvents, c.sumValue + p.sumValue))
+              case Some(c) =>
+                close(c); cur = Some(p)
+              case None => cur = Some(p)
+            }
+            parked = None
+          }
+        }
         cur match {
-          case Some(s) if e.ts.getTime - s.lastSeen.getTime <= gapMs =>
-            cur = Some(s.copy(lastSeen = e.ts, nEvents = s.nEvents + 1,
-              sumValue = s.sumValue + e.value))
-          case Some(s) =>
-            closed ::= Session(userId, s.start, s.lastSeen, s.nEvents,
-              s.sumValue)
+          case Some(c)
+              if e.ts.getTime - c.lastSeen.getTime <= gapMs &&
+                c.start.getTime - e.ts.getTime <= gapMs =>
+            // within gap of the span (before, inside or after): one
+            // session with min/max bounds. Once parked is reconciled
+            // every later event sits within-or-after the early edge,
+            // so the before-by->gap case below only fires pre-merge
+            cur = Some(SessionState(minTs(c.start, e.ts),
+              maxTs(c.lastSeen, e.ts), c.nEvents + 1,
+              c.sumValue + e.value))
+          case Some(c) =>
+            close(c)
             cur = Some(SessionState(e.ts, e.ts, 1, e.value))
           case None =>
             cur = Some(SessionState(e.ts, e.ts, 1, e.value))
         }
       }
+      // batch ended entirely > gap before the parked span: the early
+      // chain can never reach it — emit the chain, keep the open one
+      parked.foreach { p => cur.foreach(close); cur = Some(p) }
       cur.foreach { s =>
         state.update(s)
-        // evict once the watermark passes the session gap
+        // evict once the watermark passes the session gap. Never below
+        // the current watermark: an un-reconciled parked span starts
+        // > gap after a ≥-watermark event, and a reconciled one ends
+        // ≥ the batch's (≥-watermark) last event — both put
+        // lastSeen + gap above the watermark
         state.setTimeoutTimestamp(s.lastSeen.getTime + gapMs)
       }
       closed.reverseIterator

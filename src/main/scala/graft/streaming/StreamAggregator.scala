@@ -159,10 +159,13 @@ object StreamAggregator {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // per-WRITE option, never the session conf: a session-level
+        // dynamic default would silently change every later static-
+        // overwrite partitioned write in the session (e.g. an index
+        // rebuild that depends on replacing ALL partitions)
         batch.write
           .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy(partitionCol)
           .parquet(outPath)
       }

@@ -316,4 +316,74 @@ class StatefulSpec extends AnyFunSuite with SharedSpark {
     assert(earlyAfter === earlyBefore,
       "late data re-opened closed windows")
   }
+
+  test("sessionization folds LATE events by position: in-gap-before " +
+    "extends the start, inside-span only aggregates, an earlier chain " +
+    "emits as its own session — and no session ever inverts") {
+    val watched = Files.createTempDirectory("graft-sess-late").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(name: String,
+        rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit =
+      rows.toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$watched/$name")
+    // batch 1: on-time events (global max 10:30 → watermark 09:30)
+    write("b1", Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1.0),
+      (1L, ts("2026-01-01 10:05:00"), 1.0),
+      (2L, ts("2026-01-01 10:00:00"), 1.0),
+      (2L, ts("2026-01-01 10:20:00"), 1.0),
+      (3L, ts("2026-01-01 10:30:00"), 1.0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.format("parquet").schema(schema)
+      .load(s"$watched/b*")
+      .as[graft.streaming.Sessionize.Event]
+    val q = graft.streaming.Sessionize.sessions(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_late")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sess-late-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    // batch 2: LATE but watermark-admitted events (all ≥ 09:30).
+    // user 1: 09:50 is within gap BEFORE the open [10:00,10:05] span —
+    //   the session start must extend backwards (the naive negative-
+    //   gap fold instead walked lastSeen back to 09:50: inverted
+    //   bounds). user 2: 10:10 lies INSIDE [10:00,10:20] — aggregates
+    //   only. user 3: 09:40/09:45 sit > gap before [10:30] — their own
+    //   EARLIER session, emitted complete; the open one unharmed.
+    //   user 9 is the clock: 13:00 pushes the watermark to 12:00.
+    write("b2", Seq(
+      (1L, ts("2026-01-01 09:50:00"), 1.0),
+      (2L, ts("2026-01-01 10:10:00"), 1.0),
+      (3L, ts("2026-01-01 09:40:00"), 1.0),
+      (3L, ts("2026-01-01 09:45:00"), 1.0),
+      (9L, ts("2026-01-01 13:00:00"), 1.0)))
+    q.processAllAvailable()
+    // batch 3: a clock tick so the 12:00 watermark fires the timeouts
+    write("b3", Seq((9L, ts("2026-01-01 15:00:00"), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_late")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(got.forall(s => !s._2.after(s._3)),
+      s"inverted session bounds: ${got.filter(s => s._2.after(s._3))}")
+    val expect = Set(
+      (1L, ts("2026-01-01 09:50:00"), ts("2026-01-01 10:05:00"), 3L),
+      (2L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:20:00"), 3L),
+      (3L, ts("2026-01-01 09:40:00"), ts("2026-01-01 09:45:00"), 2L),
+      (3L, ts("2026-01-01 10:30:00"), ts("2026-01-01 10:30:00"), 1L))
+    assert(expect.subsetOf(got),
+      s"missing expected sessions: ${expect.diff(got)}; got $got")
+  }
 }

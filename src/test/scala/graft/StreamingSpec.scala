@@ -705,4 +705,69 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       === before)
     ev.unpersist()
   }
+
+  test("embedding ingest survives an EMPTY first batch: training " +
+    "defers to the first non-empty batch, dedup stays alive") {
+    val base = Files.createTempDirectory("graft-embed-empty").toString
+    val work = s"$base/work"
+    val em = Tables.embeddings(spark, sf)
+    // the poison shape this guards: centroids trained on zero vectors
+    // freeze forever (dedup silently OFF for the life of the store)
+    // and the first index append creates a schema-less partitioned
+    // data dir that crashes every later batch
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark,
+      em.where(col("vec_id") < 0), 0L, work)
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark, em, 1L, work)
+    val kept = graft.streaming.IngestEmbed.keptEmbeddings(spark, work)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    // dedup is ALIVE: re-delivered KEPT content (same vectors, new
+    // ids) must keep nothing — an identical twin shares its top
+    // probe cells, so the history probe is guaranteed to find it
+    // (batch-1-dropped vectors carry no such guarantee: their kept
+    // representative may live outside the twin's probed cells)
+    graft.streaming.IngestEmbed.applyEmbedBatch(spark,
+      em.where(col("vec_id").isin(kept.toSeq: _*))
+        .withColumn("vec_id", col("vec_id") + 1000000000L), 2L, work)
+    assert(graft.streaming.IngestEmbed.keptEmbeddings(spark, work)
+      .select("vec_id").collect().map(_.getLong(0)).toSet === kept,
+      "dedup silently disabled after an empty first batch")
+    assert(spark.read.parquet(s"$work/vindex/data").count()
+      === kept.size.toLong)
+  }
+
+  test("CDC indexing survives a delete-only FIRST batch: the empty " +
+    "build stays readable, later adds index normally") {
+    val base = Files.createTempDirectory("graft-cdc-delfirst").toString
+    val idx = s"$base/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def adds(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("op", lit("add"))
+    def dels(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").withColumn("text", lit(""))
+        .withColumn("op", lit("delete"))
+    // batch 0 carries ONLY deletes (retiring ids the index never saw):
+    // the build-on-empty used to write schema-less postings/doclen
+    // dirs, wedging every later batch on schema inference at each
+    // redelivery
+    graft.streaming.StreamIndex.applyBm25Cdc(spark, idx,
+      dels(docs.where(col("doc_id") < 5)), 0L)
+    graft.streaming.StreamIndex.applyBm25Cdc(spark, idx,
+      adds(docs.where(col("doc_id") < 120)), 1L)
+    import spark.implicits._
+    val queries = Seq((0, "filter"), (0, "merge"), (1, "table"))
+      .toDF("query_id", "term")
+    val ref = s"$base/ref"
+    graft.ops.Terms.buildBm25IndexFor(docs.where(col("doc_id") < 120), ref)
+    def probe(p: String) = graft.ops.Terms.bm25IndexedTopK(spark, p,
+      queries).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val expected = probe(ref)
+    assert(expected.nonEmpty)
+    assert(probe(idx) === expected,
+      "delete-only first batch corrupted the index")
+    assert(graft.ops.Terms.readBm25Stats(spark, idx)
+      .select("n", "s").collect().map(_.toSeq).toSeq ===
+      graft.ops.Terms.readBm25Stats(spark, ref)
+        .select("n", "s").collect().map(_.toSeq).toSeq)
+  }
 }
