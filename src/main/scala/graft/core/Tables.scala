@@ -200,7 +200,18 @@ object Tables {
     * driver-side and bounded (inference reads a single footer with
     * mergeSchema off) — cheap even when `path` is a 100 TB directory.
     * Not cached: the same path can legitimately change encoding across
-    * test-data regenerations within one JVM. */
+    * test-data regenerations within one JVM.
+    *
+    * The nanosAsLong flag is DELIBERATELY left set for the session: a
+    * naive save/restore here would be wrong — the returned events
+    * frame is lazy, and the parquet reader consults the conf again at
+    * physical planning (per-file footer conversion), so restoring
+    * after this eager schema probe could flip the encoding out from
+    * under a not-yet-executed scan. Scope of the leak: OTHER
+    * TIMESTAMP(NANOS) parquet columns read later in the session
+    * arrive as LongType raw nanos instead of erroring — within this
+    * library the only NANOS producer is the events vintage itself,
+    * which is exactly what the flag serves. */
   def eventsTsIsNanos(spark: SparkSession, eventsPath: String): Boolean = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(eventsPath).schema("ts").dataType == LongType

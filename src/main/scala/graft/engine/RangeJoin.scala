@@ -252,6 +252,34 @@ object RangeJoin {
         (epochDay(col("l_shipdate")) + lit(1) +
           (col("l_orderkey") * 7 + col("l_linenumber")) % 28).as("iv_hi"))
 
+  /** The shared difference-array coverage sweep: ±1 count and ±`delta`
+    * payload at iv_lo / iv_hi+1, day-grain aggregated, dense calendar
+    * axis, one running-sum window → (day, cum_c, cum_q). The single-
+    * task window is safe because the axis is CALENDAR-sized, never
+    * interval-count-sized (the inTransit rationale); `zero` supplies
+    * the payload's typed zero for the left-join coalesce. Both sweep
+    * consumers ([[inTransitByPriority]], [[marchTransitAttach]]) ride
+    * this one pipeline so a fix cannot land in only one copy. */
+  private def coverageSweep(iv: DataFrame,
+      delta: org.apache.spark.sql.Column,
+      zero: org.apache.spark.sql.Column): DataFrame = {
+    val deltas = iv.select(col("iv_lo").as("day"), lit(1L).as("dc"),
+        delta.as("dq"))
+      .unionByName(iv.select((col("iv_hi") + 1).as("day"),
+        lit(-1L).as("dc"), (-delta).as("dq")))
+    val dd = deltas.groupBy("day")
+      .agg(sum("dc").as("dc"), sum("dq").as("dq"))
+    val axis = dd.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    axis.join(dd, Seq("day"), "left")
+      .select(col("day"),
+        sum(coalesce(col("dc"), lit(0L))).over(w).as("cum_c"),
+        sum(coalesce(col("dq"), zero)).over(w).as("cum_q"))
+  }
+
   /** Point-in-interval AGGREGATE: how many lineitem shipments were in
     * transit on each order's placement day, per order priority — with
     * the pair enumeration REWRITTEN AWAY.
@@ -283,23 +311,8 @@ object RangeJoin {
     * whenever the downstream is a distributive aggregate. */
   def inTransitByPriority(spark: SparkSession, dir: String): DataFrame = {
     val iv = transitIntervals(spark, dir)
-    val q = col("l_quantity").cast("decimal(30,2)")
-    val deltas = iv.select(col("iv_lo").as("day"), lit(1L).as("dc"),
-        q.as("dq"))
-      .unionByName(iv.select((col("iv_hi") + 1).as("day"),
-        lit(-1L).as("dc"), (-q).as("dq")))
-    val dd = deltas.groupBy("day")
-      .agg(sum("dc").as("dc"), sum("dq").as("dq"))
-    val axis = dd.agg(min("day").as("lo"), max("day").as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cov = axis.join(dd, Seq("day"), "left")
-      .select(col("day"),
-        sum(coalesce(col("dc"), lit(0L))).over(w).as("cum_c"),
-        sum(coalesce(col("dq"), lit(0).cast("decimal(30,2)"))).over(w)
-          .as("cum_q"))
+    val cov = coverageSweep(iv, col("l_quantity").cast("decimal(30,2)"),
+      lit(0).cast("decimal(30,2)"))
     val pts = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderpriority"), epochDay(col("o_orderdate")).as("day"))
     pts.join(broadcast(cov), Seq("day"), "left")
@@ -368,23 +381,8 @@ object RangeJoin {
     val iv = transitIntervals(spark, dir)
       .where(col("iv_hi") >= lo && col("iv_lo") <= hi)
     val qc = (col("l_quantity").cast("decimal(30,2)") * 100).cast("long")
-    val deltas = iv.select(col("iv_lo").as("day"), lit(1L).as("dc"),
-        qc.as("dqc"))
-      .unionByName(iv.select((col("iv_hi") + 1).as("day"),
-        lit(-1L).as("dc"), (-qc).as("dqc")))
-    val dd = deltas.groupBy("day").agg(sum("dc").as("dc"),
-      sum("dqc").as("dqc"))
-    val axis = dd.agg(min("day").as("alo"), max("day").as("ahi"))
-      .select(explode(sequence(col("alo"), col("ahi"))).as("day"))
-    // calendar-bounded single-task window (the inTransit rationale)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cov = axis.join(dd, Seq("day"), "left")
-      .select(col("day"),
-        sum(coalesce(col("dc"), lit(0L))).over(w).as("cum_c"),
-        sum(coalesce(col("dqc"), lit(0L))).over(w).as("cum_qc"))
+    val cov = coverageSweep(iv, qc, lit(0L))
+      .withColumnRenamed("cum_q", "cum_qc")
     val pts = spark.read.parquet(s"$dir/orders.parquet")
       .select(epochDay(col("o_orderdate")).as("day"))
       .where(col("day").between(lo, hi))

@@ -103,22 +103,26 @@ object Windows {
 
   // ----- set operations (absent from the reference, SURVEY §2.7) -----
 
-  /** UNION ALL + EXCEPT + INTERSECT in one query: customers who placed
-    * orders but produced no events (except), and the overlap
-    * (intersect), labeled and unioned. */
   /** Explicit GROUPING SETS with grouping_id — the general form behind
     * ROLLUP/CUBE: exactly the requested aggregation levels, one Expand
     * sized to the set count (here 3, vs CUBE's 4). */
   def pricingGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("li_gs")
-    spark.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
-        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-        |       COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
-        |FROM li_gs
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-        |                        (l_returnflag), ())""".stripMargin)
+    // catalog hygiene: a FIXED view name would race concurrent callers
+    // (one session, two dirs → one builder silently reads the other's
+    // table) and leak the registration forever; spark.sql analyzes
+    // eagerly, so the uniquely-named view can drop right after — the
+    // returned frame holds the resolved relation, not the name
+    val view = s"li_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.lineitem(spark, dir).createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         |       COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+         |FROM $view
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_returnflag), ())""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   val pricingGroupingSetsSql: String =
@@ -179,6 +183,9 @@ object Windows {
       |             ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
       |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** UNION ALL + EXCEPT + INTERSECT in one query: customers who placed
+    * orders but produced no events (except), and the overlap
+    * (intersect), labeled and unioned. */
   def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
     val orderUsers = Tables.orders(spark, dir)
       .select(col("o_custkey").as("id")).distinct()

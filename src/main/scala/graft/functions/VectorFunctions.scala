@@ -107,6 +107,11 @@ case class AdcScore(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
+  // loud, not silently corrupt: an out-of-range code against an
+  // UnsafeArrayData LUT row reads adjacent memory — garbage scores
+  // with no exception (codes and LUT built from different codebooks).
+  // The bounds branch sits per (code, row) next to the array read;
+  // the LshSignature fail-loud discipline.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
@@ -114,7 +119,11 @@ case class AdcScore(left: Expression, right: Expression)
     var acc = 0.0
     var j = 0
     while (j < n) {
-      acc += lut.getArray(j).getDouble(codes.getInt(j))
+      val row = lut.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= row.numElements())
+        AdcScore.rangeErrorJava(c, j, row.numElements())
+      acc += row.getDouble(c)
       j += 1
     }
     acc
@@ -126,11 +135,20 @@ case class AdcScore(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $j = 0; $j < $n; $j++) {
-         |  $acc += $b.getArray($j).getDouble($a.getInt($j));
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row =
+         |    $b.getArray($j);
+         |  int $c = $a.getInt($j);
+         |  if ($c < 0 || $c >= $row.numElements()) {
+         |    graft.functions.AdcScore.rangeErrorJava($c, $j,
+         |      $row.numElements());
+         |  }
+         |  $acc += $row.getDouble($c);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -138,6 +156,24 @@ case class AdcScore(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object AdcScore {
+  /** Static forwarder target for the generated code's bounds branch
+    * (generated Java cannot call a Scala object method directly). */
+  def rangeErrorJava(c: Int, j: Int, w: Int): Unit =
+    throw new IllegalArgumentException(
+      s"adc_score: code $c out of range for LUT row $j of width $w — " +
+        "codes and LUT come from different codebooks")
+}
+
+object BestCell {
+  /** Static forwarder target for the generated code's no-best branch. */
+  def noBestError(): Unit =
+    throw new IllegalArgumentException(
+      "best_cell: no centroid compared above -Infinity — the vector " +
+        "contains NaN (or every dot product is -Infinity); refusing " +
+        "to emit the invalid sentinel cell id -1")
 }
 
 /** Native Catalyst expression for exact nearest-centroid assignment:
@@ -184,12 +220,10 @@ case class BestCell(left: Expression, right: Expression)
             ArrayType(org.apache.spark.sql.types.StructType(fs), _))
           if fs.length == 2 &&
             fs(0).dataType == org.apache.spark.sql.types.IntegerType &&
-            fs(1).dataType == ArrayType(DoubleType, false) => true
-      case (ArrayType(DoubleType, _),
-            ArrayType(org.apache.spark.sql.types.StructType(fs), _))
-          if fs.length == 2 &&
-            fs(0).dataType == org.apache.spark.sql.types.IntegerType &&
-            fs(1).dataType == ArrayType(DoubleType, true) => true
+            (fs(1).dataType match {
+              case ArrayType(DoubleType, _) => true
+              case _ => false
+            }) => true
       case _ => false
     }
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -218,6 +252,10 @@ case class BestCell(left: Expression, right: Expression)
       }
       j += 1
     }
+    // loud, not a sentinel: a NaN anywhere in the vector makes every
+    // comparison false, so `best` would stay -1 and the invalid cell
+    // id silently mis-cells (or drops) the row in downstream joins
+    if (best == -1) BestCell.noBestError()
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](best, bestSim))
   }
@@ -258,6 +296,7 @@ case class BestCell(left: Expression, right: Expression)
          |      $bestSim = $acc; $best = $cid;
          |    }
          |  }
+         |  if ($best == -1) graft.functions.BestCell.noBestError();
          |  ${ev.value} =
          |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |      new Object[] { $best, $bestSim });

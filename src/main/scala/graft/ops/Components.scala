@@ -115,6 +115,11 @@ object Components {
         // they are freed below (the result is ≤ 2·nEdges slim rows)
         .localCheckpoint()
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(sym)
+      // the labels broadcast is bounded by the SAME gate that admitted
+      // the fast path: ≤ 2·smallGraphEdges slim (node, component)
+      // rows, and the driver just held every edge in the union-find
+      // map — if that fit, this fits. The node side is corpus-sized,
+      // so the broadcast direction is forced.
       return nodes.select(col("node"))
         .join(broadcast(labels), Seq("node"), "left")
         .select(col("node"),

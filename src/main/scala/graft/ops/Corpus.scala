@@ -146,8 +146,12 @@ object Corpus {
       .filter(col("rn") === 1)
     val keyed = kept.select(
       concat(md5(concat(lit(s"graft:$seed:"), col("doc_id").cast("string"))),
-        lit(":"), lpad(col("doc_id").cast("string"), 12, "0"),
-        lit(":"), lpad(col("chunk_id").cast("string"), 6, "0")).as("k"),
+        // 20/10 chars fit every Long/Int: Spark's lpad TRUNCATES longer
+        // inputs (the Pack.lengthBucketBatches defect class), which
+        // would silently corrupt the parsed-back ids below and
+        // collide sort keys at snapshot-prefixed id scales
+        lit(":"), lpad(col("doc_id").cast("string"), 20, "0"),
+        lit(":"), lpad(col("chunk_id").cast("string"), 10, "0")).as("k"),
       col("w0"))
     Pack.packIntoShards(keyed, "k", col("w0"), budget)
       .withColumn("doc_id",
@@ -198,8 +202,8 @@ object Corpus {
        |h AS (
        |  SELECT chunk_text, w,
        |         md5('graft:0:' || CAST(doc_id AS VARCHAR)) || ':' ||
-       |           lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
-       |           lpad(CAST(chunk_id AS VARCHAR), 6, '0') AS k
+       |           lpad(CAST(doc_id AS VARCHAR), 20, '0') || ':' ||
+       |           lpad(CAST(chunk_id AS VARCHAR), 10, '0') AS k
        |  FROM kept),
        |cum AS (
        |  SELECT k, chunk_text, w,

@@ -49,7 +49,10 @@ object Curriculum {
       col("phase").cast("string"), lit(":"),
       md5(concat(lit(s"graft:curr:$seed:"), col("doc_id").cast("string"))),
       lit(":"),
-      lpad(col("doc_id").cast("string"), 12, "0")).as("ck"))
+      // 20 chars fits every Long — Spark's lpad truncates longer
+      // inputs (the Pack.lengthBucketBatches defect class), which
+      // would corrupt the parsed-back doc_id and collide sort keys
+      lpad(col("doc_id").cast("string"), 20, "0")).as("ck"))
     Pack.assignStableIds(keyed, "ck")
       .select(split(col("ck"), ":").as("parts"), col("row_idx"))
       .select(col("parts").getItem(2).cast("long").as("doc_id"),

@@ -145,6 +145,12 @@ object Decontaminate {
   def fuzzyContaminationFor(trainDocs: DataFrame, evalDocs: DataFrame,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       tau: Double = 0.5): DataFrame = {
+    // loud, not silently degraded (the minhashLshPairsFor guard):
+    // bands ∤ numHashes would leave trailing signature components
+    // never banded — candidate recall quietly below the parameters
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — " +
+        s"${numHashes % bands} trailing components would never band")
     // both signature tables are consumed twice (banding + verify);
     // the dedup-family cache discipline
     val tSigs = Dedup.minhashSignatures(trainDocs, n, numHashes).cache()

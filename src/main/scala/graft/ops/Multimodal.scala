@@ -166,9 +166,17 @@ object Multimodal {
     * fixed-length binary frames. */
   private def split_part_bytes(payload: org.apache.spark.sql.Column,
       frameBytes: Int): org.apache.spark.sql.Column =
-    transform(
-      sequence(lit(0L), floor((length(payload) - 1) / frameBytes).cast("long")),
-      i => payload.substr((i * frameBytes + 1).cast("int"), lit(frameBytes)))
+    // empty-payload guard: sequence(0, -1) DESCENDS ([0,-1]) and would
+    // fabricate a frame for a zero-byte payload — the oracle's integer
+    // form ((len-1)//fb)//stride+1 says 0 frames there. when() keeps
+    // the guard codegen'd; the RangeJoin.pointInInterval discipline.
+    when(length(payload) > 0,
+      transform(
+        sequence(lit(0L),
+          floor((length(payload) - 1) / frameBytes).cast("long")),
+        i => payload.substr((i * frameBytes + 1).cast("int"),
+          lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
 
   /** Per-kind feature summary — the query registered in SparkEntry
     * (rows-only check: the fake codec is not SQL-expressible). */

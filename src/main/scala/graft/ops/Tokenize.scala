@@ -188,7 +188,12 @@ object Tokenize {
       import spark.implicits._
       val (m, words) =
         runTrain(Tables.documents(spark, dir), nMerges, keepWords = true)
+      // the memo checkpoints its OWN copy of the vocabulary table —
+      // release the trainer's original or it stays pinned in the
+      // block manager, unreachable, for the session (the Components
+      // checkpoint-retention lesson)
       Scratch.memo(spark, s"bpe-words:$dir:$nMerges")(words)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(words)
       m.toDF("rank", "left_sym", "right_sym", "pair_count")
     }
 
@@ -199,9 +204,17 @@ object Tokenize {
   def bpeWords(spark: SparkSession, dir: String,
       nMerges: Int = 16): DataFrame = {
     bpeMerges(spark, dir, nMerges) // ensure one training run published both
-    Scratch.memo(spark, s"bpe-words:$dir:$nMerges") {
-      runTrain(Tables.documents(spark, dir), nMerges, keepWords = true)._2
+    var orig: DataFrame = null
+    val out = Scratch.memo(spark, s"bpe-words:$dir:$nMerges") {
+      orig = runTrain(Tables.documents(spark, dir), nMerges,
+        keepWords = true)._2
+      orig
     }
+    // memo re-checkpointed its own copy (when this fallback built at
+    // all) — release the trainer's original
+    if (orig != null)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(orig)
+    out
   }
 
   /** Gate for the (non-SQL-expressible) iterative trainer. The first

@@ -78,4 +78,26 @@ class CurriculumSpec extends AnyFunSuite with SharedSpark {
     val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
     assert(math.abs(rho) < 0.5, s"in-phase order correlates with doc_id: $rho")
   }
+
+  test("13+-digit doc_ids round-trip through the composite sort keys " +
+    "(ppl buckets and curriculum schedule)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bigid-curr").toString
+    import spark.implicits._
+    // ids ≥ 10^12 sharing a 12-char prefix: a too-narrow pad truncates
+    // both to the same key — corrupted output ids, colliding order
+    val ids = Seq(1234567890123L, 1234567890124L, 7L, 11L)
+    ids.map(i => (i, "one two three four five two one three two four",
+        "en", s"src${i % 2}", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val viaPpl = graft.ops.Classify.pplBuckets(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaPpl === ids.toSet,
+      s"pplBuckets corrupted doc_ids through the sort key: $viaPpl")
+    val viaCurr = graft.ops.Curriculum.curriculumSchedule(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaCurr === ids.toSet,
+      s"curriculumSchedule corrupted doc_ids: $viaCurr")
+  }
 }

@@ -1923,6 +1923,59 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
       s"q_hard_negatives tau margin $hnMargin is inside float noise")
   }
 
+  test("vector-expression loud guards: out-of-range ADC codes and " +
+    "all-NaN best_cell vectors throw instead of corrupting silently") {
+    import spark.implicits._
+    val vf = graft.functions.VectorFunctions
+    // adc_score: code 7 against 4-wide LUT rows — an UnsafeArrayData
+    // read past the row end returns garbage doubles with no exception
+    val adcBad = Seq((Seq(1, 7), Seq(Seq(0.1, 0.2, 0.3, 0.4),
+        Seq(0.5, 0.6, 0.7, 0.8))))
+      .toDF("codes", "lut")
+    val e1 = intercept[Exception] {
+      adcBad.select(vf.adcScore(col("codes"), col("lut"))).collect()
+    }
+    assert(e1.getMessage != null &&
+      e1.toString.contains("different codebooks") ||
+      Option(e1.getCause).exists(_.toString.contains("different codebooks")),
+      s"wrong error: $e1")
+    // in-range codes still score
+    val ok = Seq((Seq(1, 3), Seq(Seq(0.1, 0.2, 0.3, 0.4),
+        Seq(0.5, 0.6, 0.7, 0.8))))
+      .toDF("codes", "lut")
+      .select(vf.adcScore(col("codes"), col("lut"))).head().getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
+    // best_cell: a NaN component makes every comparison false — the
+    // old sentinel emitted cid = -1 silently
+    val nanVec = Seq((Seq(Double.NaN, 1.0),
+        Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))))
+      .toDF("vec", "cells")
+      .select(col("vec"), col("cells").cast(
+        "array<struct<cid:int,cvec:array<double>>>"))
+    val e2 = intercept[Exception] {
+      nanVec.select(vf.bestCell(col("vec"), col("cells"))).collect()
+    }
+    assert(e2.toString.contains("NaN") ||
+      Option(e2.getCause).exists(_.toString.contains("NaN")),
+      s"wrong error: $e2")
+  }
+
+  test("frame sampling: a zero-byte payload yields zero frames (no " +
+    "fabricated descending-sequence frame)") {
+    import spark.implicits._
+    val media = Seq(
+      graft.ops.Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3),
+        0, 0, 0),
+      graft.ops.Multimodal.MediaRow(2L, "image", Array.empty[Byte],
+        0, 0, 0)).toDS()
+    val got = graft.ops.Multimodal.sampleFrames(media)
+      .groupBy("media_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.getOrElse(1L, 0L) === 1L, s"short payload: $got")
+    assert(!got.contains(2L),
+      s"empty payload fabricated a frame: $got")
+  }
+
   test("length-bucket batches: 13+-digit doc_ids round-trip exactly " +
     "(the sort-key pad fits every Long)") {
     val tmp = java.nio.file.Files
