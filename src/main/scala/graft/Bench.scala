@@ -41,6 +41,12 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // loud on a typo'd/renamed skip name: a silently-unskipped
+    // quadratic oracle costs hours (or an OOM) on a decade board
+    val unknownSkips = skip.diff(SparkEntry.queries.keySet)
+    require(unknownSkips.isEmpty,
+      s"SPARK_GRAFT_BENCH_SKIP names not in the registry: " +
+        s"${unknownSkips.toSeq.sorted.mkString(",")}")
     if (skip.nonEmpty)
       System.err.println(s"[bench] skipping ${skip.size} queries: " +
         skip.toSeq.sorted.mkString(","))
@@ -176,6 +182,12 @@ object Bench {
     // write, so a bounded regex parse of its "queries" object is safe.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_full_latest.json")
+    // without the suffix every replaceAll below is a no-op: the SF
+    // sidecar, the _stream sidecar and the driver-contract file all
+    // collapse onto ONE path and the different-SF guard never fires —
+    // fail loud instead of silently clobbering the baseline
+    require(fullPath.endsWith(".json"),
+      s"SPARK_GRAFT_BENCH_FULL must end in .json, got $fullPath")
     // deltas are only meaningful against the SAME scale factor — and a
     // local sf0.01 iteration run must never CLOBBER the driver's sf0.1
     // baseline either (that would silently empty the next driver

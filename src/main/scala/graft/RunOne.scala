@@ -6,7 +6,13 @@ import org.apache.spark.sql.SparkSession
   * loop for per-query scaling work (`BENCH_full_latest_sf1.json`
   * ratios): `sbt "runMain graft.RunOne q_embed_near_dup_lsh
   * /tmp/sf1"`. Same session shape and noop-sink discipline as
-  * [[Bench]]; prints best-of-2 like the bench row it reproduces. */
+  * [[Bench]] — with one DEFAULT divergence to know when reproducing a
+  * board row: with SPARK_GRAFT_CPUS unset, RunOne runs local[32] (the
+  * repo's floor convention, every SCALE.md floor row) while Bench
+  * defaults to local[4]; set the env var to the board's value when
+  * the regression under triage could be parallelism-shaped. The cpus
+  * used are printed in every output row so floors self-describe.
+  * Prints best-of-2 like the bench row it reproduces. */
 object RunOne {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(
@@ -28,7 +34,12 @@ object RunOne {
     // separates the JIT/codegen floor from the steady-state cost when
     // a cheap query regresses on the board (the bench bills best-of-2,
     // so a floor shift and a real regression look identical there).
-    val n = sys.env.get("GRAFT_RUNONE_RUNS").map(_.toInt).getOrElse(2)
+    // tolerant parse (the Bench PASSES discipline): a malformed or
+    // non-positive value falls back to 2 instead of killing the
+    // triage run after the warmup has been paid
+    val n = sys.env.get("GRAFT_RUNONE_RUNS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
     name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
       val fn = SparkEntry.queries.getOrElse(q,
         sys.error(s"unknown query $q"))
@@ -40,7 +51,7 @@ object RunOne {
       val runs = (1 to n).map { _ =>
         val t = once(); spark.catalog.clearCache(); t
       }
-      println(f"[runone] $q $sfDir best=${runs.min}%.2f s " +
+      println(f"[runone] $q $sfDir cpus=$cpus best=${runs.min}%.2f s " +
         s"(runs ${runs.map(t => f"$t%.2f").mkString(" / ")})")
     }
     spark.stop()

@@ -31,7 +31,9 @@ object Stress100 {
     def t(l: String)(f: => Unit): Unit = { val t0 = System.nanoTime()
       try { f; println(f"[stress100] $l ${(System.nanoTime() - t0) / 1e9}%.1f s") }
       catch { case e: Throwable =>
-        println(s"[stress100] $l FAILED: ${e.getMessage.take(200)}") } }
+        // e.toString, never e.getMessage: a null message (bare NPE)
+        // would NPE the handler and kill the whole multi-hour board
+        println(s"[stress100] $l FAILED: ${e.toString.take(200)}") } }
 
     t("build 60M lineitem")(xN(graft.core.Tables.lineitem(spark, dir), "l_orderkey", 100)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet"))

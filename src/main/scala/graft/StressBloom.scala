@@ -269,9 +269,12 @@ object StressBloom {
   /** The cluster-regime proxy the crossover rows can't show (every
     * store this host builds page-caches): drop the OS page cache
     * before each measured micro-batch, making the fp store's scan
-    * genuinely IO-bound the way a 100 TB remote store is. Requires
-    * the stores from a prior `crossover <nM>` run and root (the
-    * sandbox has both). JIT warms on cached runs first so the cold
+    * genuinely IO-bound the way a 100 TB remote store is. Builds its
+    * OWN stores per (n, buckets, fpp) config; GRAFT_XOVER_REUSE=1
+    * reuses a PRIOR coldscan run's stores at the SAME config (never
+    * crossover's — those carry a different tag and layout) and fails
+    * loud if they are absent. Needs root for drop_caches (the
+    * sandbox has it). JIT warms on cached runs first so the cold
     * rounds measure IO, not compilation; configs alternate. */
   private def coldScan(spark: SparkSession, n: Long, buckets: Int,
       fpp: Double): Unit = {
@@ -282,10 +285,19 @@ object StressBloom {
     // production 4096 / 1e-3 layout selects ~positives buckets
     val tag = s"cold$buckets-${fpp}"
     val (fpStore, store) =
-      if (sys.env.get("GRAFT_XOVER_REUSE").contains("1"))
-        (s"/tmp/graft-bloom-store/$tag-fps$n",
+      if (sys.env.get("GRAFT_XOVER_REUSE").contains("1")) {
+        val dirs = (s"/tmp/graft-bloom-store/$tag-fps$n",
           s"/tmp/graft-bloom-store/$tag-bloom$n")
-      else {
+        // loud: readStore on a missing dir returns an EMPTY frame —
+        // the plain warmup would "succeed" against zero history and
+        // the measurement would be garbage minutes later
+        require(new java.io.File(dirs._1).exists() &&
+            new java.io.File(dirs._2).exists(),
+          s"GRAFT_XOVER_REUSE=1 but no prior coldscan stores at " +
+            s"${dirs._1} — run coldscan once without reuse at this " +
+            "(n, buckets, fpp) config first")
+        dirs
+      } else {
         val history = mkHistory(spark, n)
         val shards = ((n + Dedup.BloomShardItemCap - 1)
           / Dedup.BloomShardItemCap).toInt

@@ -39,9 +39,16 @@ object StressSem {
     val cases = (if (args.nonEmpty) args.toSeq
       else Seq("dup:100", "flip:100", "flip:500"))
       .map { c =>
+        // the doc brackets :m as optional ("scr[:m[:cells]]") — a bare
+        // mode must not crash, and a typo'd number dies with usage,
+        // not a NumberFormatException stack
         val parts = c.split(":")
-        (parts(0), parts(1).toInt,
-          if (parts.length > 2) parts(2).toInt else 0)
+        def num(i: Int, default: Int): Int =
+          if (parts.length > i)
+            parts(i).trim.toIntOption.getOrElse(sys.error(
+              s"StressSem: bad number in '$c' — usage flavor[:m[:cells]]"))
+          else default
+        (parts(0), num(1, 100), num(2, 0))
       }
 
     def t[A](l: String)(f: => A): A = {
@@ -122,11 +129,18 @@ object StressSem {
       val corpusAll = Similarity.normalized(spark, out).cache()
       t("normalize + count  ")(corpusAll.count())
       val (corpus, stars) = t("exact collapse     ") {
-        val reps = corpusAll.groupBy("vec").agg(min("vec_id").as("rep_id"))
+        // MIRROR of the shipped collapse (Similarity.scala, 128-bit
+        // content hash): the group-by and star join must move the
+        // 16-byte key, never the dim·8-byte vector, or this stage
+        // times a ~32×-heavier exchange than the one it attributes
+        val vhash = struct(xxhash64(col("vec")).as("h1"),
+          xxhash64(lit("graft:vhash2"), col("vec")).as("h2"))
+        val hashed = corpusAll.select(col("vec_id"), vhash.as("vh"))
+        val reps = hashed.groupBy("vh").agg(min("vec_id").as("rep_id"))
         val c = corpusAll.join(reps.select(col("rep_id").as("vec_id")),
           Seq("vec_id"), "left_semi").localCheckpoint()
-        val st = corpusAll.select(col("vec_id"), col("vec"))
-          .join(reps, "vec")
+        val st = hashed
+          .join(reps, "vh")
           .where(col("vec_id") =!= col("rep_id"))
           .select(col("rep_id").as("src"), col("vec_id").as("dst"))
           .localCheckpoint()
