@@ -202,16 +202,21 @@ object AnsiSurface {
       |  FROM orders GROUP BY o_orderpriority, o_orderstatus)
       |GROUP BY o_orderpriority""".stripMargin
 
-  /** CUBE: all grouping-set combinations of (returnflag, linestatus). */
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus).
+    * The decimal-cast sum is the file's exact-sum discipline — a raw
+    * double sum is partition-order-dependent in the last ulp, so the
+    * hash oracle would flap on non-integral quantities. */
   def pricingCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity")).as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(30,2)")).cast("double")
+          .as("sum_qty"))
 
   val pricingCubeSql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-      |       SUM(l_quantity) AS sum_qty
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+      |         AS sum_qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
   /** Date-part extraction + grouping: orders per (year, quarter,

@@ -81,16 +81,19 @@ object HotelWeather {
     val reader = spark.readStream.format("parquet").schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.load(path)
+    // the checkpoint is per-invocation scratch — deleted after the
+    // replay or repeated runs accumulate state dirs under /tmp
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-golden-ckpt")
     val q = cityDayAgg(stream).writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName("result_df_query")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft-golden-ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    top10(spark, spark.table("result_df_query"))
+    try top10(spark, spark.table("result_df_query"))
+    finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
   }
 
   /** Cells 5-6: per-city time-series extraction. The reference

@@ -65,7 +65,14 @@ object Scratch {
         }))
     val base = java.nio.file.Files.createTempDirectory(prefix)
     val path = base.toString + "/index"
-    build(path)
+    // a FAILED build must not leak its partial index: the dir is not
+    // yet registered in `dirs`, so the shutdown hook cannot reach it —
+    // clean up before rethrowing (a retry then rebuilds cleanly)
+    try build(path)
+    catch { case e: Throwable =>
+      deleteRecursively(base.toFile)
+      throw e
+    }
     val prior = dirs.putIfAbsent(fullKey, path)
     if (prior != null) {
       // lost a race to an identical build — drop the duplicate
@@ -74,6 +81,13 @@ object Scratch {
     } else path
   }
 
+  // Retention scope: entries are keyed by applicationId and never
+  // evicted — right for this library's one-session-per-JVM processes
+  // (Bench/Verify/RunOne/driver), where the maps die with the JVM. A
+  // host embedding MANY short-lived sessions in one JVM would retain
+  // each stopped session's memo frames (which pin their SparkSession
+  // graph) and cached dirs until exit; such a host should clear via
+  // its own lifecycle hooks rather than this library guessing one.
   private val frames =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 

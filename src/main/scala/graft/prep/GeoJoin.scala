@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: geohash prefixes are a natural spatial bucketing — the
   * join key IS the bucket, so the equi-join shuffles both sides once on
-  * a well-distributed 4-char key (36^4 buckets). A weather side that is
+  * a well-distributed 4-char key (32^4 buckets — geohash is base-32,
+  * 0-9 plus 22 letters). A weather side that is
   * much smaller than hotels (typical: stations × days ≪ hotel rows)
   * should be broadcast by the caller; otherwise AQE handles skewed
   * cells (dense cities) via skew-join splitting.

@@ -23,9 +23,14 @@ import graft.ops.Monitor
   */
 object MonitorStream {
 
-  private def lastApplied(spark: SparkSession, workDir: String): Long =
-    try spark.read.parquet(s"$workDir/applied").head().getLong(0)
-    catch { case _: Exception => -1L }
+  // absent marker = fresh store; anything ELSE (corrupt footer,
+  // permissions) rethrows — a swallowed read error would silently
+  // report -1 and disable the exactly-once no-op guard
+  private def lastApplied(spark: SparkSession, workDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$workDir/applied")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) -1L
+    else spark.read.parquet(p.toString).head().getLong(0)
+  }
 
   /** Apply one micro-batch of raw events: collapse to day-grain
     * deltas, land them under the batch-id partition (idempotent
@@ -35,7 +40,16 @@ object MonitorStream {
   def applyMonitorBatch(spark: SparkSession, workDir: String,
       batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= lastApplied(spark, workDir)) return
-    batch.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+    // encoding-tolerant day derivation: a NANOS-vintage events source
+    // arrives with ts as LongType raw nanos (the Tables.events dual-
+    // encoding contract the batch twin supports) — without this branch
+    // the stream-equals-batch claim held only for micros sources
+    val day = batch.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        to_date(timestamp_micros(expr("ts div 1000")))
+      case _ => to_date(col("ts"))
+    }
+    batch.groupBy(col("event_type"), day.as("day"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite")
       .parquet(s"$workDir/daily/batch=$batchId")
@@ -57,7 +71,13 @@ object MonitorStream {
     Monitor.volumeAnomalyFor(currentDaily(spark, workDir), zThreshold)
 
   /** Drive the monitor over every file currently in `srcDir`,
-    * one micro-batch per file, resuming from the checkpoint. */
+    * one micro-batch per file, resuming from the checkpoint. The
+    * given `schema` must match the on-disk ts encoding (pass
+    * `Schemas.eventsOnDisk` for a NANOS vintage — detected the
+    * [[StreamAggregator.eventsStream]] way via
+    * [[graft.core.Tables.eventsTsIsNanos]] — and
+    * `Schemas.eventsOnDiskMicros` otherwise); [[applyMonitorBatch]]
+    * handles either ts type. */
   def runMonitor(spark: SparkSession, srcDir: String,
       schema: StructType, workDir: String): Unit = {
     val stream = spark.readStream.schema(schema)

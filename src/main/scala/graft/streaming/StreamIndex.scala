@@ -32,9 +32,14 @@ import graft.ops.Terms
   * the marker, so a batch that compaction folded can never re-apply. */
 object StreamIndex {
 
-  private def lastApplied(spark: SparkSession, indexPath: String): Long =
-    try spark.read.parquet(s"$indexPath/applied").head().getLong(0)
-    catch { case _: Exception => -1L }
+  // absent marker = fresh store; anything ELSE (corrupt footer,
+  // permissions) rethrows — a swallowed read error would silently
+  // report -1 and disable the exactly-once no-op guard
+  private def lastApplied(spark: SparkSession, indexPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/applied")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) -1L
+    else spark.read.parquet(p.toString).head().getLong(0)
+  }
 
   /** Apply one micro-batch of (doc_id, text) documents to the index
     * at `indexPath`: the first batch builds (overwrite — naturally

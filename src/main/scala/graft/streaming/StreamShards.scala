@@ -57,15 +57,23 @@ object StreamShards {
   def runIngestShards(spark: SparkSession, srcDir: String,
       schema: StructType, workDir: String, seed: Int = 0,
       budget: Long = 4096L, storeBuckets: Int = 0,
-      chunked: Boolean = false): Unit = {
+      chunked: Boolean = false, manifestEvery: Int = 1): Unit = {
+    require(manifestEvery >= 1,
+      s"manifestEvery must be >= 1, got $manifestEvery")
     val corpusDir = s"$workDir/documents.parquet"
     val storeDir = s"$workDir/fp_store"
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    var sawBatch = false
+    def refreshManifest(s: SparkSession): Unit =
+      (if (chunked) Corpus.trainingShardsChunked(s, workDir, seed, budget)
+       else Corpus.trainingShards(s, workDir, seed, budget))
+        .write.mode("overwrite").parquet(s"$workDir/shards.parquet")
     val q = stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
+        sawBatch = true
         // exactly-once corpus + store update (stage → fp append →
         // atomic commit rename; see Ingest.applyIngestBatch) — a
         // re-delivered batch can no longer double-append survivors
@@ -74,15 +82,23 @@ object StreamShards {
           storeBuckets)
         // derived state, always recomputable — safe to refresh last
         // (a crash before this write just leaves the previous
-        // manifest, which the next batch's refresh supersedes)
-        (if (chunked) Corpus.trainingShardsChunked(s, workDir, seed, budget)
-         else Corpus.trainingShards(s, workDir, seed, budget))
-          .write.mode("overwrite").parquet(s"$workDir/shards.parquet")
+        // manifest, which the next refresh supersedes). manifestEvery
+        // is the backlog-catchup knob: the recompute is a full-corpus
+        // pass, so refreshing after EVERY batch of an N-file backlog
+        // does N passes of which only the last survives — refresh on
+        // the cadence, plus unconditionally after the stream drains
+        if (manifestEvery == 1 || id % manifestEvery == manifestEvery - 1)
+          refreshManifest(s)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the drain-time refresh makes the final manifest current no
+    // matter where the cadence landed (and covers an all-no-op resume
+    // only when batches actually ran — an empty resume leaves the
+    // previous manifest untouched)
+    if (sawBatch && manifestEvery > 1) refreshManifest(spark)
   }
 
   /** The current shard manifest (shard_id, n_docs, shard_tokens,
