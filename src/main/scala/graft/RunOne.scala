@@ -40,6 +40,34 @@ object RunOne {
     val n = sys.env.get("GRAFT_RUNONE_RUNS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(2)
+    // GRAFT_AB_CONF="conf.key=valA|valB": run each query n times under
+    // A and n under B, INTERLEAVED (A B A B …) in one session — the
+    // same-host same-JIT A/B that survives host drift, which separate
+    // sessions minutes apart do not (observed 2x drift between two
+    // back-to-back RunOne sessions in r17).
+    val ab = sys.env.get("GRAFT_AB_CONF").map { s =>
+      val Array(k, vs) = s.split("=", 2)
+      val Array(a, b) = vs.split("\\|", 2)
+      (k, a, b)
+    }
+    // GRAFT_RUNONE_STAGES=1: print per-stage wall/tasks after each
+    // run — the "which stage is slow" instrument (guide §7.1) for a
+    // UI-less sandbox.
+    if (sys.env.get("GRAFT_RUNONE_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = sc.stageInfo
+            val ms = for {
+              a <- i.completionTime; b <- i.submissionTime
+            } yield a - b
+            if (ms.exists(_ >= 100))
+              println(f"[stage] ${ms.get}%6d ms tasks=${i.numTasks}%4d " +
+                s"stage=${i.stageId} ${i.name.takeWhile(_ != '\n').take(90)}")
+          }
+        })
     name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
       val fn = SparkEntry.queries.getOrElse(q,
         sys.error(s"unknown query $q"))
@@ -48,11 +76,29 @@ object RunOne {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val runs = (1 to n).map { _ =>
-        val t = once(); spark.catalog.clearCache(); t
+      ab match {
+        case Some((k, a, b)) =>
+          // ABBA order: alternating who goes first removes the
+          // "A always pays the colder JIT/page-cache" bias that a
+          // fixed AB AB order bakes in (observed ~0.3 s phantom wins)
+          val (ra, rb) = (1 to math.max(2, n)).map { i =>
+            def run(v: String): Double = {
+              spark.conf.set(k, v)
+              val t = once(); spark.catalog.clearCache(); t
+            }
+            if (i % 2 == 1) { val ta = run(a); (ta, run(b)) }
+            else { val tb = run(b); (run(a), tb) }
+          }.unzip
+          println(f"[runone-ab] $q $k: $a=${ra.min}%.2f s vs " +
+            f"$b=${rb.min}%.2f s  (A ${ra.map(t => f"$t%.2f").mkString(" ")}" +
+            s" | B ${rb.map(t => f"$t%.2f").mkString(" ")})")
+        case None =>
+          val runs = (1 to n).map { _ =>
+            val t = once(); spark.catalog.clearCache(); t
+          }
+          println(f"[runone] $q $sfDir cpus=$cpus best=${runs.min}%.2f s " +
+            s"(runs ${runs.map(t => f"$t%.2f").mkString(" / ")})")
       }
-      println(f"[runone] $q $sfDir cpus=$cpus best=${runs.min}%.2f s " +
-        s"(runs ${runs.map(t => f"$t%.2f").mkString(" / ")})")
     }
     spark.stop()
   }

@@ -177,6 +177,51 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Scale-adaptive scan spread — optimization guide §2.5 ("input
+    * skew: one huge unsplittable file … repartition immediately after
+    * the read"). The provisioned testdata ships each table as ONE
+    * parquet file with ONE row group, so Spark plans every scan as a
+    * single task and ALL scan-stage per-row work runs on one core no
+    * matter how many the session has. Applied at the CALL SITES whose
+    * scan-stage per-row work measurably dominates (16 seeded md5s per
+    * shingle, char-gram winnowing, Levenshtein verify, regex
+    * redaction, n² dot products — the A/B table in
+    * OPTIMIZATION_r17.md); a blanket spread measured as a net LOSS on
+    * the scan+aggregate/window majority (+0.2-0.7 s per query), so
+    * there is deliberately no central hook in [[load]].
+    *
+    * The repartition is deterministic and retry-safe: hash on the
+    * table's primary key, never rand()/round-robin (guide §2.5 /
+    * SPARK-38388), with the partition count pinned explicitly so AQE
+    * cannot coalesce the small exchange back to one partition and
+    * re-serialize the downstream compute.
+    *
+    * At scale the guard turns this off by itself: a scan that already
+    * splits into >= defaultParallelism partitions (any real
+    * multi-file / multi-row-group layout) passes through untouched,
+    * so the production plan shape — no text-bearing exchange after
+    * the scan — is preserved exactly where it matters. `df` must be
+    * scan-grade (scan + project/filter only): the probe plans the
+    * frame to count partitions, and planning a frame with exchanges
+    * under AQE would execute its upstream stages. Knob:
+    * `spark.graft.scan.spread` = "auto" (default: target =
+    * defaultParallelism) | "off" | an explicit integer target. */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val conf = spark.conf.get("spark.graft.scan.spread", "auto")
+    if (conf == "off") return df
+    val target =
+      if (conf == "auto") spark.sparkContext.defaultParallelism
+      else conf.toInt
+    if (target <= 1) return df
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(key))
+  }
+
+  /** [[spread]] of the documents table — the common call-site form. */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    spread(documents(spark, dir), "doc_id")
+
   /** Load one table with its declared schema (inferred if undeclared). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)

@@ -422,7 +422,15 @@ object RangeJoin {
     * analysis. The supplier equi-key rides the shuffle with the bin;
     * the first-shared-bin rule keeps each pair exactly once. */
   def supplierTransitOverlaps(spark: SparkSession, dir: String): DataFrame = {
-    val iv = transitIntervals(spark, dir)
+    // call-site scan spread (guide §2.5; Tables.spread scaladoc): the
+    // interval derivation + bin explode + shuffle-write of BOTH join
+    // sides otherwise run in the two single-task scans of the
+    // one-row-group testdata layout. Spreading by the supplier key —
+    // one of the join keys — also lets the self-join reuse the
+    // spread partitioning (subset co-partitioning), so the exchange
+    // buys parallelism without adding a net shuffle at scale.
+    val iv = graft.core.Tables.spread(transitIntervals(spark, dir),
+      "l_suppkey")
     val a = iv.select(col("l_suppkey").as("a_supp"),
       (col("l_orderkey") * 10 + col("l_linenumber")).as("a_line"),
       col("iv_lo").as("a_lo"), col("iv_hi").as("a_hi"))

@@ -59,7 +59,7 @@ object Classify {
     * memory-speed there); on a real cluster the network exchange is
     * the scarce resource, so the one-shuffle form ships. */
   def qualityModelScores(spark: SparkSession, dir: String): DataFrame =
-    scoreDocs(Tables.documents(spark, dir))
+    scoreDocs(Tables.documentsSpread(spark, dir))
       .select(col("doc_id"), col("score_milli"),
         (col("score_milli") / lit(1000.0)).as("score"),
         when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop"))

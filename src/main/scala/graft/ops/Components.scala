@@ -280,7 +280,7 @@ object Components {
   def nearDupComponents(spark: SparkSession, dir: String,
       memo: Boolean = false): DataFrame = {
     def build = {
-      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val docs = Tables.documentsSpread(spark, dir).select("doc_id", "text")
       val (reps, stars) = collapseExact(docs)
       val edges = Dedup.ngramJaccardPairsFor(reps)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -325,6 +325,11 @@ object Components {
     * pairs (rows-only — xxhash64 seeds aren't portable to the oracle;
     * equivalence to the exact-pair clustering is asserted in OpsSpec). */
   def lshDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // deliberately NOT spread: xxhash64 signatures are cheap enough
+    // that the scan-stage win (~0.5 s) loses to the spread's extra
+    // per-job overhead in the CC tail (measured 2.67 vs 1.92 s at
+    // sf0.1); the md5 twin below keeps the spread (16 md5s/shingle
+    // dominate: 3.9 vs 5.9 s)
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val (reps, stars) = collapseExact(docs)
     val edges = Dedup.minhashLshPairsFor(reps)
@@ -340,7 +345,7 @@ object Components {
     * one composed query (the xxhash64 LSH clusters stay the fast
     * path; this twin differs only in the hash function). */
   def lshDedupClustersPortable(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val docs = Tables.documentsSpread(spark, dir).select("doc_id", "text")
     val (reps, stars) = collapseExact(docs)
     val edges = Dedup.minhashLshPairsPortableFor(reps)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -395,41 +395,60 @@ object Corpus {
       : DataFrame = {
     import Similarity.normalized
     import graft.functions.VectorFunctions.normalize
-    // planted-structure check (bounded: 3n vectors, n = gate corpus)
-    val base = normalized(spark, dir).select("vec_id", "vec")
-      .localCheckpoint()
-    val n = base.count()
-    val copies = base.select((col("vec_id") + n).as("vec_id"), col("vec"))
-    val nearCopies = base.select((col("vec_id") + 2 * n).as("vec_id"),
-      normalize(zip_with(col("vec"), reverse(col("vec")),
-        (a, b) => a + lit(0.001) * b)).as("vec"))
-    val aug = base.unionByName(copies).unionByName(nearCopies)
-    val lab = Similarity.semanticDedupClustersScreenedFor(aug)
-      .localCheckpoint()
-    def caught(off: Long): Long = lab.as("x")
-      .join(lab.as("y"), col("x.vec_id") + off === col("y.vec_id") &&
-        col("x.vec_id") < n)
-      .where(col("x.cluster") === col("y.cluster"))
-      .count()
-    val exactOk = caught(n) == n
-    val nearOk = caught(2 * n) == n
-    // composition arithmetic over the real dir (shares the memoized
-    // survivor/drop sets with the registered query)
-    val expected = Tables.documents(spark, dir).select("doc_id", "text")
-      .join(survivorIds(spark, dir, memo = true), Seq("doc_id"), "left_semi")
-      .join(semanticDropIds(spark, dir, memo = true),
-        Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
-          .as("tok"))
-      .head()
-    val packed = trainingShardsSemantic(spark, dir, memoSurvivors = true)
-      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
-        coalesce(sum("shard_tokens"), lit(0L)).as("tok"),
-        count(lit(1)).as("n_shards"))
-      .head()
-    val plainDocs = trainingShards(spark, dir, memoSurvivors = true)
-      .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+    // The two halves are independent job chains — the planted-corpus
+    // screen (3n synthetic vectors) and the real-dir composition
+    // arithmetic — so they overlap (guide §2.6 / Par). Inside each
+    // half, ordering is preserved where a session memo must warm
+    // before dependents race into it.
+    val ((exactOk, nearOk), (expected, packed, plainDocs)) =
+      graft.core.Par.both(
+        {
+          // planted-structure check (bounded: 3n vectors, n = gate corpus)
+          val base = normalized(spark, dir).select("vec_id", "vec")
+            .localCheckpoint()
+          val n = base.count()
+          val copies =
+            base.select((col("vec_id") + n).as("vec_id"), col("vec"))
+          val nearCopies = base.select((col("vec_id") + 2 * n).as("vec_id"),
+            normalize(zip_with(col("vec"), reverse(col("vec")),
+              (a, b) => a + lit(0.001) * b)).as("vec"))
+          val aug = base.unionByName(copies).unionByName(nearCopies)
+          val lab = Similarity.semanticDedupClustersScreenedFor(aug)
+            .localCheckpoint()
+          def caught(off: Long): Long = lab.as("x")
+            .join(lab.as("y"), col("x.vec_id") + off === col("y.vec_id") &&
+              col("x.vec_id") < n)
+            .where(col("x.cluster") === col("y.cluster"))
+            .count()
+          val (exactCaught, nearCaught) =
+            graft.core.Par.both(caught(n), caught(2 * n))
+          (exactCaught == n, nearCaught == n)
+        },
+        {
+          // composition arithmetic over the real dir (shares the
+          // memoized survivor/drop sets with the registered query).
+          // `expected` runs FIRST: it warms the survivor and drop
+          // memos, so the two packs below race only into warm memos.
+          val expected = Tables.documents(spark, dir)
+            .select("doc_id", "text")
+            .join(survivorIds(spark, dir, memo = true),
+              Seq("doc_id"), "left_semi")
+            .join(semanticDropIds(spark, dir, memo = true),
+              Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(size(split(col("text"), " ")).cast("long")),
+                lit(0L)).as("tok"))
+            .head()
+          val (packed, plainDocs) = graft.core.Par.both(
+            trainingShardsSemantic(spark, dir, memoSurvivors = true)
+              .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+                coalesce(sum("shard_tokens"), lit(0L)).as("tok"),
+                count(lit(1)).as("n_shards"))
+              .head(),
+            trainingShards(spark, dir, memoSurvivors = true)
+              .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0))
+          (expected, packed, plainDocs)
+        })
     spark.range(1).select(
       lit(if (exactOk) 1 else 0).as("exact_copies_clustered"),
       lit(if (nearOk) 1 else 0).as("near_copies_clustered"),

@@ -65,7 +65,7 @@ object Decontaminate {
     * source is training data. n=4 token windows. */
   def contaminated(spark: SparkSession, dir: String,
       evalSource: String = "src19", n: Int = 4): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     contaminationReport(
       docs.where(col("source") =!= evalSource),
       docs.where(col("source") === evalSource), n)
@@ -185,7 +185,7 @@ object Decontaminate {
     * vintage that had 24 cross-source pairs elsewhere). */
   private def splitSides(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
       .withColumn("__bucket", Mix.contentBucket(col("text")))
     (docs.where(col("__bucket") < 90).drop("__bucket"),
       docs.where(col("__bucket") >= 90).drop("__bucket"))

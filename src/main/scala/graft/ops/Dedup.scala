@@ -955,7 +955,7 @@ object Dedup {
     * Integer counts + one IEEE division ⇒ engine-deterministic. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
       tau: Double = 0.5): DataFrame =
-    ngramJaccardPairsFor(Tables.documents(spark, dir), n, tau)
+    ngramJaccardPairsFor(Tables.documentsSpread(spark, dir), n, tau)
 
   /** [[ngramJaccardPairs]] over any (doc_id, text) frame — the form
     * the clustering ops use after collapsing exact duplicates. */
@@ -1054,7 +1054,7 @@ object Dedup {
     * structure. This is the dedup path that survives 100 TB. */
   def minhashLshPairs(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame =
-    minhashLshPairsFor(Tables.documents(spark, dir), n, numHashes, bands, tau)
+    minhashLshPairsFor(Tables.documentsSpread(spark, dir), n, numHashes, bands, tau)
 
   /** [[minhashLshPairs]] over any (doc_id, text) frame — the form the
     * clustering ops use after collapsing exact duplicates. */
@@ -1161,7 +1161,7 @@ object Dedup {
     * hash, more hashes). */
   def minhashLshPairsPortable(spark: SparkSession, dir: String,
       n: Int = 3, tau: Double = 0.5): DataFrame =
-    minhashLshPairsPortableFor(Tables.documents(spark, dir), n, tau)
+    minhashLshPairsPortableFor(Tables.documentsSpread(spark, dir), n, tau)
 
   /** Engine-portable 16-hash MinHash signatures: (doc_id, mh_0..mh_15)
     * with each component a seeded-md5-low-32-bits min — arithmetic
@@ -1268,7 +1268,7 @@ object Dedup {
   def simhashPairsPortable(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     val bits = 60
-    val tokens = Tables.documents(spark, dir)
+    val tokens = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .withColumn("h",
         conv(substring(md5(col("token")), 18, 15), 16, 10).cast("long"))
@@ -1352,7 +1352,7 @@ object Dedup {
     * exactly. */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashDocs(Tables.documents(spark, dir))
+    val sigs = simhashDocs(Tables.documentsSpread(spark, dir))
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -1456,7 +1456,7 @@ object Dedup {
     * the hash-exact twin proving the verify arithmetic). */
   def editDistNearDup(spark: SparkSession, dir: String,
       capDist: Int = DefaultCapDist): DataFrame =
-    editDistNearDupFor(Tables.documents(spark, dir), capDist)
+    editDistNearDupFor(Tables.documentsSpread(spark, dir), capDist)
 
   /** Oracle twin: md5-portable LSH candidates (the [[portableLshCteBody]]
     * machinery) verified by the same exact edit distance — every step
@@ -1468,7 +1468,7 @@ object Dedup {
 
   def editDistNearDupPortable(spark: SparkSession, dir: String,
       capDist: Int = DefaultCapDist): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     editDistVerify(docs,
       minhashLshPairsPortableFor(docs.select("doc_id", "text")), capDist)
   }

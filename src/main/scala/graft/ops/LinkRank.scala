@@ -293,9 +293,12 @@ object LinkRank {
   def linkRankChurn(spark: SparkSession, dir: String,
       k: Int = 4, topN: Int = 20): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val fresh = linkRankFor(docs, k, release = true)
-    val stale = linkRankFor(docs.where(col("doc_id") % 5 =!= 4), k,
-      release = true)
+    // the fresh and stale rank chains are independent eager
+    // (checkpoint-terminated) recurrences — overlap them (guide §2.6)
+    val (fresh, stale) = graft.core.Par.both(
+      linkRankFor(docs, k, release = true),
+      linkRankFor(docs.where(col("doc_id") % 5 =!= 4), k,
+        release = true))
     val topF = fresh.orderBy(col("mass").desc, col("doc_id"))
       .limit(topN).select("doc_id")
     val topS = stale.orderBy(col("mass").desc, col("doc_id"))

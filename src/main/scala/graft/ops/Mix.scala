@@ -421,7 +421,7 @@ object Mix {
     // the whole query at the decade SF). The token array likewise
     // materializes ONCE per row (the ops/Spans lesson: split inside
     // the transform lambda re-tokenizes the doc per window).
-    val sh = Tables.documents(spark, dir)
+    val sh = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"),

@@ -753,15 +753,20 @@ object Quantize {
     val batchFrames = (1 to batches).map(b => driftedBatch(base, b, alpha))
     val full = (base +: batchFrames).reduce(_ unionByName _)
       .localCheckpoint()
-    val stale = Scratch.cached(spark,
-      s"ivfpq-drift-stale:$scratchTag:$batches:$alpha:$cells",
-      "graft-ivfpq-drift") { p =>
-      buildIvfPqIndexFor(base, p, cells)
-      batchFrames.foreach(bf => appendToIvfPqIndex(spark, p, bf))
-    }
-    val fresh = Scratch.cached(spark,
-      s"ivfpq-drift-fresh:$scratchTag:$batches:$alpha:$cells",
-      "graft-ivfpq-fresh") { p => buildIvfPqIndexFor(full, p, cells) }
+    // stale and fresh index builds are independent DAG chains over
+    // already-checkpointed inputs; their probes likewise — overlap
+    // them (guide §2.6, the Par discipline) so one chain's stragglers
+    // back-fill with the other's tasks
+    val (stale, fresh) = graft.core.Par.both(
+      Scratch.cached(spark,
+        s"ivfpq-drift-stale:$scratchTag:$batches:$alpha:$cells",
+        "graft-ivfpq-drift") { p =>
+        buildIvfPqIndexFor(base, p, cells)
+        batchFrames.foreach(bf => appendToIvfPqIndex(spark, p, bf))
+      },
+      Scratch.cached(spark,
+        s"ivfpq-drift-fresh:$scratchTag:$batches:$alpha:$cells",
+        "graft-ivfpq-fresh") { p => buildIvfPqIndexFor(full, p, cells) })
     val queries = driftedBatch(base.where(col("vec_id") < numQueries),
         batches, alpha)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
@@ -773,7 +778,9 @@ object Quantize {
         .select("query_id", "neighbor_id")
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .count()
-    (hitsOf(stale), hitsOf(fresh), truth.count())
+    val (staleHits, freshHits) = graft.core.Par.both(
+      hitsOf(stale), hitsOf(fresh))
+    (staleHits, freshHits, truth.count())
   }
 
   /** Driver-gate row for index DRIFT (`q_ann_ivfpq_drift`) — the

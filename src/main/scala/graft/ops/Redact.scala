@@ -37,7 +37,7 @@ object Redact {
     val noUrl = regexp_replace(col("text"), urlRe, "<URL>")
     val noEmail = regexp_replace(noUrl, emailRe, "<EMAIL>")
     val noIp = regexp_replace(noEmail, ipRe, "<IP>")
-    Tables.documents(spark, dir).select(
+    Tables.documentsSpread(spark, dir).select(
       col("doc_id"),
       redact(col("text")).as("clean_text"),
       regexp_count(col("text"), lit(urlRe)).as("n_urls"),

@@ -99,7 +99,7 @@ object Repetition {
 
   /** Per-document repetition signal table over `documents`. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
-    signalsFor(Tables.documents(spark, dir))
+    signalsFor(Tables.documentsSpread(spark, dir))
 
   val repetitionSignalsSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

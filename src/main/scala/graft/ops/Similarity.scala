@@ -81,7 +81,12 @@ object Similarity {
     * The oracle baseline for [[lshNearDupPairs]]; quadratic by design. */
   def nearDupPairsExact(spark: SparkSession, dir: String,
       tau: Double = 0.4): DataFrame = {
-    val c = normalized(spark, dir)
+    // call-site scan spread (guide §2.5): the n²/2 dot products run in
+    // the STREAM side of the broadcast nested-loop join, i.e. inside
+    // the scan stage — a single task on the one-row-group testdata
+    // layout. One-pass consumer, so the central-spread iterative-job
+    // caveat doesn't apply (measured 1.20 -> 0.38 s at sf0.1).
+    val c = Tables.spread(normalized(spark, dir), "vec_id")
     c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         dot(col("a.vec"), col("b.vec")).as("sim"))
@@ -364,15 +369,26 @@ object Similarity {
     var cents = seeds
     var prevAssign: DataFrame = null
     var converged = false
-    for (_ <- 0 until iters if !converged) {
-      val assign = (if (k >= 512) assignCellsTwoLevel(sample, cents)
-        else assignCells(sample, cents)).localCheckpoint()
-      // early stop at the Lloyd fixed point: if no vector changed
-      // cell, recomputing the means reproduces the same centroids
-      // bit-for-bit (same assignment, same pinned sample partitions)
-      // — the remaining rounds are no-ops. The check is one id-only
-      // join + count per round; output-invariant by construction.
-      converged = prevAssign != null &&
+    for (i <- 0 until iters if !converged) {
+      // Job-count discipline (r17, guide §1.2 "don't compute things
+      // you throw away"): the convergence check on the LAST round can
+      // only skip its own round's refine, and recomputing means over
+      // an unchanged assignment is bit-identical output — so the last
+      // round never checks, and an assignment consumed ONLY by its
+      // own refine (no current- or next-round check reads it) skips
+      // the localCheckpoint job too. An iters=2 build (the dedup
+      // screens) drops 3 jobs; iters=5 (the ANN trainers) drops 2.
+      // Mid-loop early exit at the Lloyd fixed point is preserved:
+      // if no vector changed cell, recomputing the means reproduces
+      // the same centroids bit-for-bit (same assignment, same pinned
+      // sample partitions) — the remaining rounds are no-ops.
+      val checksNow = prevAssign != null
+      val nextChecks = i + 1 <= iters - 2
+      val assignPlan = if (k >= 512) assignCellsTwoLevel(sample, cents)
+        else assignCells(sample, cents)
+      val assign = if (checksNow || nextChecks) assignPlan.localCheckpoint()
+        else assignPlan
+      converged = checksNow &&
         assign.join(prevAssign
             .withColumnRenamed("cell", "prev_cell"), "vec_id")
           .where(col("cell") =!= col("prev_cell")).count() == 0
@@ -382,7 +398,7 @@ object Similarity {
       // but 5 rounds × 64k+ vectors is still pinned block churn)
       if (prevAssign != null)
         org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prevAssign)
-      prevAssign = assign
+      prevAssign = if (nextChecks) assign else null
       if (!converged) {
       val refined = sample.join(assign, "vec_id")
         .select(col("cell").as("cid"), posexplode(col("vec")))
@@ -401,6 +417,11 @@ object Similarity {
           coalesce(col("cvec"), col("prev_cvec")).as("cvec"))
         .localCheckpoint()
       }
+      // an assignment checkpointed ONLY for its own round's check
+      // (no next-round check keeps a handle) is dead once the refine
+      // above materialized through it — release its blocks here
+      if (checksNow && !nextChecks)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(assign)
     }
     cents
   }
@@ -924,8 +945,10 @@ object Similarity {
         col("x.vec_id") < n)
       .where(col("x.cluster") === col("y.cluster"))
       .count()
-    val exactCaught = caught(n)
-    val nearCaught = caught(2 * n)
+    // the two planted-pair probes are independent joins over the
+    // checkpointed labels — overlap them (guide §2.6)
+    val (exactCaught, nearCaught) =
+      graft.core.Par.both(caught(n), caught(2 * n))
     cent.agg(
       count(lit(1)).as("n_labeled"),
       countDistinct(col("vec_id")).as("n_vectors"))

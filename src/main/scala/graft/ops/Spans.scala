@@ -152,11 +152,11 @@ object Spans {
 
   /** Registered form of [[duplicatedSpansFor]] over `documents`. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
-    duplicatedSpansFor(Tables.documents(spark, dir))
+    duplicatedSpansFor(Tables.documentsSpread(spark, dir))
 
   /** Registered form of [[despanFor]] over `documents`. */
   def despannedDocs(spark: SparkSession, dir: String): DataFrame =
-    despanFor(Tables.documents(spark, dir))
+    despanFor(Tables.documentsSpread(spark, dir))
 
   /** Oracle: the duplicate SET is token-equality — DuckDB groups on
     * the window string itself (no hash), so the compare is exact. */

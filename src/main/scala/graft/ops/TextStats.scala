@@ -164,7 +164,7 @@ object TextStats {
     // doc- or unique-shingle-sized; the exploded shingle set is never
     // shuffled twice. (The join-back formulation measured 3.3 s at
     // sf0.1; this one 1.9 s.)
-    val sh = Dedup.shingles(Tables.documents(spark, dir), 3)
+    val sh = Dedup.shingles(Tables.documentsSpread(spark, dir), 3)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val perShingle = sh.groupBy("sh")
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
@@ -243,7 +243,7 @@ object TextStats {
     * aren't portable to the oracle engine; set semantics are
     * unit-tested instead). */
   def winnowing(spark: SparkSession, dir: String): DataFrame =
-    winnowingFor(Tables.documents(spark, dir))
+    winnowingFor(Tables.documentsSpread(spark, dir))
       .select(col("doc_id"), size(col("fingerprints")).as("n_fingerprints"),
         col("fingerprints"))
 
@@ -260,7 +260,7 @@ object TextStats {
     val kgramHash =
       conv(substring(md5(col("text").substr(col("col"), lit(k))), 25, 8),
         16, 10).cast("long")
-    val positions = Tables.documents(spark, dir)
+    val positions = Tables.documentsSpread(spark, dir)
       .where(length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(1), length(col("text")) - (k - 1))))
@@ -350,7 +350,7 @@ object TextStats {
     * uniformly English-vocab synthetic text, so agreement with it is not
     * a meaningful target. */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("text"),
         split(lower(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),

@@ -454,7 +454,10 @@ object IngestEmbed {
         .select("query_id", "neighbor_id")
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .count()
-    val (staleHits, freshHits) = (hitsOf(stale), hitsOf(rebuilt))
+    // independent probes over built indexes + checkpointed truth —
+    // overlap them (guide §2.6)
+    val (staleHits, freshHits) = graft.core.Par.both(
+      hitsOf(stale), hitsOf(rebuilt))
     val nTrue = truth.count()
     if (sys.env.contains("GRAFT_DRIFT_DEBUG"))
       // scalastyle:off println — calibration instrument, opt-in only
