@@ -23,6 +23,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate excluded (r17, measured): for every
+      // Generate in this engine the generator input is a COMPUTED array
+      // (shingles, band structs, bin sequences — never a stored column),
+      // so the inferred `size(e)>0 AND isnotnull(e)` filter re-inlines
+      // the whole array expression and predicate pushdown drags it
+      // below the scan-spread exchange, where it re-evaluates the
+      // expensive interpreted HOF per row in the single scan task —
+      // 2-3 redundant shingle-array builds per document that drop
+      // nothing the Generate would not drop anyway (explicit
+      // size(toks)>=n guards already run at the scan). Same
+      // pessimization at any scale; q_split_leakage 3.0 -> 1.2 s
+      // in-session A/B. Semantics-preserving (optimizer rule).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,20 @@ object RunOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate excluded (r17, measured): for every
+      // Generate in this engine the generator input is a COMPUTED array
+      // (shingles, band structs, bin sequences — never a stored column),
+      // so the inferred `size(e)>0 AND isnotnull(e)` filter re-inlines
+      // the whole array expression and predicate pushdown drags it
+      // below the scan-spread exchange, where it re-evaluates the
+      // expensive interpreted HOF per row in the single scan task —
+      // 2-3 redundant shingle-array builds per document that drop
+      // nothing the Generate would not drop anyway (explicit
+      // size(toks)>=n guards already run at the scan). Same
+      // pessimization at any scale; q_split_leakage 3.0 -> 1.2 s
+      // in-session A/B. Semantics-preserving (optimizer rule).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
@@ -63,9 +77,12 @@ object RunOne {
             val ms = for {
               a <- i.completionTime; b <- i.submissionTime
             } yield a - b
+            val m = i.taskMetrics
             if (ms.exists(_ >= 100))
-              println(f"[stage] ${ms.get}%6d ms tasks=${i.numTasks}%4d " +
-                s"stage=${i.stageId} ${i.name.takeWhile(_ != '\n').take(90)}")
+              println(f"[stage] ${ms.get}%6d ms run=${m.executorRunTime}%5d " +
+                f"deser=${m.executorDeserializeTime}%4d " +
+                f"gc=${m.jvmGCTime}%4d tasks=${i.numTasks}%4d " +
+                s"stage=${i.stageId} ${i.name.takeWhile(_ != '\n').take(80)}")
           }
         })
     name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>

@@ -54,14 +54,15 @@ object Retrieval {
     * the fused score. */
   def hybridRrfTopK(spark: SparkSession, dir: String,
       numQueries: Int = 5, qTerms: Int = 2, k: Int = 10,
-      k0: Int = 60): DataFrame = {
+      k0: Int = 60, lexIn: Option[DataFrame] = None): DataFrame = {
     val corpus = Similarity.normalized(spark, dir)
     val dense = Similarity.bruteForceTopKFor(corpus,
         corpus.where(col("vec_id") < numQueries)
           .select(col("vec_id").as("query_id"), col("vec").as("qvec")), k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
-    fuseRrf(lexRanks(spark, dir, numQueries, qTerms, k), dense, k, k0)
+    fuseRrf(lexIn.getOrElse(lexRanks(spark, dir, numQueries, qTerms, k)),
+      dense, k, k0)
   }
 
   /** The 10⁹-vector form: same lexical side and fusion, dense ranks
@@ -72,11 +73,12 @@ object Retrieval {
     * agreement with the exact hybrid. */
   def hybridRrfTopKIvf(spark: SparkSession, dir: String,
       numQueries: Int = 5, qTerms: Int = 2, k: Int = 10,
-      k0: Int = 60): DataFrame = {
+      k0: Int = 60, lexIn: Option[DataFrame] = None): DataFrame = {
     val dense = Similarity.ivfTopK(spark, dir, numQueries, k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
-    fuseRrf(lexRanks(spark, dir, numQueries, qTerms, k), dense, k, k0)
+    fuseRrf(lexIn.getOrElse(lexRanks(spark, dir, numQueries, qTerms, k)),
+      dense, k, k0)
   }
 
   /** Driver-gate row for [[hybridRrfTopKIvf]]: the IVF-fused lists
@@ -90,9 +92,19 @@ object Retrieval {
     * total rank orders). */
   def hybridRrfOverlapGate(spark: SparkSession, dir: String,
       numQueries: Int = 5, k: Int = 10): DataFrame = {
-    val exact = hybridRrfTopK(spark, dir, numQueries, k = k)
+    // the exact and IVF hybrids share the IDENTICAL lexical side
+    // (same seeds, same terms, same scoring plan) — compute it once,
+    // materialize the bounded (numQueries x k) rank list, and feed
+    // both fusions (r17: the gate re-ran the full tokenize+score pass
+    // per side). The registered standalone queries keep their own
+    // honest lexical cost (lexIn defaults to None).
+    val lex = lexRanks(spark, dir, numQueries, qTerms = 2, k = k)
+      .localCheckpoint()
+    val exact = hybridRrfTopK(spark, dir, numQueries, k = k,
+        lexIn = Some(lex))
       .select("query_id", "doc_id")
-    val ivf = hybridRrfTopKIvf(spark, dir, numQueries, k = k)
+    val ivf = hybridRrfTopKIvf(spark, dir, numQueries, k = k,
+        lexIn = Some(lex))
       .select("query_id", "doc_id")
     val hits = ivf.join(exact, Seq("query_id", "doc_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact")).crossJoin(

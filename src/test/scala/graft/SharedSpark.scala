@@ -12,6 +12,11 @@ trait SharedSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // match the mains: InferFiltersFromGenerate excluded (see the
+      // Bench.scala session builder for the measured rationale) so
+      // plan-shape specs assert the same plans the bench times
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
