@@ -38,6 +38,15 @@ object RunOne {
       // in-session A/B. Semantics-preserving (optimizer rule).
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // r18: partitioned-index probes (vindex / IVF-PQ cells) read
+      // directories with 100-4000 partition dirs; past the default
+      // threshold (32) Spark launches a DISTRIBUTED listing job — one
+      // task per path, ~60 ms deser each, twice per probe — that
+      // costs more than listing a few hundred dirs on the driver.
+      // 1024 keeps listing driver-side for every bounded index layout
+      // while genuinely huge tables still list in parallel.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "1024")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
@@ -70,6 +79,22 @@ object RunOne {
     if (sys.env.get("GRAFT_RUNONE_STAGES").contains("1"))
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
+          // job-level callSite survives the SQLExecution thread hop
+          // that blanks stage names ("withThreadLocalCaptured") — map
+          // each stage back to its job's callSite for attribution
+          private val jobSite =
+            new java.util.concurrent.ConcurrentHashMap[Int, String]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val p = Option(js.properties)
+            val site = p.flatMap(x =>
+                Option(x.getProperty("spark.job.description")))
+              .orElse(p.flatMap(x =>
+                Option(x.getProperty("callSite.short"))))
+              .getOrElse("?")
+            js.stageIds.foreach(s => jobSite.put(s, site))
+            ()
+          }
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
               : Unit = {
@@ -82,7 +107,9 @@ object RunOne {
               println(f"[stage] ${ms.get}%6d ms run=${m.executorRunTime}%5d " +
                 f"deser=${m.executorDeserializeTime}%4d " +
                 f"gc=${m.jvmGCTime}%4d tasks=${i.numTasks}%4d " +
-                s"stage=${i.stageId} ${i.name.takeWhile(_ != '\n').take(80)}")
+                s"stage=${i.stageId} " +
+                s"job=${jobSite.getOrDefault(i.stageId, "?")} " +
+                s"${i.name.takeWhile(_ != '\n').take(60)}")
           }
         })
     name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>

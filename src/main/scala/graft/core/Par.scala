@@ -56,6 +56,17 @@ object Par {
     (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
   }
 
+  /** Run `body` with a Spark job description (guide §1.5 "label your
+    * jobs") — thread-local, restored afterwards, so library internals
+    * can label without leaking the description to the caller. */
+  def labeled[T](spark: org.apache.spark.sql.SparkSession, d: String)(
+      body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(d)
+    try body finally sc.setJobDescription(prev)
+  }
+
   def three[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
     val r = all(() => a.asInstanceOf[Any], () => b.asInstanceOf[Any],
       () => c.asInstanceOf[Any])

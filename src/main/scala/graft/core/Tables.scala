@@ -222,6 +222,51 @@ object Tables {
   def documentsSpread(spark: SparkSession, dir: String): DataFrame =
     spread(documents(spark, dir), "doc_id")
 
+  /** The inverse of [[spread]] — data-proportional split PACKING for
+    * the engine's partitioned index layouts (vindex/IVF-PQ cells,
+    * guide §6 "small files hurt twice" / §2.2 "fewer, larger map
+    * tasks"). A cell-partitioned index holds one small file per
+    * (cell, batch); Spark's split packing sizes `maxSplitBytes` from
+    * bytes-per-core, so a probe over such a directory plans ~one task
+    * PER FILE (measured: 80- and 178-task scan stages whose wall time
+    * is pure task deserialization — r18 stage profile of
+    * q_ingest_embed_drift). `coalesce` to ceil(bytes / maxPartitionBytes)
+    * merges those splits without a shuffle.
+    *
+    * Scale-safe by construction: the target is derived from the
+    * directory's ACTUAL bytes, so a big index yields target ≥ natural
+    * split count and `coalesce` (which never increases partition
+    * count) is a pass-through — only the tiny-file regime changes.
+    * The one-call `getContentSummary` is driver-side metadata of the
+    * same order as the directory listing the scan itself performs.
+    * Call AFTER partition-pruning filters (coalesce sits above the
+    * filter, pruning is untouched). Knob: `spark.graft.scan.pack` =
+    * auto (default) | off. */
+  def packedScan(df: DataFrame, path: String): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get("spark.graft.scan.pack", "auto") == "off") return df
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes =
+      try fs.getContentSummary(hp).getLength
+      catch { case _: java.io.FileNotFoundException => return df }
+    val maxSplit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    // floor at defaultParallelism: the probed rows feed per-row compute
+    // (ADC / exact dots) ABOVE the scan, so packing below the core
+    // count serializes that work (measured: coalesce(1) cost more than
+    // the 80 tiny tasks it removed) — one task per core is the floor,
+    // data-proportional splits past it
+    val target = math.max(spark.sparkContext.defaultParallelism.toLong,
+      (bytes + maxSplit - 1) / maxSplit)
+    if (sys.env.contains("GRAFT_PACK_DEBUG"))
+      // scalastyle:off println — opt-in calibration instrument
+      println(s"[packedScan] $path bytes=$bytes target=$target " +
+        s"natural=${df.rdd.getNumPartitions}")
+    df.coalesce(math.min(target, Int.MaxValue.toLong).toInt)
+  }
+
   /** Load one table with its declared schema (inferred if undeclared). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)

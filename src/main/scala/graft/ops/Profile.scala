@@ -25,8 +25,6 @@ object Profile {
     val cols = df.schema.fields
     val aggs = cols.flatMap { f =>
       val c = col(f.name)
-      val distinct =
-        if (exact) count_distinct(c) else approx_count_distinct(c)
       val (mn, mx, mean) = f.dataType match {
         case _: NumericType =>
           (min(c).cast(DoubleType), max(c).cast(DoubleType),
@@ -37,17 +35,34 @@ object Profile {
         case _ => (lit(null).cast(DoubleType), lit(null).cast(DoubleType),
           lit(null).cast(DoubleType))
       }
-      Seq(
+      val base = Seq(
         count(c).as(s"${f.name}__n"),
-        distinct.as(s"${f.name}__distinct"),
         mn.as(s"${f.name}__min"),
         mx.as(s"${f.name}__max"),
         mean.as(s"${f.name}__mean"))
+      if (exact) base
+      else approx_count_distinct(c).as(s"${f.name}__distinct") +: base
     }
     // total row count rides in the same single aggregate pass — a
     // separate df.count() would scan the table twice
     val allAggs = aggs :+ count(lit(1)).as("__total")
-    val wide = df.agg(allAggs.head, allAggs.tail: _*)
+    // Exact N-column distincts are NOT folded into the one aggregate:
+    // N distinct-aggregate groups make Spark plan an Expand that
+    // replays every scan row N+1 times through the partial aggregate
+    // (guide §2.3 "shuffle fewer bytes" — the Expand multiplies both
+    // the scan rows and the exchange). One single-distinct aggregate
+    // PER COLUMN instead planes each as a two-stage partial distinct
+    // (no Expand, column-pruned scan of just that column), and the
+    // 1-row results crossJoin back onto the base pass — r18, plan
+    // evidence in plans/r18/q_profile_orders_{before,after}.txt.
+    // The HLL path keeps the true single-pass shape (no Expand there).
+    val onePass = df.agg(allAggs.head, allAggs.tail: _*)
+    val wide =
+      if (!exact) onePass
+      else cols.foldLeft(onePass) { (acc, f) =>
+        acc.crossJoin(df.agg(
+          count_distinct(col(f.name)).as(s"${f.name}__distinct")))
+      }
     val stackExpr = cols.map { f =>
       s"'${f.name}', ${f.name}__n, ${f.name}__distinct, " +
         s"${f.name}__min, ${f.name}__max, ${f.name}__mean"

@@ -500,7 +500,8 @@ object Quantize {
     // (the ivfTopKIndexed pattern); bounded by numQueries × nprobe
     val probeCells = queries.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val prunedRaw = data.where(col("cell").isin(probeCells: _*))
+    val prunedRaw = graft.core.Tables.packedScan(
+      data.where(col("cell").isin(probeCells: _*)), s"$indexPath/data")
     // tombstoned vectors drop out of BOTH the ADC pass and the rerank
     // here: the anti-join touches only the probed cells' rows, so a
     // delete-free index pays nothing (None → no join in the plan) and

@@ -653,7 +653,18 @@ object Similarity {
 
   def semanticDedupClusters(spark: SparkSession, dir: String,
       tau: Double = 0.4, cells: Int = 0, nprobe: Int = 4,
-      twoLevelFrom: Int = 512): DataFrame = {
+      twoLevelFrom: Int = 512): DataFrame =
+    // same memo discipline as [[semanticDedupClustersScreened]]: the
+    // survivor view and the registered query share one label build
+    Scratch.memo(spark,
+        s"sem-clusters:$dir:$tau:$cells:$nprobe:$twoLevelFrom") {
+      semanticDedupClustersBuild(spark, dir, tau, cells, nprobe,
+        twoLevelFrom)
+    }
+
+  private def semanticDedupClustersBuild(spark: SparkSession, dir: String,
+      tau: Double, cells: Int, nprobe: Int,
+      twoLevelFrom: Int): DataFrame = {
     val corpusAll = normalized(spark, dir).cache()
     // exact-duplicate collapse before candidate generation — the
     // [[Components.collapseExact]] discipline applied to VECTORS.
@@ -764,8 +775,17 @@ object Similarity {
   def semanticDedupClustersScreened(spark: SparkSession, dir: String,
       tau: Double = 0.4, eps: Double = 5e-4, cells: Int = 0,
       nprobe: Int = 4, twoLevelFrom: Int = 512): DataFrame =
-    semanticDedupClustersScreenedFor(normalized(spark, dir), tau, eps,
-      cells, nprobe, twoLevelFrom)
+    // session-memoized (r18, guide §1.2 "don't recompute"): the gate
+    // composition (trainingShardsSemanticGate → semanticDropIds) and
+    // the registered query both need the identical label frame; the
+    // memo is the sanctioned cluster-label-table exception in
+    // [[Scratch.memo]] — one (vec_id, cluster) row per vector, the
+    // artifact a production pipeline materializes once per corpus
+    Scratch.memo(spark,
+        s"sem-screened:$dir:$tau:$eps:$cells:$nprobe:$twoLevelFrom") {
+      semanticDedupClustersScreenedFor(normalized(spark, dir), tau, eps,
+        cells, nprobe, twoLevelFrom)
+    }
 
   /** [[semanticDedupClustersScreened]] over any (vec_id, vec) frame of
     * unit vectors. */

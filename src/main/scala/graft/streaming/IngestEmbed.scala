@@ -126,7 +126,8 @@ object IngestEmbed {
       new Path(corpusQ.getParent, corpusQ.getName + ".staging"),
       batchId.toString)
 
-    if (!fs.exists(new Path(stageDir, "_SUCCESS"))) {
+    if (!fs.exists(new Path(stageDir, "_SUCCESS")))
+      graft.core.Par.labeled(spark, s"ingest-embed b$batchId: stage") {
       val vecs = normalizedFor(batch).localCheckpoint()
       if (vecs.isEmpty) {
         // an EMPTY batch stages as-is and trains nothing: training on
@@ -167,8 +168,12 @@ object IngestEmbed {
         if (Ingest.pathExists(spark, dataPath(workDir))) {
           val probeCells = assigned.select("cell").distinct()
             .collect().map(_.getInt(0)).toSeq
-          val hist = spark.read.parquet(dataPath(workDir))
-            .where(col("cell").isin(probeCells: _*))
+          // packedScan: the per-(cell,batch) layout is one tiny file
+          // each — pack the probed splits to data-proportional tasks
+          val hist = graft.core.Tables.packedScan(
+            spark.read.parquet(dataPath(workDir))
+              .where(col("cell").isin(probeCells: _*)),
+            dataPath(workDir))
             .select(col("cell"), col("vec").as("hvec"))
           val dropped = assigned
             .join(vecs, "vec_id")
@@ -242,6 +247,7 @@ object IngestEmbed {
       }
     }
 
+    // (end of the labeled staging block)
     // index append AFTER the stage is complete, BEFORE the commit:
     // batch=N dynamic overwrite makes a re-applied id replace (not
     // double-count) its earlier, possibly torn, contribution. An
@@ -251,14 +257,25 @@ object IngestEmbed {
     // otherwise
     val staged = spark.read.schema(batch.schema)
       .parquet(stageDir.toString)
-    if (!staged.isEmpty) {
+    if (!staged.isEmpty)
+      graft.core.Par.labeled(spark, s"ingest-embed b$batchId: append") {
       val cents = spark.read.parquet(centsPath(workDir)).localCheckpoint()
       // ONE stage read + normalize pass, reused by assign and join
       val normed = normalizedFor(staged).localCheckpoint()
+      // EXPLICIT partition count: a keyless repartition(col("cell"))
+      // is AQE-coalesced to ONE partition at small batch volume, and
+      // that one task then creates every (cell, batch) file serially —
+      // measured 0.9-1.6 s per micro-batch of pure file-create
+      // overhead. min(cells, cores) tasks parallelize the file
+      // creation while keeping one file per (cell, batch) — each cell
+      // still lands in exactly one task.
+      val nCells = cents.count().toInt
       Similarity.assignCells(normed, cents, nprobe = 1)
         .join(normed, "vec_id")
         .withColumn("batch", lit(batchId))
-        .repartition(col("cell"))
+        .repartition(
+          math.max(1, math.min(nCells,
+            spark.sparkContext.defaultParallelism)), col("cell"))
         .write.mode("overwrite").partitionBy("cell", "batch")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(dataPath(workDir))
@@ -323,8 +340,10 @@ object IngestEmbed {
       .localCheckpoint()
     val probeCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val scored = spark.read.parquet(dataPath(workDir))
-      .where(col("cell").isin(probeCells: _*))
+    val scored = graft.core.Tables.packedScan(
+        spark.read.parquet(dataPath(workDir))
+          .where(col("cell").isin(probeCells: _*)),
+        dataPath(workDir))
       .select(col("cell"), col("vec_id"), col("vec"))
       .join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -357,9 +376,9 @@ object IngestEmbed {
       withinBatch: String = "pairs", nprobe: Int = 4): Unit = {
     val hist = spark.read.parquet(dataPath(workDir))
       .select("vec_id", "vec", "batch").localCheckpoint()
+    val nCells = cellCount(hist.count().toDouble, withinBatch, nprobe)
     val cents = Similarity
-      .ivfCentroidsDf(hist.select("vec_id", "vec"),
-        cellCount(hist.count().toDouble, withinBatch, nprobe), iters = 2)
+      .ivfCentroidsDf(hist.select("vec_id", "vec"), nCells, iters = 2)
       .localCheckpoint()
     val fs = Ingest.fileSystem(spark, workDir)
     val vindex = fs.makeQualified(
@@ -371,9 +390,15 @@ object IngestEmbed {
         "interrupted; recover (restore or delete the .old copy) by hand")
     fs.delete(tmp, true)
     cents.write.parquet(s"$tmp/centroids")
+    // explicit count, same reason as the append write: AQE coalesces a
+    // keyless repartition to 1 partition and that task creates every
+    // (cell, batch) file serially (measured 9.8 s for the 353-file
+    // rebuild at sf0.1)
     Similarity.assignCells(hist.select("vec_id", "vec"), cents, nprobe = 1)
       .join(hist, "vec_id")
-      .repartition(col("cell"))
+      .repartition(
+        math.max(1, math.min(nCells,
+          spark.sparkContext.defaultParallelism)), col("cell"))
       .select(col("vec_id"), col("vec"), col("cell"), col("batch"))
       .write.partitionBy("cell", "batch")
       .parquet(s"$tmp/data")
@@ -414,8 +439,13 @@ object IngestEmbed {
       k: Int = 10, tau: Double = 0.9): DataFrame = {
     import graft.ops.{Quantize, Scratch}
     val m = batches + 1
+    // spread (§2.5): the one-file embeddings scan plans a single task,
+    // and every slice pays interpreted vector HOFs (normalize +
+    // driftedBatch zip_with) per row on one core — measured 1.2-2.3 s
+    // single-task stages per batch in the stale-store build
     def slice(b: Int): DataFrame =
-      graft.core.Tables.embeddings(spark, dir)
+      graft.core.Tables.spread(
+          graft.core.Tables.embeddings(spark, dir), "vec_id")
         .where(pmod(col("vec_id"), lit(m)) === b)
         .select("vec_id", "embedding")
     def driftedSlice(b: Int): DataFrame =
@@ -439,21 +469,26 @@ object IngestEmbed {
       org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
       rebuildEmbedIndex(spark, p)
     }
-    val queries = Quantize.driftedBatch(
-        normalizedFor(slice(0).where(col("vec_id") < numQueries * m)),
-        batches + 1, alpha)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      .localCheckpoint()
-    val keptNorm = normalizedFor(
-      keptEmbeddings(spark, stale).select("vec_id", "embedding"))
-      .localCheckpoint()
-    val truth = Similarity.bruteForceTopKFor(keptNorm, queries, k)
-      .select("query_id", "neighbor_id").localCheckpoint()
+    val (queries, truth) =
+      graft.core.Par.labeled(spark, "drift-gate: queries+truth") {
+        val q = Quantize.driftedBatch(
+            normalizedFor(slice(0).where(col("vec_id") < numQueries * m)),
+            batches + 1, alpha)
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+          .localCheckpoint()
+        val keptNorm = normalizedFor(
+          keptEmbeddings(spark, stale).select("vec_id", "embedding"))
+          .localCheckpoint()
+        (q, Similarity.bruteForceTopKFor(keptNorm, q, k)
+          .select("query_id", "neighbor_id").localCheckpoint())
+      }
     def hitsOf(work: String): Long =
-      embedIndexTopK(spark, work, queries, k)
-        .select("query_id", "neighbor_id")
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .count()
+      graft.core.Par.labeled(spark, s"drift-gate: probe $work") {
+        embedIndexTopK(spark, work, queries, k)
+          .select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+      }
     // independent probes over built indexes + checkpointed truth —
     // overlap them (guide §2.6)
     val (staleHits, freshHits) = graft.core.Par.both(

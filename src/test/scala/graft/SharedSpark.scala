@@ -17,6 +17,15 @@ trait SharedSpark {
       // plan-shape specs assert the same plans the bench times
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // r18: partitioned-index probes (vindex / IVF-PQ cells) read
+      // directories with 100-4000 partition dirs; past the default
+      // threshold (32) Spark launches a DISTRIBUTED listing job — one
+      // task per path, ~60 ms deser each, twice per probe — that
+      // costs more than listing a few hundred dirs on the driver.
+      // 1024 keeps listing driver-side for every bounded index layout
+      // while genuinely huge tables still list in parallel.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
