@@ -150,40 +150,49 @@ object Layout {
     * justifies z-ordering a 100 TB fact table. */
   def zorderPruneEffect(spark: SparkSession, dir: String): DataFrame = {
     val (xLo, xHi, yLo, yHi) = (96, 127, 96, 127)
-    // cached: three layout branches consume the SAME cell frame —
-    // without this the events scan + cell aggregate re-runs per
-    // branch (measured 3x the scan cost at sf10). The frame is
-    // bucket-space-bounded (<= 65 536 rows) at any event volume.
+    // ONE pass over the cell frame for all three layouts (r18): the
+    // old shape cached the cells and walked them once per layout —
+    // three aggregation branches, a pinned cache, and (before AQE can
+    // help) three stage chains for a ≤ 65 536-row frame. Exploding a
+    // (layout, file_id) pair per layout triples the BOUNDED cell rows
+    // (never the event rows) and one groupBy chain computes every
+    // layout's profile together. Values are identical integer sums;
+    // only row provenance (union order) changes, and the oracle
+    // canonicalizes row order.
     val boxed = eventCells(spark, dir, bits = 8)
       .withColumn("z", zValue(col("xb"), col("yb")))
       .withColumn("in_box",
         (col("xb").between(xLo, xHi) && col("yb").between(yLo, yHi))
           .cast("long"))
-      .cache()
-    val layouts = Seq(
-      "zorder" -> expr("z DIV 256"),
-      "lexicographic" -> col("xb"),
-      // ingestion-order stand-in: coprime mixing scatters each file's
-      // cells across the whole bucket space, so its min/max stats
-      // advertise (nearly) the full domain and nothing prunes
-      "unsorted" -> expr("(xb * 73 + yb * 151) % 256"))
-    layouts.map { case (name, fileId) =>
-      boxed.withColumn("file_id", fileId)
-        .groupBy("file_id")
-        .agg(sum("n_rows").as("f_rows"),
-          sum(col("in_box") * col("n_rows")).as("f_match"),
-          min("xb").as("x_lo"), max("xb").as("x_hi"),
-          min("yb").as("y_lo"), max("yb").as("y_hi"))
-        .withColumn("hit",
-          (col("x_hi") >= xLo && col("x_lo") <= xHi &&
-            col("y_hi") >= yLo && col("y_lo") <= yHi).cast("long"))
-        .agg(count(lit(1)).as("n_files"),
-          sum("hit").as("files_read"),
-          sum(col("hit") * col("f_rows")).as("rows_read"),
-          sum("f_match").as("rows_match"))
-        .select(lit(name).as("layout"), col("n_files"),
-          col("files_read"), col("rows_read"), col("rows_match"))
-    }.reduce(_ unionAll _)
+    val filed = boxed.select(col("xb"), col("yb"), col("n_rows"),
+        col("in_box"), explode(array(
+          struct(lit("zorder").as("layout"),
+            expr("z DIV 256").cast("long").as("file_id")),
+          struct(lit("lexicographic").as("layout"),
+            col("xb").cast("long").as("file_id")),
+          // ingestion-order stand-in: coprime mixing scatters each
+          // file's cells across the whole bucket space, so its min/max
+          // stats advertise (nearly) the full domain and nothing prunes
+          struct(lit("unsorted").as("layout"),
+            expr("(xb * 73 + yb * 151) % 256").cast("long")
+              .as("file_id")))).as("lf"))
+      .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
+        col("xb"), col("yb"), col("n_rows"), col("in_box"))
+    filed.groupBy("layout", "file_id")
+      .agg(sum("n_rows").as("f_rows"),
+        sum(col("in_box") * col("n_rows")).as("f_match"),
+        min("xb").as("x_lo"), max("xb").as("x_hi"),
+        min("yb").as("y_lo"), max("yb").as("y_hi"))
+      .withColumn("hit",
+        (col("x_hi") >= xLo && col("x_lo") <= xHi &&
+          col("y_hi") >= yLo && col("y_lo") <= yHi).cast("long"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum("hit").as("files_read"),
+        sum(col("hit") * col("f_rows")).as("rows_read"),
+        sum("f_match").as("rows_match"))
+      .select(col("layout"), col("n_files"),
+        col("files_read"), col("rows_read"), col("rows_match"))
   }
 
   val zorderPruneEffectSql: String = {

@@ -55,10 +55,10 @@ object Retrieval {
   def hybridRrfTopK(spark: SparkSession, dir: String,
       numQueries: Int = 5, qTerms: Int = 2, k: Int = 10,
       k0: Int = 60, lexIn: Option[DataFrame] = None): DataFrame = {
-    val corpus = Similarity.normalized(spark, dir)
-    val dense = Similarity.bruteForceTopKFor(corpus,
-        corpus.where(col("vec_id") < numQueries)
-          .select(col("vec_id").as("query_id"), col("vec").as("qvec")), k)
+    // the dense side IS bruteForceTopK's memoized frame (identical
+    // corpus, identical query construction) — share it with the ANN
+    // recall gates instead of re-running the scoring scan (§1.2)
+    val dense = Similarity.bruteForceTopK(spark, dir, numQueries, k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
     fuseRrf(lexIn.getOrElse(lexRanks(spark, dir, numQueries, qTerms, k)),
@@ -200,8 +200,23 @@ object Retrieval {
   /** Lexical ranks (query_id, doc_id, lex_rank ≤ k) for the first
     * `numQueries` seed documents. */
   private def lexRanks(spark: SparkSession, dir: String,
+      numQueries: Int, qTerms: Int, k: Int): DataFrame =
+    // memoized (r18): the exact hybrid, the IVF hybrid, and the gate
+    // all rank against the IDENTICAL (numQueries × k)-row lexical
+    // list; it is a bounded deterministic rank list — exactly the
+    // Scratch.memo contract — and rebuilding it re-paid the full
+    // tokenize + BM25 scoring pass per query
+    Scratch.memo(spark, s"lex-ranks:$dir:$numQueries:$qTerms:$k") {
+      lexRanksBuild(spark, dir, numQueries, qTerms, k)
+    }
+
+  private def lexRanksBuild(spark: SparkSession, dir: String,
       numQueries: Int, qTerms: Int, k: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // call-site scan spread (§2.5): the tokenize explode + tf partial
+    // aggregate is per-row work on the one-row-group documents scan —
+    // single-task without it (r18 stage profile: the whole lexical
+    // chain ran 1-task stages)
+    val docs = Tables.documentsSpread(spark, dir)
     // one tokenization pass feeds seed-term selection AND scoring
     // (the bm25TopKWith discipline: localCheckpoint, reused 4×).
     // No explicit unpersist: consumers evaluate lazily, so the blocks
