@@ -58,13 +58,17 @@ object Components {
     * graph) without paying an edges⋉nodes semi-join per call. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 100, smallGraphEdges: Long = 4000000L): DataFrame = {
-    // materialize the symmetrized edge list ONCE — edges is typically
-    // the tail of an expensive pair pipeline (shingle join / LSH), and
-    // every iteration below consumes it; without this boundary the
-    // whole pair computation re-executes per round
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    // materialize the edge list ONCE, BEFORE symmetrizing — edges is
+    // typically the tail of an expensive pair pipeline (shingle join /
+    // LSH), and every iteration below consumes it. Checkpointing the
+    // UNION (the pre-r18 shape) ran that pipeline TWICE: the swapped
+    // (dst, src) projection makes the two union sides non-identical
+    // subtrees, so ReuseExchange cannot dedupe them (measured: two
+    // ~11 s scoring stages per q_dedup_clusters_portable run). The
+    // union over the checkpointed edges is two block reads.
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Small-graph fast path: near-dup edge sets are usually TINY
     // relative to the node set (most documents are singletons), and
     // the iterative loop below pays 2 joins + a checkpoint + a count
@@ -111,10 +115,10 @@ object Components {
           ks.iterator.map(n => (n, find(n)))
         }
         .toDF("node", "component")
-        // eager: the union-find task must consume sym's blocks BEFORE
+        // eager: the union-find task must consume e0's blocks BEFORE
         // they are freed below (the result is ≤ 2·nEdges slim rows)
         .localCheckpoint()
-      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(sym)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(e0)
       // the labels broadcast is bounded by the SAME gate that admitted
       // the fast path: ≤ 2·smallGraphEdges slim (node, component)
       // rows, and the driver just held every edge in the union-find
@@ -214,8 +218,8 @@ object Components {
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still changing) — raise maxIter")
-    // the symmetrized edge list is dead once the labels converge
-    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(sym)
+    // the edge list is dead once the labels converge
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(e0)
     labels
   }
 

@@ -827,6 +827,11 @@ object Quantize {
   def ivfPqDriftRecall(spark: SparkSession, dir: String,
       batches: Int = 4, alpha: Double = 0.15, numQueries: Int = 10,
       k: Int = 10, nprobe: Int = 0, rerank: Int = 20): DataFrame = {
+    // deliberately NOT spread (r18, measured): parallelizing the
+    // interpreted driftedBatch transforms (a ~1.2 s single-task stage)
+    // loses more to downstream task fan-out (full = 5 union branches ×
+    // 32 partitions feeding every probe/truth job) than it saves —
+    // in-session A/B 2.87 (spread) vs 2.40 s (unspread)
     val base = Similarity.normalized(spark, dir).select("vec_id", "vec")
       .localCheckpoint()
     val (staleHits, freshHits, nTrue) = ivfPqDriftCounts(spark, base,
