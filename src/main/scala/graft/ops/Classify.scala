@@ -245,17 +245,23 @@ object Classify {
     * geometric-mean (true perplexity) twin is [[bigramLmPerplexity]].
     * Two corpus scans by design (LM build + scoring) — caching the
     * token-grain pair frame would pin a corpus-sized intermediate. */
-  def bigramLmScores(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    bigramPairs(docs)
-      .join(bigramLm(spark, dir), Seq("l", "r"))
-      .groupBy("doc_id")
-      .agg(sum("p_micro").cast("long").as("sum_micro"),
-        count(lit(1)).as("n_pairs"))
-      .select(col("doc_id"), col("sum_micro"), col("n_pairs"),
-        (col("sum_micro") /
-          (col("n_pairs").cast("double") * lit(1e6))).as("fluency"))
-  }
+  def bigramLmScores(spark: SparkSession, dir: String): DataFrame =
+    // memoized per (session, dir) like the LM itself (r18): the
+    // scoring pass is rebuilt identically by q_bigram_lm_scores,
+    // pplBuckets (→ q_ppl_buckets, q_ppl_bucket_report) and the
+    // curriculum pair (q_curriculum, q_curriculum_audit); the result
+    // is a bounded per-doc label row (three longs + one IEEE div)
+    Scratch.memo(spark, s"bigramscores:$dir") {
+      val docs = Tables.documents(spark, dir)
+      bigramPairs(docs)
+        .join(bigramLm(spark, dir), Seq("l", "r"))
+        .groupBy("doc_id")
+        .agg(sum("p_micro").cast("long").as("sum_micro"),
+          count(lit(1)).as("n_pairs"))
+        .select(col("doc_id"), col("sum_micro"), col("n_pairs"),
+          (col("sum_micro") /
+            (col("n_pairs").cast("double") * lit(1e6))).as("fluency"))
+    }
 
   private val bigramSql: String =
     """WITH p AS (
@@ -372,7 +378,14 @@ object Classify {
   /** Per-document CCNet bucket: (doc_id, source, mean_nano, bucket)
     * with bucket ∈ head | middle | tail by per-source fluency
     * tercile (head = most fluent under the corpus bigram LM). */
-  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame =
+    // memoized per (session, dir): a per-doc label row shared by
+    // q_ppl_buckets, q_ppl_bucket_report and the curriculum pair,
+    // each of which otherwise re-ran the stable-ids prefix-sum
+    // machinery on an identical input (r18, §1.2)
+    Scratch.memo(spark, s"pplbuckets:$dir")(pplBucketsBuild(spark, dir))
+
+  private def pplBucketsBuild(spark: SparkSession, dir: String): DataFrame = {
     val scored = bigramLmScores(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "source"),
         "doc_id")
