@@ -212,11 +212,11 @@ object Retrieval {
 
   private def lexRanksBuild(spark: SparkSession, dir: String,
       numQueries: Int, qTerms: Int, k: Int): DataFrame = {
-    // call-site scan spread (§2.5): the tokenize explode + tf partial
-    // aggregate is per-row work on the one-row-group documents scan —
-    // single-task without it (r18 stage profile: the whole lexical
-    // chain ran 1-task stages)
-    val docs = Tables.documentsSpread(spark, dir)
+    // deliberately NOT spread (re-measured r18 on the shared
+    // bm25TopKWith chain: the text-bearing spread exchange loses to
+    // the single-task tokenize — 1.83 vs 1.15 s on q_bm25_topk); the
+    // memo above is what removes the repeated cost here
+    val docs = Tables.documents(spark, dir)
     // one tokenization pass feeds seed-term selection AND scoring
     // (the bm25TopKWith discipline: localCheckpoint, reused 4×).
     // No explicit unpersist: consumers evaluate lazily, so the blocks

@@ -166,7 +166,12 @@ object Terms {
       scoreExpr: String, queriesIn: Option[DataFrame] = None,
       tfIn: Option[DataFrame] = None,
       excludeSelf: Boolean = false): DataFrame = {
-    // callers passing tfIn have already checkpointed their shared pass
+    // callers passing tfIn have already checkpointed their shared
+    // pass. Deliberately NOT spread (re-measured r18: spreading the
+    // tokenize scan ships the text rows through an exchange and runs
+    // the slim BM25 chain 32-wide — q_bm25_topk 1.83 spread vs 1.15
+    // unspread, logidf 1.38 vs 0.76; the r17 "Terms unspread" call
+    // stands)
     val tf = tfIn.getOrElse(termFrequencies(Tables.documents(spark, dir))
       .localCheckpoint()) // reused 3× (dl, df, scoring scan): one pass
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
