@@ -34,17 +34,6 @@ object Verify {
       // while genuinely huge tables still list in parallel.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         "1024")
-      // r18: let AQE optimize (coalesce) the materialization of cached
-      // plans. The LinkRank recurrence joins a slim rank frame against
-      // the persisted edge table every round; with this off the cache
-      // pins the session shuffle width and every round's exchange must
-      // match it — tiny frames ride 32-wide exchanges at any volume.
-      // With it on, the cache materializes at AQE's data-proportional
-      // width and each round aligns to THAT (still hash-compatible, so
-      // the edge side never re-shuffles). A/B on the rank family:
-      // 15-25% off each member; full oracle re-proven at both SFs.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

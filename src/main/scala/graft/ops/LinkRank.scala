@@ -90,6 +90,27 @@ object LinkRank {
       .where(col("dst") =!= col("src"))
     val e = cand.join(nodes.select(col("doc_id").as("dst")), Seq("dst"),
       "left_semi")
+    // Width note (r18, measured): the od window's exchange runs at the
+    // session shuffle width, and because the cached edge table anchors
+    // every iteration's co-partitioned join, that width is pinned
+    // across all K rounds — at tiny SFs the recurrence rides
+    // core-count-wide exchanges (the 8-core-beats-32 inverse scaling).
+    // TWO narrower-width mechanisms were tried and REJECTED because
+    // both break the family's load-bearing invariant (LinkRankSpec:
+    // edge rows never cross the wire after the build — at 100 TB a
+    // per-job edge re-shuffle is the whole cost):
+    //  - canChangeCachedPlanOutputPartitioning=true: AQE coalesces the
+    //    cache materialization, the cache stops reporting a usable
+    //    hash partitioning, and EnsureRequirements re-shuffles the
+    //    EDGES above the cache every iteration;
+    //  - an explicit data-proportional repartition(p, src) below the
+    //    window: EnsureRequirements re-anchors the join at the session
+    //    width anyway and shuffles the edges up to it (p = 1 is worse
+    //    still — it plans as SinglePartition and loses the hash
+    //    guarantee outright).
+    // The session-width shape stands; the right production lever is
+    // the bucketed table ([[writeBucketedEdges]]), which this sf-board
+    // family also registers (q_link_rank_bucketed).
     e.withColumn("od", count(lit(1)).over(Window.partitionBy("src")))
   }
 
